@@ -1,0 +1,170 @@
+package graft.core
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+/** Fixed-precision shortest-decimal double printing.
+  *
+  * Reproduces the output contract of the reference's Ryu-based printer
+  * (`/root/reference/src/geoarrow.c:6331-6341` dispatching into
+  * `/root/reference/src/d2s.c:690-806` / `to_chars_fixed` at `d2s.c:537`):
+  *
+  *   - start from the *shortest* decimal digit string that round-trips to
+  *     the exact double (<=17 significant digits);
+  *   - clamp to at most `precision` fraction digits, rounding half-even on
+  *     the decimal digits, then strip trailing zeros;
+  *   - values with |v| > 1e17 print in scientific notation `d.ddde[+-]XX`
+  *     ignoring the precision;
+  *   - specials: NaN -> "nan", +/-Inf -> "Infinity"/"-Infinity", and zero
+  *     (either sign) -> "0" (`/root/reference/src/ryu/common.h:80-95`).
+  *
+  * The digit-extraction here uses exact BigDecimal arithmetic rather than the
+  * Ryu tables — same outputs, simpler code. A fast path covers integral
+  * values (the overwhelmingly common case in fixtures and synthetic data).
+  */
+object DoubleFormat {
+
+  /** Default WKT precision, clamped 0..16 like the reference
+    * (`/root/reference/src/geoarrow.c:5841-5845`). */
+  val DefaultPrecision = 16
+
+  def print(d: Double): String = print(d, DefaultPrecision)
+
+  def print(d: Double, precision0: Int): String = {
+    val precision = if (precision0 < 0 || precision0 > 16) 16 else precision0
+    if (java.lang.Double.isNaN(d)) return "nan"
+    if (java.lang.Double.isInfinite(d)) return if (d > 0) "Infinity" else "-Infinity"
+    if (d == 0.0) return "0" // covers -0.0: reference prints unsigned zero
+    if (d > 1.0e17 || d < -1.0e17) return printExp(d)
+    // Fast path: integral values in the exactly-representable range print
+    // as plain integers (no fraction to clamp).
+    if (d == Math.rint(d) && Math.abs(d) < 9.007199254740992e15) {
+      return java.lang.Long.toString(d.toLong)
+    }
+    val (mant, exp) = shortestDigits(d)
+    toCharsFixed(mant, exp, d < 0, precision)
+  }
+
+  /** Shortest decimal (mantissa, exp10) with value == mantissa*10^exp10
+    * (mantissa positive, no trailing zeros) that round-trips to `d`. */
+  private[core] def shortestDigits(d: Double): (Long, Int) = {
+    val abs = Math.abs(d)
+    val exact = new JBigDecimal(abs)
+    var k = 1
+    while (k <= 17) {
+      val r = exact.round(new MathContext(k, RoundingMode.HALF_EVEN))
+      if (r.doubleValue() == abs) {
+        val s = r.stripTrailingZeros()
+        return (s.unscaledValue().longValueExact(), -s.scale())
+      }
+      k += 1
+    }
+    // unreachable: 17 significant digits always round-trip a double
+    val s = exact.stripTrailingZeros()
+    (s.unscaledValue().longValueExact(), -s.scale())
+  }
+
+  private def decimalLength(v: Long): Int = java.lang.Long.toString(v).length
+
+  private def pow10(n: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < n) { r *= 10L; i += 1 }
+    r
+  }
+
+  /** Port of `to_chars_fixed` (`/root/reference/src/d2s.c:537-660`):
+    * value = output*10^exp; clamp fraction digits to `precision` with
+    * half-even rounding on the decimal digits; strip trailing zeros. */
+  private[core] def toCharsFixed(mantissa0: Long, exp0: Int, sign: Boolean, precision: Int): String = {
+    var output = mantissa0
+    var olength = decimalLength(output)
+    var exp = exp0
+    var integerPart = 0L
+    var integerPartLength = 0
+    var decimalPart = 0L
+    var decimalPartLength = 0
+    var trailingIntegerZeros = 0
+    var leadingDecimalZeros = 0
+
+    if (exp >= 0) {
+      integerPart = output
+      integerPartLength = olength
+      trailingIntegerZeros = exp
+      decimalPart = 0
+    } else {
+      if (precision < -exp) {
+        val digitsToTrim = -exp - precision
+        if (digitsToTrim > olength) {
+          output = 0
+          exp = 0
+        } else {
+          val divisor = pow10(digitsToTrim)
+          val divisorHalf = divisor / 2
+          val outputDiv = output / divisor
+          val remainder = output - outputDiv * divisor
+          output = outputDiv
+          exp += digitsToTrim
+          if (remainder > divisorHalf || (remainder == divisorHalf && (output & 1L) == 1L)) {
+            output += 1
+            olength = decimalLength(output)
+          } else {
+            olength -= digitsToTrim
+          }
+          while (output != 0 && output % 10 == 0) {
+            output /= 10; exp += 1; olength -= 1
+          }
+        }
+      }
+      val nexp = -exp
+      if (exp >= 0) {
+        integerPart = output
+        integerPartLength = olength
+        trailingIntegerZeros = exp
+        decimalPart = 0
+      } else if (nexp < olength) {
+        val p = pow10(nexp)
+        integerPart = output / p
+        decimalPart = output % p
+        integerPartLength = olength - nexp
+        decimalPartLength = olength - integerPartLength
+        if (decimalPart < pow10(decimalPartLength - 1)) {
+          val dl = decimalLength(decimalPart)
+          leadingDecimalZeros = decimalPartLength - dl
+          decimalPartLength = dl
+        }
+      } else {
+        integerPart = 0
+        decimalPart = output
+        decimalPartLength = olength
+        leadingDecimalZeros = nexp - olength
+      }
+    }
+
+    val sb = new java.lang.StringBuilder(32)
+    if (sign && (integerPart != 0 || decimalPart != 0)) sb.append('-')
+    if (integerPart == 0 && integerPartLength <= 1) sb.append('0')
+    else sb.append(integerPart)
+    var i = 0
+    while (i < trailingIntegerZeros) { sb.append('0'); i += 1 }
+    if (decimalPart != 0) {
+      sb.append('.')
+      i = 0
+      while (i < leadingDecimalZeros) { sb.append('0'); i += 1 }
+      sb.append(decimalPart)
+    }
+    sb.toString
+  }
+
+  /** Scientific form for |v| > 1e17: shortest mantissa as `d[.ddd]e[+-]X+`
+    * (`/root/reference/src/d2s.c:734-806`). */
+  private def printExp(d: Double): String = {
+    val (mant, exp) = shortestDigits(d)
+    val olength = decimalLength(mant)
+    val sciExp = exp + olength - 1
+    val body = toCharsFixed(mant, 1 - olength, d < 0, 17)
+    val sb = new java.lang.StringBuilder(body)
+    sb.append('e')
+    sb.append(if (sciExp < 0) '-' else '+')
+    sb.append(Math.abs(sciExp))
+    sb.toString
+  }
+}

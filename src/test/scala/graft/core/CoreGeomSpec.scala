@@ -1,0 +1,187 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Core geometry kernel tests: the FIXTURES.md §1 corpus (mirroring
+  * `/root/reference/tests/testthat/test-handle.R:93-134` round-trips) plus
+  * double-printing parity cases. */
+class CoreGeomSpec extends AnyFunSuite {
+
+  // WKT corpus per FIXTURES.md §1; writer-normal form (flat multipoint).
+  val corpus: Seq[String] = Seq(
+    "POINT (30 10)",
+    "POINT Z (30 10 40)",
+    "POINT M (30 10 300)",
+    "POINT ZM (30 10 40 300)",
+    "POINT EMPTY",
+    "LINESTRING (30 10, 10 30, 40 40)",
+    "LINESTRING Z (30 10 1, 10 30 2, 40 40 3)",
+    "LINESTRING M (30 10 1, 10 30 2, 40 40 3)",
+    "LINESTRING ZM (30 10 1 2, 10 30 3 4, 40 40 5 6)",
+    "LINESTRING EMPTY",
+    "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+    "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+    "POLYGON Z ((30 10 1, 40 40 2, 20 40 3, 10 20 4, 30 10 1))",
+    "POLYGON ZM ((30 10 1 9, 40 40 2 8, 20 40 3 7, 10 20 4 6, 30 10 1 9))",
+    "POLYGON EMPTY",
+    "MULTIPOINT (10 40, 40 30, 20 20, 30 10)",
+    "MULTIPOINT Z (10 40 1, 40 30 2)",
+    "MULTIPOINT EMPTY",
+    "MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))",
+    "MULTILINESTRING Z ((10 10 1, 20 20 2, 10 40 3))",
+    "MULTILINESTRING EMPTY",
+    "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 5 10, 15 5)))",
+    "MULTIPOLYGON Z (((30 20 1, 45 40 2, 10 40 3, 30 20 1)))",
+    "MULTIPOLYGON EMPTY",
+    "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20, 10 40))",
+    "GEOMETRYCOLLECTION EMPTY",
+    "POINT (0.222222 1.333333)",
+    "POINT (-30.5 -10.25)"
+  )
+
+  test("WKT -> geom -> WKT identity over the corpus") {
+    corpus.foreach { wkt =>
+      val g = Wkt.parse(wkt)
+      assert(Wkt.write(g) == wkt, s"roundtrip of '$wkt'")
+    }
+  }
+
+  test("verbose multipoint parses; writer emits flat form") {
+    val g = Wkt.parse("MULTIPOINT ((10 40), (40 30))")
+    assert(Wkt.write(g) == "MULTIPOINT (10 40, 40 30)")
+    assert(g == Wkt.parse("MULTIPOINT (10 40, 40 30)"))
+  }
+
+  test("WKT -> WKB -> geom -> WKB byte identity") {
+    corpus.filterNot(_.startsWith("POINT EMPTY")).foreach { wkt =>
+      val g = Wkt.parse(wkt)
+      val b1 = Wkb.write(g)
+      val g2 = Wkb.parse(b1)
+      val b2 = Wkb.write(g2)
+      assert(java.util.Arrays.equals(b1, b2), s"WKB roundtrip of '$wkt'")
+    }
+  }
+
+  test("WKB roundtrip preserves structure (non-empty, non-point-empty)") {
+    corpus.filterNot(w => w.contains("EMPTY")).foreach { wkt =>
+      val g = Wkt.parse(wkt)
+      val g2 = Wkb.parse(Wkb.write(g))
+      assert(Wkt.write(g2) == wkt, s"via WKB: '$wkt'")
+    }
+  }
+
+  test("POINT EMPTY writes as NaN WKB coords") {
+    val b = Wkb.write(Wkt.parse("POINT EMPTY"))
+    assert(b.length == 21)
+    val g = Wkb.parse(b)
+    assert(g.geomType == GeomTypes.Point && g.coords.forall(_.isNaN))
+  }
+
+  test("EWKB flags accepted, SRID recorded") {
+    // EWKB: little endian, POINT with Z|SRID flags, srid=4326
+    val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(0x80000000 | 0x20000000 | 1).putInt(4326)
+      .putDouble(1.0).putDouble(2.0).putDouble(3.0)
+    val g = Wkb.parse(buf.array())
+    assert(g.geomType == GeomTypes.Point && g.dims == Dims.XYZ && g.srid == 4326)
+    assert(Wkt.write(g) == "POINT Z (1 2 3)")
+  }
+
+  test("big-endian WKB accepted") {
+    val buf = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(0.toByte).putInt(1).putDouble(30.0).putDouble(10.0)
+    assert(Wkt.write(Wkb.parse(buf.array())) == "POINT (30 10)")
+  }
+
+  test("double printing matches reference ryu fixed-precision semantics") {
+    assert(DoubleFormat.print(0.0) == "0")
+    assert(DoubleFormat.print(-0.0) == "0")
+    assert(DoubleFormat.print(30.0) == "30")
+    assert(DoubleFormat.print(-30.5) == "-30.5")
+    assert(DoubleFormat.print(0.222222) == "0.222222")
+    assert(DoubleFormat.print(0.1) == "0.1")
+    assert(DoubleFormat.print(1.0 / 3.0) == "0.3333333333333333")
+    assert(DoubleFormat.print(2.0 / 3.0) == "0.6666666666666666")
+    assert(DoubleFormat.print(Double.NaN) == "nan")
+    assert(DoubleFormat.print(Double.PositiveInfinity) == "Infinity")
+    assert(DoubleFormat.print(Double.NegativeInfinity) == "-Infinity")
+    // precision clamp + half-even on decimal digits
+    assert(DoubleFormat.print(0.0001, 3) == "0")
+    assert(DoubleFormat.print(1.2345, 3) == "1.234") // 1.2345 shortest=1.2345, half-even -> 1.234
+    assert(DoubleFormat.print(1.5, 0) == "2")
+    assert(DoubleFormat.print(2.5, 0) == "2")
+    // > 1e17 -> scientific, ignoring precision
+    assert(DoubleFormat.print(1e18) == "1e+18")
+    assert(DoubleFormat.print(1.5e20) == "1.5e+20")
+    assert(DoubleFormat.print(-2e300) == "-2e+300")
+    assert(DoubleFormat.print(1e17) == "100000000000000000")
+    // big but <= 1e17 integral
+    assert(DoubleFormat.print(9007199254740992.0) == "9007199254740992")
+  }
+
+  test("dim casts NaN-fill and positional z/m mapping") {
+    val xy = Wkt.parse("POINT (1 2)")
+    val xyz = Geom.castDims(xy, Dims.XYZ)
+    assert(Wkt.write(xyz) == "POINT Z (1 2 nan)")
+    val xyzm = Geom.castDims(Wkt.parse("POINT M (1 2 7)"), Dims.XYZM)
+    assert(Wkt.write(xyzm) == "POINT ZM (1 2 nan 7)")
+    val down = Geom.castDims(Wkt.parse("POINT ZM (1 2 3 4)"), Dims.XYM)
+    assert(Wkt.write(down) == "POINT M (1 2 4)")
+  }
+
+  test("type promotion casts") {
+    val p = Wkt.parse("POINT (1 2)")
+    assert(Wkt.write(Geom.castType(p, GeomTypes.MultiPoint)) == "MULTIPOINT (1 2)")
+    val mp1 = Wkt.parse("MULTIPOINT (1 2)")
+    assert(Wkt.write(Geom.castType(mp1, GeomTypes.Point)) == "POINT (1 2)")
+    val ls = Wkt.parse("LINESTRING (1 2, 3 4)")
+    assert(Wkt.write(Geom.castType(ls, GeomTypes.MultiLineString)) ==
+      "MULTILINESTRING ((1 2, 3 4))")
+    val pg = Wkt.parse("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    assert(Wkt.write(Geom.castType(pg, GeomTypes.MultiPolygon)) ==
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+    val mpg = Wkt.parse("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+    assert(Wkt.write(Geom.castType(mpg, GeomTypes.Polygon)) ==
+      "POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    intercept[IllegalArgumentException] {
+      Geom.castType(Wkt.parse("MULTIPOINT (1 2, 3 4)"), GeomTypes.Point)
+    }
+    intercept[IllegalArgumentException] {
+      Geom.castType(p, GeomTypes.Polygon)
+    }
+  }
+
+  test("snap to grid uses half-away rounding") {
+    val g = Geom.snapToGrid(Wkt.parse("POINT (1.234 -5.675)"), 100)
+    assert(Wkt.write(g) == "POINT (1.23 -5.68)")
+    val h = Geom.snapToGrid(Wkt.parse("POINT (0.005 -0.005)"), 100)
+    assert(Wkt.write(h) == "POINT (0.01 -0.01)")
+  }
+
+  test("envelope") {
+    val e = Geom.envelope(Wkt.parse(
+      "MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))"))
+    assert(e.toSeq == Seq(10.0, 10.0, 40.0, 40.0))
+  }
+
+  test("iso type ids") {
+    assert(Geom.isoTypeId(Wkt.parse("POINT (1 2)")) == 1)
+    assert(Geom.isoTypeId(Wkt.parse("POINT Z (1 2 3)")) == 1001)
+    assert(Geom.isoTypeId(Wkt.parse("POINT M (1 2 3)")) == 2001)
+    assert(Geom.isoTypeId(Wkt.parse("LINESTRING ZM (1 2 3 4, 5 6 7 8)")) == 3002)
+  }
+
+  test("parse errors") {
+    intercept[IllegalArgumentException](Wkt.parse("POINT (1)"))
+    intercept[IllegalArgumentException](Wkt.parse("FOO (1 2)"))
+    intercept[IllegalArgumentException](Wkt.parse("POINT (1 2"))
+    intercept[IllegalArgumentException](Wkt.parse("POINT (1 2) x"))
+  }
+
+  test("nan/inf ordinates parse like strtod") {
+    val g = Wkt.parse("POINT (nan inf)")
+    assert(g.coords(0).isNaN && g.coords(1).isPosInfinity)
+    assert(Wkt.write(g) == "POINT (nan Infinity)")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.core
+
+/** Web-Mercator z/x/y raster tile pyramid (slippy-map scheme).
+  *
+  * Tile ids pack as `z << 58 | x << 29 | y` (z <= 29). Latitudes clamp to
+  * the Web-Mercator limit ±85.05112878°. Covering a lon/lat box with tiles
+  * is exact (x from lon, y monotone-decreasing in lat), which makes this the
+  * workhorse join key for raster↔vector assignment (SURVEY.md §2C).
+  */
+object Tiles {
+  final val MaxLat = 85.05112878
+
+  def tileX(lon: Double, z: Int): Int = {
+    val n = 1 << z
+    val x = ((lon + 180.0) / 360.0 * n).toInt
+    math.max(0, math.min(n - 1, x))
+  }
+
+  def tileY(lat: Double, z: Int): Int = {
+    val n = 1 << z
+    val clamped = math.max(-MaxLat, math.min(MaxLat, lat))
+    val latRad = math.toRadians(clamped)
+    val y = ((1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi)
+      / 2.0 * n).toInt
+    math.max(0, math.min(n - 1, y))
+  }
+
+  def pack(z: Int, x: Int, y: Int): Long =
+    (z.toLong << 58) | (x.toLong << 29) | y.toLong
+
+  def z(id: Long): Int = (id >>> 58).toInt
+  def x(id: Long): Int = ((id >>> 29) & 0x1fffffffL).toInt
+  def y(id: Long): Int = (id & 0x1fffffffL).toInt
+
+  def tileId(lon: Double, lat: Double, zoom: Int): Long =
+    pack(zoom, tileX(lon, zoom), tileY(lat, zoom))
+
+  /** Tile envelope: (minLon, minLat, maxLon, maxLat). */
+  def tileEnvelope(id: Long): (Double, Double, Double, Double) = {
+    val zz = z(id); val xx = x(id); val yy = y(id)
+    val n = 1 << zz
+    def lonOf(xi: Int): Double = xi.toDouble / n * 360.0 - 180.0
+    def latOf(yi: Int): Double = {
+      val t = math.Pi * (1 - 2.0 * yi / n)
+      math.toDegrees(math.atan(math.sinh(t)))
+    }
+    (lonOf(xx), latOf(yy + 1), lonOf(xx + 1), latOf(yy))
+  }
+
+  /** Exact tile cover of a lon/lat box at zoom z. */
+  def coverBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+               zoom: Int): Array[Long] = {
+    val x0 = tileX(minLon, zoom); val x1 = tileX(maxLon, zoom)
+    val y0 = tileY(maxLat, zoom); val y1 = tileY(minLat, zoom) // y inverted
+    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    var idx = 0
+    var xi = x0
+    while (xi <= x1) {
+      var yi = y0
+      while (yi <= y1) { out(idx) = pack(zoom, xi, yi); idx += 1; yi += 1 }
+      xi += 1
+    }
+    out
+  }
+
+  def parent(id: Long): Long = {
+    val zz = z(id)
+    require(zz > 0, "zoom-0 tile has no parent")
+    pack(zz - 1, x(id) >> 1, y(id) >> 1)
+  }
+
+  def children(id: Long): Array[Long] = {
+    val zz = z(id); val xx = x(id) << 1; val yy = y(id) << 1
+    Array(pack(zz + 1, xx, yy), pack(zz + 1, xx + 1, yy),
+      pack(zz + 1, xx, yy + 1), pack(zz + 1, xx + 1, yy + 1))
+  }
+}

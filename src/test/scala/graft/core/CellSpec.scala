@@ -1,0 +1,179 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.Random
+
+/** Property tests for the cell/tile index (deterministic seed=42). The cell
+  * index needs self-consistency, not parity with any external library
+  * (SURVEY.md §7 "Hard parts"). */
+class CellSpec extends AnyFunSuite {
+
+  private def randLonLat(r: Random): (Double, Double) =
+    (r.nextDouble() * 360 - 180, r.nextDouble() * 170 - 85)
+
+  test("fromFaceIj / toFaceIj roundtrip") {
+    val r = new Random(42)
+    (1 to 2000).foreach { _ =>
+      val face = r.nextInt(6)
+      val i = r.nextInt(Cells.MaxSize)
+      val j = r.nextInt(Cells.MaxSize)
+      val id = Cells.fromFaceIj(face, i, j)
+      assert(Cells.isValid(id))
+      assert(Cells.level(id) == 30)
+      assert(Cells.toFaceIj(id) == ((face, i, j)))
+    }
+  }
+
+  test("parent contains child; level arithmetic") {
+    val r = new Random(42)
+    (1 to 1000).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val leaf = Cells.leafFromLonLat(lon, lat)
+      (0 to 29).foreach { lvl =>
+        val p = Cells.parent(leaf, lvl)
+        assert(Cells.level(p) == lvl)
+        assert(Cells.contains(p, leaf))
+        val kids = Cells.children(p)
+        assert(kids.count(k => Cells.contains(k, leaf)) == 1)
+        kids.foreach(k => assert(Cells.contains(p, k)))
+      }
+    }
+  }
+
+  test("cell id is stable under center roundtrip") {
+    val r = new Random(42)
+    (1 to 500).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val id = Cells.cellId(lon, lat, 12)
+      val (clon, clat) = Cells.centerLonLat(id)
+      assert(Cells.cellId(clon, clat, 12) == id,
+        s"center of cell at ($lon,$lat) maps back to same cell")
+    }
+  }
+
+  test("edge neighbors are symmetric and distinct") {
+    val r = new Random(42)
+    (1 to 300).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val lvl = 1 + r.nextInt(15)
+      val id = Cells.cellId(lon, lat, lvl)
+      val nbrs = Cells.edgeNeighbors(id)
+      assert(nbrs.length == 4)
+      nbrs.foreach { n =>
+        assert(Cells.isValid(n) && Cells.level(n) == lvl && n != id)
+        assert(Cells.edgeNeighbors(n).contains(id),
+          s"neighbor symmetry at level $lvl for ($lon,$lat)")
+      }
+    }
+  }
+
+  test("ring union grows and contains the center") {
+    val id = Cells.cellId(5.0, 45.0, 10)
+    val r0 = Cells.ringUnion(id, 0)
+    val r1 = Cells.ringUnion(id, 1)
+    val r2 = Cells.ringUnion(id, 2)
+    assert(r0.toSeq == Seq(id))
+    assert(r1.length > 1 && r2.length > r1.length)
+    assert(r1.toSet.subsetOf(r2.toSet))
+  }
+
+  test("coverBox covers every point of the box") {
+    val r = new Random(42)
+    (1 to 100).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val w = r.nextDouble() * 10 + 0.1
+      val h = r.nextDouble() * 10 + 0.1
+      val (minLon, minLat) = (math.max(-180, lon - w), math.max(-85, lat - h))
+      val (maxLon, maxLat) = (math.min(180, lon + w), math.min(85, lat + h))
+      val lvl = 4 + r.nextInt(5)
+      val cover = Cells.coverBox(minLon, minLat, maxLon, maxLat, lvl).toSet
+      assert(cover.nonEmpty)
+      // sample interior points; each must fall in a covered cell
+      (1 to 50).foreach { _ =>
+        val px = minLon + r.nextDouble() * (maxLon - minLon)
+        val py = minLat + r.nextDouble() * (maxLat - minLat)
+        val cell = Cells.cellId(px, py, lvl)
+        assert(cover.contains(cell),
+          s"point ($px,$py) in box [($minLon,$minLat),($maxLon,$maxLat)] " +
+            s"level $lvl not covered")
+      }
+    }
+  }
+
+  test("tile ids roundtrip and cover exactly") {
+    val r = new Random(42)
+    (1 to 1000).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val z = r.nextInt(16)
+      val id = Tiles.tileId(lon, lat, z)
+      assert(Tiles.z(id) == z)
+      val (minLon, minLat, maxLon, maxLat) = Tiles.tileEnvelope(id)
+      assert(lon >= minLon - 1e-9 && lon <= maxLon + 1e-9)
+      if (math.abs(lat) <= Tiles.MaxLat)
+        assert(lat >= minLat - 1e-9 && lat <= maxLat + 1e-9)
+      if (z > 0) {
+        val p = Tiles.parent(id)
+        assert(Tiles.children(p).contains(id))
+      }
+    }
+  }
+
+  test("tile coverBox is exact") {
+    val r = new Random(42)
+    (1 to 200).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val w = r.nextDouble() * 5 + 0.01
+      val (minLon, minLat) = (math.max(-180, lon - w), math.max(-85, lat - w))
+      val (maxLon, maxLat) = (math.min(180, lon + w), math.min(85, lat + w))
+      val z = 4 + r.nextInt(8)
+      val cover = Tiles.coverBox(minLon, minLat, maxLon, maxLat, z).toSet
+      (1 to 30).foreach { _ =>
+        val px = minLon + r.nextDouble() * (maxLon - minLon)
+        val py = minLat + r.nextDouble() * (maxLat - minLat)
+        assert(cover.contains(Tiles.tileId(px, py, z)))
+      }
+    }
+  }
+
+  test("PIP against brute-force winding on convex polygons") {
+    val r = new Random(42)
+    (1 to 200).foreach { _ =>
+      val cx = r.nextDouble() * 300 - 150
+      val cy = r.nextDouble() * 140 - 70
+      val k = 3 + r.nextInt(9)
+      val radius = 0.5 + r.nextDouble() * 5
+      val coords = new Array[Double]((k + 1) * 2)
+      (0 to k).foreach { v =>
+        val ang = 2 * math.Pi * (v % k) / k
+        coords(v * 2) = cx + radius * math.cos(ang)
+        coords(v * 2 + 1) = cy + radius * math.sin(ang)
+      }
+      val poly = Geom(GeomTypes.Polygon, Dims.XY, coords, Array(0, k + 1))
+      (1 to 50).foreach { _ =>
+        val px = cx + (r.nextDouble() * 4 - 2) * radius
+        val py = cy + (r.nextDouble() * 4 - 2) * radius
+        // convex: inside iff same side of all edges
+        var allLeft = true; var allRight = true
+        (0 until k).foreach { v =>
+          val x1 = coords(v * 2); val y1 = coords(v * 2 + 1)
+          val x2 = coords((v + 1) * 2); val y2 = coords((v + 1) * 2 + 1)
+          val cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+          if (cross < 0) allLeft = false
+          if (cross > 0) allRight = false
+        }
+        val expected = allLeft || allRight
+        assert(Pip.containsPoint(poly, px, py) == expected,
+          s"PIP mismatch at ($px,$py) vs $k-gon at ($cx,$cy) r=$radius")
+      }
+    }
+  }
+
+  test("polygon with hole") {
+    val outer = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    val g = Wkt.parse(outer)
+    assert(Pip.containsPoint(g, 1, 1))
+    assert(!Pip.containsPoint(g, 5, 5)) // in hole
+    assert(Pip.containsPoint(g, 2.9, 5))
+    assert(!Pip.containsPoint(g, 11, 5))
+  }
+}

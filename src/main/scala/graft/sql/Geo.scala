@@ -1,0 +1,243 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core.GeomTypes
+
+/** Function registry for the engine: every kernel from SURVEY.md §2A/§2C
+  * exposed as a SQL function (and therefore to the DataFrame API via
+  * `call_function`). Scalars bind through `StaticInvoke` so whole-stage
+  * codegen emits direct static calls into [[GeoOps]]/[[TextOps]]/[[VecOps]]
+  * — no UDF boxing, no codegen fallback in the hot path. */
+object Geo {
+
+  private val G = GeoStruct.dataType
+  private val B = GeoStruct.boxType
+
+  private def inv(cls: Class[_], dt: DataType, method: String,
+                  args: Seq[Expression], types: Seq[DataType],
+                  nullable: Boolean = false): Expression = {
+    val cast = args.zip(types).map {
+      case (e, t) if e.dataType == t => e
+      case (e, t) => Cast(e, t)
+    }
+    StaticInvoke(cls, dt, method, cast, inputTypes = types,
+      propagateNull = true, returnNullable = nullable)
+  }
+
+  private def geo(dt: DataType, method: String, args: Seq[Expression],
+                  types: Seq[DataType], nullable: Boolean = false): Expression =
+    inv(GeoOps.getClass, dt, method, args, types, nullable)
+
+  private def txt(dt: DataType, method: String, args: Seq[Expression],
+                  types: Seq[DataType]): Expression =
+    inv(TextOps.getClass, dt, method, args, types)
+
+  private def vec(dt: DataType, method: String, args: Seq[Expression],
+                  types: Seq[DataType]): Expression =
+    inv(VecOps.getClass, dt, method, args, types)
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+  private val floatArray = ArrayType(FloatType, containsNull = true)
+
+  /** name -> builder for every function. */
+  val functions: Map[String, Seq[Expression] => Expression] = Map(
+    // --- codecs (kernels K3/K4/K5, readers R1/R2, writers W1/W2)
+    "st_geomfromwkt" -> (a => geo(G, "fromWkt", a, Seq(StringType))),
+    "st_trygeomfromwkt" -> (a => geo(G, "tryFromWkt", a, Seq(StringType), nullable = true)),
+    "st_geomfromwkb" -> (a => geo(G, "fromWkb", a, Seq(BinaryType))),
+    "st_trygeomfromwkb" -> (a => geo(G, "tryFromWkb", a, Seq(BinaryType), nullable = true)),
+    "st_aswkt" -> (a => geo(StringType, "asWkt", a, Seq(G))),
+    "st_aswkb" -> (a => geo(BinaryType, "asWkb", a, Seq(G))),
+    "st_format" -> { a =>
+      val full = a match {
+        case Seq(g) => Seq(g, Literal(16), Literal(-1L))
+        case Seq(g, p) => Seq(g, p, Literal(-1L))
+        case other => other
+      }
+      geo(StringType, "format", full, Seq(G, IntegerType, LongType))
+    },
+    "st_isvalidwkt" -> (a => geo(BooleanType, "isValidWkt", a, Seq(StringType))),
+    "st_isvalidwkb" -> (a => geo(BooleanType, "isValidWkb", a, Seq(BinaryType))),
+    // --- kernels / accessors
+    "st_envelope" -> (a => geo(B, "envelope", a, Seq(G))),
+    "st_typeid" -> (a => geo(IntegerType, "typeId", a, Seq(G))),
+    "st_geometrytype" -> (a => geo(StringType, "geometryType", a, Seq(G))),
+    "st_numgeometries" -> (a => geo(IntegerType, "numGeometries", a, Seq(G))),
+    "st_numcoords" -> (a => geo(IntegerType, "numCoords", a, Seq(G))),
+    "st_isempty" -> (a => geo(BooleanType, "isEmptyGeom", a, Seq(G))),
+    "st_castdims" -> (a => geo(G, "castDims", a, Seq(G, StringType))),
+    "st_casttype" -> (a => geo(G, "castType", a, Seq(G, StringType))),
+    "st_snaptogrid" -> (a => geo(G, "snapToGrid", a, Seq(G, DoubleType))),
+    "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
+    "st_x" -> (a => geo(DoubleType, "pointX", a, Seq(G))),
+    "st_y" -> (a => geo(DoubleType, "pointY", a, Seq(G))),
+    "st_srid" -> (a => geo(IntegerType, "srid", a, Seq(G))),
+    "st_setsrid" -> (a => geo(G, "setSrid", a, Seq(G, IntegerType))),
+    // --- predicates
+    "st_contains" -> (a => geo(BooleanType, "contains", a, Seq(G, G))),
+    "st_containsxy" -> (a =>
+      geo(BooleanType, "containsXY", a, Seq(G, DoubleType, DoubleType))),
+    "st_distancesq" -> (a => geo(DoubleType, "distanceSq", a,
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
+    // --- cell index
+    "st_cellid" -> (a => geo(LongType, "cellId", a,
+      Seq(DoubleType, DoubleType, IntegerType))),
+    "st_cellidofgeom" -> (a => geo(LongType, "cellIdOfGeom", a, Seq(G, IntegerType))),
+    "st_celllevel" -> (a => geo(IntegerType, "cellLevel", a, Seq(LongType))),
+    "st_cellparent" -> (a => geo(LongType, "cellParent", a, Seq(LongType, IntegerType))),
+    "st_cellrangemin" -> (a => geo(LongType, "cellRangeMin", a, Seq(LongType))),
+    "st_cellrangemax" -> (a => geo(LongType, "cellRangeMax", a, Seq(LongType))),
+    "st_cellcontains" -> (a => geo(BooleanType, "cellContains", a, Seq(LongType, LongType))),
+    "st_cellchildren" -> (a => geo(longArray, "cellChildren", a, Seq(LongType))),
+    "st_cellneighbors" -> (a => geo(longArray, "cellNeighbors", a, Seq(LongType))),
+    "st_cellringunion" -> (a => geo(longArray, "cellRingUnion", a, Seq(LongType, IntegerType))),
+    "st_cellcover" -> (a => geo(longArray, "cellCover", a, Seq(G, IntegerType))),
+    "st_cellcoverbox" -> (a => geo(longArray, "cellCoverBox", a,
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType))),
+    // --- tiles
+    "st_tilezxy" -> (a => geo(LongType, "tileId", a,
+      Seq(DoubleType, DoubleType, IntegerType))),
+    "st_tilez" -> (a => geo(IntegerType, "tileZ", a, Seq(LongType))),
+    "st_tilex" -> (a => geo(IntegerType, "tileX", a, Seq(LongType))),
+    "st_tiley" -> (a => geo(IntegerType, "tileY", a, Seq(LongType))),
+    "st_tileenvelope" -> (a => geo(B, "tileEnvelope", a, Seq(LongType))),
+    "st_tilecover" -> (a => geo(longArray, "tileCover", a, Seq(G, IntegerType))),
+    // --- grid (kNN ring expansion)
+    "st_gridcell" -> (a => geo(LongType, "gridCell", a,
+      Seq(DoubleType, DoubleType, DoubleType))),
+    "st_gridring" -> (a => geo(longArray, "gridRing", a, Seq(LongType, IntegerType))),
+    // --- hashing / synthesis
+    "splitmix64" -> (a => geo(LongType, "splitmix64", a, Seq(LongType))),
+    // --- text kernels
+    "token_count" -> (a => txt(IntegerType, "tokenCountSimple", a, Seq(StringType))),
+    "token_count_ws" -> (a => txt(IntegerType, "tokenCountWs", a, Seq(StringType))),
+    "token_count_bpe" -> (a => txt(IntegerType, "tokenCountBpe", a, Seq(StringType))),
+    "quality_stats" -> (a => txt(TextTypes.qualityType, "qualityStats", a, Seq(StringType))),
+    "quality_score" -> (a => txt(DoubleType, "qualityScore", a, Seq(StringType))),
+    "lang_id" -> (a => txt(StringType, "langId", a, Seq(StringType))),
+    "minhash" -> (a => txt(longArray, "minHash", a,
+      Seq(StringType, IntegerType, IntegerType))),
+    "lsh_bands" -> (a => txt(longArray, "lshBands", a, Seq(longArray, IntegerType))),
+    "simhash" -> (a => txt(LongType, "simHash", a, Seq(StringType))),
+    "hamming64" -> (a => txt(IntegerType, "hamming64", a, Seq(LongType, LongType))),
+    "ngram_jaccard" -> (a => txt(DoubleType, "ngramJaccard", a,
+      Seq(StringType, StringType, IntegerType))),
+    "doc_fingerprint" -> (a => txt(LongType, "fingerprint", a,
+      Seq(StringType, IntegerType, IntegerType))),
+    // --- vector kernels
+    "vec_dot" -> (a => vec(DoubleType, "dot", a, Seq(floatArray, floatArray))),
+    "vec_norm" -> (a => vec(DoubleType, "norm", a, Seq(floatArray))),
+    "vec_cosine" -> (a => vec(DoubleType, "cosine", a, Seq(floatArray, floatArray))),
+    "vec_l2sq" -> (a => vec(DoubleType, "l2Sq", a, Seq(floatArray, floatArray))),
+    "vec_lshbucket" -> (a => vec(LongType, "lshBucket", a,
+      Seq(floatArray, IntegerType, LongType))),
+    // --- aggregates (kernels K6/K8)
+    "st_box_agg" -> (a => StBoxAgg(a.head).toAggregateExpression()),
+    "st_uniquetypes_agg" -> (a => StUniqueTypesAgg(a.head).toAggregateExpression()))
+
+  @volatile private var registered = Set.empty[Int]
+
+  /** Idempotent per-session registration into the session FunctionRegistry
+    * (works on any externally-created SparkSession — no extensions jar
+    * wiring required; `SparkSessionExtensions.injectFunction` is the other
+    * entry point, used when we own session construction). */
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark.sessionState)
+    if (registered.contains(key)) return
+    synchronized {
+      val registry = spark.sessionState.functionRegistry
+      functions.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      registered += key
+    }
+  }
+}
+
+object TextTypes {
+  val qualityType: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("avg_word_len", DoubleType, nullable = false),
+    StructField("space_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("upper_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false)))
+}
+
+/** Kernel K8 `box_agg` (`/root/reference/src/geoarrow.c:1881-1910`) as a
+  * DeclarativeAggregate: single struct buffer, min/min/max/max merge —
+  * partial aggregation (map-side combine) comes free from Spark. */
+case class StBoxAgg(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def dataType: DataType = GeoStruct.boxType
+  override def nullable: Boolean = false
+
+  private lazy val box = AttributeReference("box", GeoStruct.boxType,
+    nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(box)
+
+  private def emptyBox: Expression = CreateStruct(Seq(
+    Literal(Double.PositiveInfinity), Literal(Double.PositiveInfinity),
+    Literal(Double.NegativeInfinity), Literal(Double.NegativeInfinity)))
+
+  override lazy val initialValues: Seq[Expression] = Seq(emptyBox)
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    StaticInvoke(GeoOps.getClass, GeoStruct.boxType, "boxUpdate",
+      Seq(box, child), inputTypes = Seq(GeoStruct.boxType, GeoStruct.dataType),
+      propagateNull = false, returnNullable = false))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    StaticInvoke(GeoOps.getClass, GeoStruct.boxType, "boxCombine",
+      Seq(box.left, box.right),
+      inputTypes = Seq(GeoStruct.boxType, GeoStruct.boxType),
+      propagateNull = false, returnNullable = false))
+
+  override lazy val evaluateExpression: Expression = box
+
+  override protected def withNewChildInternal(newChild: Expression): StBoxAgg =
+    copy(child = newChild)
+}
+
+/** Kernel K6 `unique_geometry_types_agg`
+  * (`/root/reference/src/geoarrow.c:1616-1733`): 40-bit mask keyed by
+  * `dims*8+geometry_type`, EMPTYs not counted, finishing to ascending
+  * ISO-WKB codes `(dims-1)*1000 + type`. */
+case class StUniqueTypesAgg(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private lazy val mask = AttributeReference("mask", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(mask)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    BitwiseOr(mask, StaticInvoke(GeoOps.getClass, LongType, "typeMaskBit",
+      Seq(child), inputTypes = Seq(GeoStruct.dataType),
+      propagateNull = false, returnNullable = false)))
+
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(BitwiseOr(mask.left, mask.right))
+
+  override lazy val evaluateExpression: Expression =
+    StaticInvoke(GeoOps.getClass, dataType, "maskToTypes", Seq(mask),
+      inputTypes = Seq(LongType), propagateNull = false, returnNullable = false)
+
+  override protected def withNewChildInternal(newChild: Expression): StUniqueTypesAgg =
+    copy(child = newChild)
+}

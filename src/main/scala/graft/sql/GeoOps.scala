@@ -1,0 +1,282 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+
+/** Static kernel surface called from Catalyst via `StaticInvoke` — each
+  * method is one reference kernel or north-rule operator, operating directly
+  * on Spark internal types so generated code calls straight into it (no
+  * boxing, no UDF serialization; stays inside whole-stage codegen).
+  *
+  * Scalar kernels map per SURVEY.md §2A: fromWkt/fromWkb (R1/R2 readers),
+  * asWkt/asWkb (W1/W2 writers), format (K4), envelope (K7), casts (K5),
+  * snapToGrid (C5), typeId (K6's per-feature key), isValid* (K3).
+  */
+object GeoOps {
+
+  // ---------------------------------------------------------------- codecs
+
+  def fromWkt(s: UTF8String): InternalRow =
+    GeoStruct.encode(Wkt.parse(s.toString))
+
+  def fromWkb(b: Array[Byte]): InternalRow =
+    GeoStruct.encode(Wkb.parse(b))
+
+  /** Parse-or-null, the lenient variant for dirty data lakes. */
+  def tryFromWkt(s: UTF8String): InternalRow =
+    try fromWkt(s) catch { case _: Exception => null }
+
+  def tryFromWkb(b: Array[Byte]): InternalRow =
+    try fromWkb(b) catch { case _: Exception => null }
+
+  def asWkt(g: InternalRow): UTF8String =
+    UTF8String.fromString(Wkt.write(GeoStruct.decode(g)))
+
+  def asWkb(g: InternalRow): Array[Byte] = {
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType == GeomTypes.Collection) g.getBinary(6)
+    else Wkb.write(geom)
+  }
+
+  /** Kernel K4 `format_wkt` (`/root/reference/src/geoarrow.c:1545-1571`). */
+  def format(g: InternalRow, precision: Int, maxBytes: Long): UTF8String =
+    UTF8String.fromString(
+      Wkt.write(GeoStruct.decode(g), precision, flatMultipoint = true, maxBytes))
+
+  /** Kernel K3 `visit_void_agg` validation semantics: fully decode, report
+    * success (`/root/reference/src/geoarrow.c:1528-1538`). */
+  def isValidWkt(s: UTF8String): Boolean =
+    try { Wkt.parse(s.toString); true } catch { case _: Exception => false }
+
+  def isValidWkb(b: Array[Byte]): Boolean =
+    try { Wkb.parse(b); true } catch { case _: Exception => false }
+
+  // ---------------------------------------------------------------- kernels
+
+  def envelope(g: InternalRow): InternalRow =
+    GeoStruct.encodeBox(Geom.envelope(GeoStruct.decode(g)))
+
+  def typeId(g: InternalRow): Int = {
+    val geom = GeoStruct.decode(g)
+    Geom.isoTypeId(geom)
+  }
+
+  def geometryType(g: InternalRow): UTF8String =
+    UTF8String.fromString(GeomTypes.name(g.getInt(0)))
+
+  def numGeometries(g: InternalRow): Int = {
+    val geom = GeoStruct.decode(g)
+    geom.geomType match {
+      case GeomTypes.Point | GeomTypes.LineString | GeomTypes.Polygon =>
+        if (geom.isEmpty) 0 else 1
+      case GeomTypes.MultiPoint => geom.numCoords
+      case GeomTypes.MultiLineString => geom.o0.length - 1
+      case GeomTypes.MultiPolygon => geom.o0.length - 1
+      case GeomTypes.Collection => if (geom.parts == null) 0 else geom.parts.length
+      case _ => 0
+    }
+  }
+
+  def numCoords(g: InternalRow): Int = GeoStruct.decode(g).numCoords
+
+  def isEmptyGeom(g: InternalRow): Boolean = GeoStruct.decode(g).isEmpty
+
+  def castDims(g: InternalRow, dims: UTF8String): InternalRow = {
+    val d = dims.toString.toUpperCase match {
+      case "XY" => Dims.XY
+      case "XYZ" => Dims.XYZ
+      case "XYM" => Dims.XYM
+      case "XYZM" => Dims.XYZM
+      case other => throw new IllegalArgumentException(s"unknown dims '$other'")
+    }
+    val geom = GeoStruct.decode(g)
+    if (geom.dims == d) g else GeoStruct.encode(Geom.castDims(geom, d))
+  }
+
+  def castType(g: InternalRow, t: UTF8String): InternalRow = {
+    val target = t.toString.toUpperCase match {
+      case "POINT" => GeomTypes.Point
+      case "LINESTRING" => GeomTypes.LineString
+      case "POLYGON" => GeomTypes.Polygon
+      case "MULTIPOINT" => GeomTypes.MultiPoint
+      case "MULTILINESTRING" => GeomTypes.MultiLineString
+      case "MULTIPOLYGON" => GeomTypes.MultiPolygon
+      case other => throw new IllegalArgumentException(s"unknown type '$other'")
+    }
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType == target) g
+    else GeoStruct.encode(Geom.castType(geom, target))
+  }
+
+  def snapToGrid(g: InternalRow, precision: Double): InternalRow =
+    GeoStruct.encode(Geom.snapToGrid(GeoStruct.decode(g), precision))
+
+  // ------------------------------------------------------------ accessors
+
+  def makePoint(x: Double, y: Double): InternalRow =
+    GeoStruct.encode(Geom.point(x, y))
+
+  def pointX(g: InternalRow): Double = {
+    val c = g.getArray(3)
+    if (c.numElements() == 0) Double.NaN else c.getDouble(0)
+  }
+
+  def pointY(g: InternalRow): Double = {
+    val c = g.getArray(3)
+    if (c.numElements() < 2) Double.NaN else c.getDouble(1)
+  }
+
+  def srid(g: InternalRow): Int = g.getInt(2)
+
+  def setSrid(g: InternalRow, srid: Int): InternalRow = {
+    val geom = GeoStruct.decode(g)
+    GeoStruct.encode(
+      new Geom(geom.geomType, geom.dims, srid, geom.coords, geom.o0, geom.o1,
+        geom.parts))
+  }
+
+  // ------------------------------------------------------------ predicates
+
+  def containsXY(poly: InternalRow, x: Double, y: Double): Boolean =
+    Pip.containsPoint(GeoStruct.decode(poly), x, y)
+
+  /** ST_Contains limited to (areal, point) — the north-rule join predicate. */
+  def contains(poly: InternalRow, pt: InternalRow): Boolean = {
+    val c = pt.getArray(3)
+    if (c.numElements() < 2) false
+    else Pip.containsPoint(GeoStruct.decode(poly), c.getDouble(0), c.getDouble(1))
+  }
+
+  def distanceSq(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+    Pip.dist2(x1, y1, x2, y2)
+
+  // ------------------------------------------------------------ cell index
+
+  def cellId(lon: Double, lat: Double, level: Int): Long =
+    Cells.cellId(lon, lat, level)
+
+  def cellIdOfGeom(g: InternalRow, level: Int): Long =
+    Cells.cellId(pointX(g), pointY(g), level)
+
+  def cellLevel(id: Long): Int = Cells.level(id)
+  def cellParent(id: Long, level: Int): Long = Cells.parent(id, level)
+  def cellRangeMin(id: Long): Long = Cells.rangeMin(id)
+  def cellRangeMax(id: Long): Long = Cells.rangeMax(id)
+  def cellContains(parent: Long, child: Long): Boolean = Cells.contains(parent, child)
+  def cellChildren(id: Long): ArrayData = GeoStruct.longArray(Cells.children(id))
+  def cellNeighbors(id: Long): ArrayData = GeoStruct.longArray(Cells.edgeNeighbors(id))
+  def cellRingUnion(id: Long, k: Int): ArrayData =
+    GeoStruct.longArray(Cells.ringUnion(id, k))
+
+  def cellCoverBox(minLon: Double, minLat: Double, maxLon: Double,
+                   maxLat: Double, level: Int): ArrayData =
+    GeoStruct.longArray(Cells.coverBox(minLon, minLat, maxLon, maxLat, level))
+
+  /** Cell cover of a geometry's envelope at `level` — the join-key
+    * generator for PIP joins (SURVEY.md §2C `ST_CellCover`). */
+  def cellCover(g: InternalRow, level: Int): ArrayData = {
+    val box = Geom.envelope(GeoStruct.decode(g))
+    GeoStruct.longArray(Cells.coverBox(box(0), box(1), box(2), box(3), level))
+  }
+
+  // ------------------------------------------------------------ tiles
+
+  def tileId(lon: Double, lat: Double, z: Int): Long = Tiles.tileId(lon, lat, z)
+  def tileZ(id: Long): Int = Tiles.z(id)
+  def tileX(id: Long): Int = Tiles.x(id)
+  def tileY(id: Long): Int = Tiles.y(id)
+
+  def tileEnvelope(id: Long): InternalRow = {
+    val (a, b, c, d) = Tiles.tileEnvelope(id)
+    GeoStruct.encodeBox(Array(a, b, c, d))
+  }
+
+  def tileCover(g: InternalRow, z: Int): ArrayData = {
+    val box = Geom.envelope(GeoStruct.decode(g))
+    GeoStruct.longArray(Tiles.coverBox(box(0), box(1), box(2), box(3), z))
+  }
+
+  // ------------------------------------------------------------ grid (kNN)
+
+  /** Flat lon/lat grid cell (res in degrees), packed as 32+32 bits. */
+  def gridCell(lon: Double, lat: Double, res: Double): Long = {
+    val gx = math.floor((lon + 180.0) / res).toLong
+    val gy = math.floor((lat + 90.0) / res).toLong
+    (gx << 32) | (gy & 0xffffffffL)
+  }
+
+  def gridRing(cell: Long, r: Int): ArrayData = {
+    val gx = cell >> 32
+    val gy = (cell << 32) >> 32
+    val out = new Array[Long]((2 * r + 1) * (2 * r + 1))
+    var idx = 0
+    var dx = -r
+    while (dx <= r) {
+      var dy = -r
+      while (dy <= r) {
+        out(idx) = ((gx + dx) << 32) | ((gy + dy) & 0xffffffffL)
+        idx += 1
+        dy += 1
+      }
+      dx += 1
+    }
+    GeoStruct.longArray(out)
+  }
+
+  // ------------------------------------------------------------ hashing
+
+  // ------------------------------------------------------------ aggregates
+
+  /** box_agg buffer update (K8, `/root/reference/src/geoarrow.c:1881-1910`). */
+  def boxUpdate(box: InternalRow, g: InternalRow): InternalRow = {
+    if (g == null) return box
+    val arr = Array(box.getDouble(0), box.getDouble(1), box.getDouble(2),
+      box.getDouble(3))
+    Geom.accumulateEnvelope(GeoStruct.decode(g), arr)
+    GeoStruct.encodeBox(arr)
+  }
+
+  def boxCombine(a: InternalRow, b: InternalRow): InternalRow =
+    GeoStruct.encodeBox(Array(
+      math.min(a.getDouble(0), b.getDouble(0)),
+      math.min(a.getDouble(1), b.getDouble(1)),
+      math.max(a.getDouble(2), b.getDouble(2)),
+      math.max(a.getDouble(3), b.getDouble(3))))
+
+  /** unique-types mask bit `1 << (dims*8 + type)`; EMPTY features don't
+    * count (K6, `/root/reference/src/geoarrow.c:1659-1674`). */
+  def typeMaskBit(g: InternalRow): Long = {
+    if (g == null) return 0L
+    val geom = GeoStruct.decode(g)
+    if (hasAnyCoords(geom)) 1L << (geom.dims * 8 + geom.geomType) else 0L
+  }
+
+  private def hasAnyCoords(geom: Geom): Boolean =
+    if (geom.geomType == GeomTypes.Collection)
+      geom.parts != null && geom.parts.exists(hasAnyCoords)
+    else geom.coords.length > 0
+
+  /** Mask -> ascending ISO-WKB type codes (`(dims-1)*1000 + type`,
+    * `/root/reference/src/geoarrow.c:1630-1633`). */
+  def maskToTypes(mask: Long): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 8
+    while (i < 40) {
+      if (((mask >>> i) & 1L) == 1L) out += ((i / 8) - 1) * 1000 + (i % 8)
+      i += 1
+    }
+    GeoStruct.intArray(out.toArray)
+  }
+
+  /** splitmix64 — deterministic row hashing for synthetic data (seed per
+    * FIXTURES.md §4) and salting. */
+  def splitmix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

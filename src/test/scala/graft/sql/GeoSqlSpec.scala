@@ -1,0 +1,135 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Geo.register(s)
+    s
+  }
+}
+
+class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("wkt roundtrip through SQL") {
+    val rows = spark.sql(
+      """SELECT st_aswkt(st_geomfromwkt(w)) AS out FROM VALUES
+        |('POINT (30 10)'), ('LINESTRING Z (1 2 3, 4 5 6)'),
+        |('MULTIPOINT (10 40, 40 30)'),
+        |('POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))'),
+        |('GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20))')
+        | AS t(w)""".stripMargin).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq(
+      "POINT (30 10)", "LINESTRING Z (1 2 3, 4 5 6)",
+      "MULTIPOINT (10 40, 40 30)",
+      "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+      "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20))"))
+  }
+
+  test("wkb roundtrip, envelope, typeid, accessors") {
+    val row = spark.sql(
+      """SELECT
+        |  st_aswkt(st_geomfromwkb(st_aswkb(st_geomfromwkt('POINT Z (1 2 3)')))) AS rt,
+        |  st_envelope(st_geomfromwkt('LINESTRING (0 5, 10 -5)')) AS env,
+        |  st_typeid(st_geomfromwkt('POINT M (1 2 3)')) AS tid,
+        |  st_x(st_point(3.5d, -7.25d)) AS px,
+        |  st_numgeometries(st_geomfromwkt('MULTIPOINT (1 2, 3 4, 5 6)')) AS ng
+        |""".stripMargin).collect()(0)
+    assert(row.getString(0) == "POINT Z (1 2 3)")
+    val env = row.getStruct(1)
+    assert(env.getDouble(0) == 0 && env.getDouble(1) == -5 &&
+      env.getDouble(2) == 10 && env.getDouble(3) == 5)
+    assert(row.getInt(2) == 2001)
+    assert(row.getDouble(3) == 3.5)
+    assert(row.getInt(4) == 3)
+  }
+
+  test("casts and snap") {
+    val row = spark.sql(
+      """SELECT
+        |  st_aswkt(st_castdims(st_geomfromwkt('POINT (1 2)'), 'xyz')) AS d,
+        |  st_aswkt(st_casttype(st_geomfromwkt('POINT (1 2)'), 'multipoint')) AS t,
+        |  st_aswkt(st_snaptogrid(st_geomfromwkt('POINT (1.234 5.678)'), 10d)) AS s
+        |""".stripMargin).collect()(0)
+    assert(row.getString(0) == "POINT Z (1 2 nan)")
+    assert(row.getString(1) == "MULTIPOINT (1 2)")
+    assert(row.getString(2) == "POINT (1.2 5.7)")
+  }
+
+  test("aggregates: box_agg and uniquetypes_agg") {
+    val row = spark.sql(
+      """SELECT st_box_agg(g) AS box, st_uniquetypes_agg(g) AS types FROM (
+        |  SELECT st_geomfromwkt(w) AS g FROM VALUES
+        |    ('POINT (1 2)'), ('POINT Z (5 -3 9)'),
+        |    ('LINESTRING (0 0, 10 10)'), ('POINT EMPTY') AS t(w))
+        |""".stripMargin).collect()(0)
+    val box = row.getStruct(0)
+    assert(box.getDouble(0) == 0 && box.getDouble(1) == -3 &&
+      box.getDouble(2) == 10 && box.getDouble(3) == 10)
+    assert(row.getSeq[Int](1).sorted == Seq(1, 2, 1001))
+  }
+
+  test("contains + cells + tiles via SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  st_contains(st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+        |              st_geomfromwkt('POINT (5 5)')) AS c1,
+        |  st_containsxy(st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+        |                11d, 5d) AS c2,
+        |  st_celllevel(st_cellid(5d, 45d, 12)) AS lvl,
+        |  st_cellcontains(st_cellid(5d, 45d, 8), st_cellid(5d, 45d, 12)) AS cc,
+        |  st_tilez(st_tilezxy(5d, 45d, 8)) AS tz,
+        |  size(st_cellcover(st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), 8)) AS nc
+        |""".stripMargin).collect()(0)
+    assert(row.getBoolean(0))
+    assert(!row.getBoolean(1))
+    assert(row.getInt(2) == 12)
+    assert(row.getBoolean(3))
+    assert(row.getInt(4) == 8)
+    assert(row.getInt(5) > 0)
+  }
+
+  test("text and vector kernels") {
+    val row = spark.sql(
+      """SELECT
+        |  token_count('a b  c') AS tc,
+        |  token_count_ws('a b  c') AS tw,
+        |  lang_id('the cat and the dog is in that house for it was') AS lid,
+        |  size(minhash('one two three four five six', 2, 16)) AS mh,
+        |  hamming64(simhash('a b c'), simhash('a b c')) AS hd,
+        |  ngram_jaccard('a b c d', 'a b c d', 2) AS nj,
+        |  vec_cosine(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS vc,
+        |  vec_dot(array(1.0f, 2.0f), array(2.0f, 3.0f)) AS vd
+        |""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 4) // 3 spaces + 1
+    assert(row.getInt(1) == 3)
+    assert(row.getString(2) == "en")
+    assert(row.getInt(3) == 16)
+    assert(row.getInt(4) == 0)
+    assert(row.getDouble(5) == 1.0)
+    assert(math.abs(row.getDouble(6) - 1.0) < 1e-12)
+    assert(row.getDouble(7) == 8.0)
+  }
+
+  test("plan stays in whole-stage codegen") {
+    Geo.register(spark)
+    val df = spark.sql(
+      "SELECT st_tilezxy(CAST(id AS DOUBLE) / 100, CAST(id AS DOUBLE) / 200, 8) " +
+        "AS t FROM range(100)")
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen in:\n$plan")
+    assert(df.collect().length == 100)
+  }
+}

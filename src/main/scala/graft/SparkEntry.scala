@@ -1,13 +1,520 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Knn, SpatialJoins}
+import graft.pipeline.Pipeline
+import graft.sources.ImagesTable
+import graft.sql.Geo
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-runnable oracle where the semantics are
+  * ANSI-SQL-expressible. Column names and types are aligned pairwise with
+  * the oracle SQL (the driver hash-compares by sorted column name). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val Tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def prep(spark: SparkSession, dir: String): Unit = {
+    Geo.register(spark)
+    Tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+  }
+
+  /** Derived deterministic point layer over lineitem — identical arithmetic
+    * on both the Spark and DuckDB sides, so doubles are bit-equal. */
+  // NOTE every fractional literal is reached only through an explicit
+  // CAST(... AS DOUBLE) chain: Spark parses bare decimal literals as
+  // DECIMAL (exact arithmetic) while DuckDB runs them as IEEE double —
+  // casting the integer input first forces identical double ops (and
+  // therefore bit-equal results) in both engines.
+  private val PtsCte =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon,
+      |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
+      |FROM lineitem""".stripMargin
+
+  /** Deterministic rectangles (epsilon offsets guarantee no point of the
+    * 1e-4-degree lattice can land exactly on a boundary, so ray-cast and
+    * BETWEEN semantics agree). */
+  private val RectsCte =
+    """SELECT n_nationkey,
+      |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 AS xmin,
+      |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 AS ymin
+      |FROM nation""".stripMargin
+
+  private val TrisCte =
+    """SELECT n_nationkey,
+      |  CAST(n_nationkey AS DOUBLE) * 13.0 - 170.0000123 AS ax,
+      |  (CAST(n_nationkey AS DOUBLE) * 23.0) % 150.0 - 74.0000231 AS ay
+      |FROM nation""".stripMargin
+
+  // =====================================================================
+
+  /** Flagship: synthesize the image+caption table (north-rule input shape),
+    * PIP-join against the polygon overlay and assign raster tiles. */
+  def entry(spark: SparkSession): DataFrame = {
+    Geo.register(spark)
+    val images = ImagesTable.generate(spark, 2000L)
+    val polys = ImagesTable.polygonLayer(spark)
+    val joined = SpatialJoins.pipJoin(images, polys, "poly", "lon", "lat",
+      zoom = 6, broadcastPolys = true)
+    SpatialJoins.assignTiles(joined, "lon", "lat", zoom = 8)
+      .groupBy(col("poly_id"), col("tile_id"))
+      .agg(count(lit(1)).as("n_images"), min("caption").as("first_caption"))
+  }
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- 2B relational surface -------------------------------------
+    "q01_filter_agg" -> { (s, d) =>
+      prep(s, d)
+      s.table("lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q02_join_agg" -> { (s, d) =>
+      prep(s, d)
+      s.table("orders")
+        .join(broadcast(s.table("customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
+        .orderBy("c_mktsegment")
+    },
+    "q03_topk" -> { (s, d) =>
+      prep(s, d)
+      s.table("orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    "q04_window" -> { (s, d) =>
+      prep(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.table("orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    "q05_union_distinct" -> { (s, d) =>
+      prep(s, d)
+      val a = s.table("lineitem").select(col("l_partkey").as("k"))
+      val b = s.table("lineitem").select(col("l_suppkey").as("k"))
+      a.union(b).distinct().agg(count(lit(1)).as("n_keys"))
+    },
+    "q06_events_stats" -> { (s, d) =>
+      prep(s, d)
+      s.table("events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("user_id", "event_type")
+    },
+    // ---- 2A geometry kernels ---------------------------------------
+    "q10_wkt_roundtrip" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        |  st_aswkt(st_geomfromwkt(concat('POINT (',
+        |    CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS STRING), ' ',
+        |    CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS STRING), ')'))) AS wkt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+    "q11_wkb_shape" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        |  CAST(length(st_aswkb(st_geomfromwkt(concat('POINT (',
+        |    CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS STRING), ' ',
+        |    CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS STRING), ')')))) AS INT) AS wkb_len
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+    "q12_envelope_group" -> { (s, d) =>
+      prep(s, d)
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT l_orderkey, box.xmin AS xmin, box.ymin AS ymin,
+        |       box.xmax AS xmax, box.ymax AS ymax
+        |FROM (SELECT l_orderkey, st_box_agg(st_point(lon, lat)) AS box
+        |      FROM pts GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin)
+    },
+    "q13_box_agg" -> { (s, d) =>
+      prep(s, d)
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT box.xmin AS xmin, box.ymin AS ymin, box.xmax AS xmax, box.ymax AS ymax
+        |FROM (SELECT st_box_agg(st_point(lon, lat)) AS box FROM pts)""".stripMargin)
+    },
+    "q14_unique_types" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT explode(types) AS type_id FROM (
+        |  SELECT st_uniquetypes_agg(st_geomfromwkt(CASE CAST(l_linenumber % 3 AS INT)
+        |    WHEN 0 THEN concat('POINT (', CAST(l_orderkey % 100 AS STRING), ' 5)')
+        |    WHEN 1 THEN concat('LINESTRING (0 0, ', CAST(l_orderkey % 100 AS STRING), ' 9)')
+        |    ELSE concat('POINT Z (', CAST(l_orderkey % 100 AS STRING), ' 5 7)') END)) AS types
+        |  FROM lineitem) ORDER BY type_id""".stripMargin)
+    },
+    "q15_format" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        |  st_format(st_point(CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS DOUBLE) + 0.25,
+        |                     CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS DOUBLE) + 0.5), 16) AS wkt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+    "q16_cast_roundtrip" -> { (s, d) =>
+      prep(s, d)
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT count(*) AS n FROM pts
+        |WHERE st_aswkt(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
+        |      = st_aswkt(st_point(lon, lat))
+        |  AND st_aswkt(st_geomfromwkb(st_aswkb(st_point(lon, lat)))) = st_aswkt(st_point(lon, lat))
+        |""".stripMargin)
+    },
+    "q17_snap_grid" -> { (s, d) =>
+      prep(s, d)
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_x(st_snaptogrid(st_point(lon, lat), 100.0)) AS sx,
+        |  st_y(st_snaptogrid(st_point(lon, lat), 100.0)) AS sy
+        |FROM pts ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+    // ---- 2C cell index / tiles / joins -----------------------------
+    "q20_cellid" -> { (s, d) =>
+      prep(s, d)
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT count(DISTINCT st_cellid(lon, lat, 12)) AS n_cells,
+        |       count(DISTINCT st_cellparent(st_cellid(lon, lat, 12), 6)) AS n_parents,
+        |       count(*) AS n FROM pts""".stripMargin)
+    },
+    "q21_cell_nav" -> { (s, d) =>
+      prep(s, d)
+      // self-consistency counts: parent/child containment + neighbor symmetry
+      s.sql(s"""WITH pts AS ($PtsCte),
+        |cells AS (SELECT DISTINCT st_cellid(lon, lat, 10) AS c FROM pts)
+        |SELECT count(*) AS n_cells,
+        |  sum(CASE WHEN st_cellcontains(st_cellparent(c, 6), c) THEN 1 ELSE 0 END) AS n_contained,
+        |  sum(CASE WHEN array_contains(st_cellneighbors(element_at(st_cellneighbors(c), 1)), c)
+        |      THEN 1 ELSE 0 END) AS n_symmetric
+        |FROM cells""".stripMargin)
+    },
+    "q22_tile_assign" -> { (s, d) =>
+      prep(s, d)
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT st_tilex(st_tilezxy(lon, lat, 8)) AS tx,
+        |       st_tiley(st_tilezxy(lon, lat, 8)) AS ty,
+        |       count(*) AS n
+        |FROM pts GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin)
+    },
+    "q23_pip_rect" -> { (s, d) =>
+      prep(s, d)
+      val pts = s.sql(PtsCte)
+      val rects = s.sql(s"""SELECT n_nationkey, st_geomfromwkt(concat(
+        |  'POLYGON ((', CAST(xmin AS STRING), ' ', CAST(ymin AS STRING),
+        |  ', ', CAST(xmin + 20.0 AS STRING), ' ', CAST(ymin AS STRING),
+        |  ', ', CAST(xmin + 20.0 AS STRING), ' ', CAST(ymin + 25.0 AS STRING),
+        |  ', ', CAST(xmin AS STRING), ' ', CAST(ymin + 25.0 AS STRING),
+        |  ', ', CAST(xmin AS STRING), ' ', CAST(ymin AS STRING), '))')) AS poly
+        |FROM ($RectsCte)""".stripMargin)
+      SpatialJoins.pipJoin(pts, rects, "poly", "lon", "lat", zoom = 5)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("n_nationkey")
+    },
+    "q24_pip_triangle" -> { (s, d) =>
+      prep(s, d)
+      val pts = s.sql(PtsCte)
+      val tris = s.sql(s"""SELECT n_nationkey, st_geomfromwkt(concat(
+        |  'POLYGON ((', CAST(ax AS STRING), ' ', CAST(ay AS STRING),
+        |  ', ', CAST(ax + 17.0000117 AS STRING), ' ', CAST(ay + 3.0000119 AS STRING),
+        |  ', ', CAST(ax + 6.0000177 AS STRING), ' ', CAST(ay + 13.0000191 AS STRING),
+        |  ', ', CAST(ax AS STRING), ' ', CAST(ay AS STRING), '))')) AS poly
+        |FROM ($TrisCte)""".stripMargin)
+      SpatialJoins.pipJoinCells(pts, tris, "poly", "lon", "lat", level = 7)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("n_nationkey")
+    },
+    "q25_knn" -> { (s, d) =>
+      prep(s, d)
+      val pts = s.sql(PtsCte)
+      val queries = (0 until 25).map { n =>
+        (n.toLong, n * 13.7 - 160.0, (n * 7.3) % 140.0 - 70.0)
+      }
+      Knn.knn(pts, queries, k = 5, res = 4.0,
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("l_orderkey"), col("l_linenumber"), col("dist2"))
+        .orderBy("qid", "rank")
+    },
+    // ---- training-data ops: dedup ----------------------------------
+    "q30_dedup_exact" -> { (s, d) =>
+      prep(s, d)
+      Dedup.exactGroups(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("dup_rep"))
+        .orderBy("doc_id")
+    },
+    "q31_minhash_neardup" -> { (s, d) =>
+      prep(s, d)
+      Dedup.minhashNearDups(plantedNearDups(s), "text", "doc_id",
+          shingle = 3, k = 32, bandRows = 4, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+    "q32_simhash_neardup" -> { (s, d) =>
+      prep(s, d)
+      Dedup.simhashNearDups(plantedNearDups(s), "text", "doc_id", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    "q33_ngram_jaccard" -> { (s, d) =>
+      prep(s, d)
+      val planted = plantedNearDups(s)
+      planted.as("a").join(planted.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 10000)
+        .select(col("a.doc_id").as("doc_id"),
+          call_function("ngram_jaccard", col("a.text"), col("b.text"), lit(3))
+            .as("jaccard"))
+        .orderBy("doc_id")
+    },
+    // ---- training-data ops: text analysis --------------------------
+    "q34_token_count" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT doc_id, token_count(text) AS tc FROM documents
+        |ORDER BY doc_id""".stripMargin)
+    },
+    "q35_quality" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT doc_id, q.n_chars AS n_chars, q.n_words AS n_words,
+        |  q.avg_word_len AS avg_word_len
+        |FROM (SELECT doc_id, quality_stats(text) AS q FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+    },
+    "q36_langid" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT doc_id, lang, lang_id(text) AS predicted,
+        |  quality_score(text) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+    "q37_fingerprint" -> { (s, d) =>
+      prep(s, d)
+      s.sql("""SELECT doc_id, doc_fingerprint(text, 8, 16) AS fp,
+        |  simhash(text) AS sh FROM documents ORDER BY doc_id""".stripMargin)
+    },
+    // ---- training-data ops: similarity search ----------------------
+    "q40_ann_bruteforce" -> { (s, d) =>
+      prep(s, d)
+      val corpus = s.table("embeddings")
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", "qvec", k = 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
+    "q41_ann_lsh" -> { (s, d) =>
+      prep(s, d)
+      val corpus = s.table("embeddings")
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.lshTopK(corpus, queries, "embedding", "vec_id", "qid", "qvec",
+          k = 3, bits = 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
+    "q42_embed_neardup" -> { (s, d) =>
+      prep(s, d)
+      val base = s.table("embeddings")
+      val planted = base.unionByName(
+        base.select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label")))
+      Dedup.embeddingNearDups(planted, "embedding", "vec_id",
+          bits = 8, threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    },
+    // ---- pipeline: checkpoint/resume + lineage ---------------------
+    "q50_pipeline_manifest" -> { (s, d) =>
+      prep(s, d)
+      val dir = pipelineDir("q50")
+      val images = ImagesTable.generate(s, 5000L)
+      val (_, _) = Pipeline.runResumable(images, "lon", "lat", dir, 1L)(df =>
+        df.withColumn("tile", call_function("st_tilezxy",
+          col("lon"), col("lat"), lit(8))))
+      s.read.parquet(s"$dir/manifests")
+        .select(col("bucket"), col("rows"), col("snapshot_id"))
+        .orderBy("bucket")
+    },
+    "q51_pipeline_resume" -> { (s, d) =>
+      prep(s, d)
+      val dir = pipelineDir("q51")
+      val images = Pipeline.withBucket(ImagesTable.generate(s, 5000L), "lon", "lat", 3)
+      // snapshot 1: half the buckets; snapshot 2: resume processes the rest
+      Pipeline.writeSnapshot(images.filter(pmod(col("bucket"), lit(2)) === 0),
+        dir, 1L)
+      val remaining = Pipeline.remainingInput(images, dir)
+      Pipeline.writeSnapshot(remaining, dir, 2L)
+      val leftAfter = Pipeline.remainingInput(images, dir).count()
+      s.read.parquet(s"$dir/manifests")
+        .groupBy("snapshot_id")
+        .agg(count(lit(1)).as("n_buckets"), sum("rows").as("n_rows"))
+        .withColumn("left_after_resume", lit(leftAfter))
+        .orderBy("snapshot_id")
+    },
+    // ---- flagship --------------------------------------------------
+    "q60_flagship" -> { (s, _) => entry(s) }
+  )
+
+  /** documents ∪ mutated copies (doc_id+10000, last ~8 words dropped) —
+    * planted near-duplicates for the dedup operators. */
+  private def plantedNearDups(s: SparkSession): DataFrame = {
+    val base = s.table("documents").select(col("doc_id"), col("text"))
+    val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        greatest(size(split(col("text"), " ")) - 8, lit(1)))).as("text"))
+    base.unionByName(mutated)
+  }
+
+  private def pipelineDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toFile
+    dir.delete()
+    dir.getAbsolutePath
+  }
+
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_window" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q05_union_distinct" ->
+      """SELECT count(*) AS n_keys FROM (
+        |  SELECT l_partkey AS k FROM lineitem UNION SELECT l_suppkey FROM lineitem)""".stripMargin,
+    "q06_events_stats" ->
+      """SELECT user_id, event_type, count(*) AS n, min(value) AS min_v,
+        |  max(value) AS max_v
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q10_wkt_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  'POINT (' || CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS VARCHAR)
+        |  || ' ' || CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS VARCHAR) || ')' AS wkt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q11_wkb_shape" ->
+      """SELECT l_orderkey, l_linenumber, CAST(21 AS INTEGER) AS wkb_len
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q12_envelope_group" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")})
+        |SELECT l_orderkey, min(lon) AS xmin, min(lat) AS ymin,
+        |  max(lon) AS xmax, max(lat) AS ymax
+        |FROM pts GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q13_box_agg" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")})
+        |SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax,
+        |  max(lat) AS ymax FROM pts""".stripMargin,
+    "q14_unique_types" ->
+      """SELECT DISTINCT CASE CAST(l_linenumber % 3 AS INTEGER)
+        |  WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 1001 END AS type_id
+        |FROM lineitem ORDER BY type_id""".stripMargin,
+    "q15_format" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  'POINT (' || CAST(CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS DOUBLE) + 0.25 AS VARCHAR)
+        |  || ' ' || CAST(CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS DOUBLE) + 0.5 AS VARCHAR) || ')' AS wkt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_cast_roundtrip" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "q17_snap_grid" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")})
+        |SELECT l_orderkey, l_linenumber, round(lon * 100.0) / 100.0 AS sx,
+        |  round(lat * 100.0) / 100.0 AS sy
+        |FROM pts ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q22_tile_assign" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")})
+        |SELECT CAST(floor((lon + 180.0) / 360.0 * 256) AS INTEGER) AS tx,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 256) AS INTEGER) AS ty,
+        |  count(*) AS n
+        |FROM pts GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    "q23_pip_rect" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |rects AS (${RectsCte.replace("\n", " ")})
+        |SELECT n_nationkey, count(*) AS n_points
+        |FROM rects JOIN pts ON lon > xmin AND lon < xmin + 20.0
+        |  AND lat > ymin AND lat < ymin + 25.0
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    "q24_pip_triangle" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |tris AS (${TrisCte.replace("\n", " ")})
+        |SELECT n_nationkey, count(*) AS n_points
+        |FROM tris JOIN pts ON
+        |      (ax + 17.0000117 - ax) * (lat - ay) - (ay + 3.0000119 - ay) * (lon - ax) > 0
+        |  AND (ax + 6.0000177 - (ax + 17.0000117)) * (lat - (ay + 3.0000119))
+        |      - (ay + 13.0000191 - (ay + 3.0000119)) * (lon - (ax + 17.0000117)) > 0
+        |  AND (ax - (ax + 6.0000177)) * (lat - (ay + 13.0000191))
+        |      - (ay - (ay + 13.0000191)) * (lon - (ax + 6.0000177)) > 0
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    "q25_knn" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+        |  CAST(n_nationkey AS DOUBLE) * 13.7 - 160.0 AS qlon,
+        |  (CAST(n_nationkey AS DOUBLE) * 7.3) % 140.0 - 70.0 AS qlat FROM nation),
+        |dists AS (SELECT qid, l_orderkey, l_linenumber,
+        |  (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS dist2
+        |  FROM q CROSS JOIN pts)
+        |SELECT qid, rank, l_orderkey, l_linenumber, dist2 FROM (
+        |  SELECT qid, l_orderkey, l_linenumber, dist2, row_number() OVER (
+        |    PARTITION BY qid ORDER BY dist2, l_orderkey, l_linenumber) AS rank
+        |  FROM dists) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS dup_rep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_token_count" ->
+      """SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS tc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_ann_bruteforce" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y) z) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |      (SELECT unnest(q.embedding) AS x) z) AS qq,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(c.embedding) AS y) z) AS cc
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |sims AS (SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos FROM pairs)
+        |SELECT qid, rank, id AS vec_id, cos FROM (
+        |  SELECT qid, id, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sims)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
 }

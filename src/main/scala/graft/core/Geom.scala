@@ -221,9 +221,17 @@ object Geom {
     * (half away from zero) semantics (`/root/reference/src/r-sf-compat.c:8-25`). */
   def snapToGrid(g: Geom, precision: Double): Geom = {
     if (precision <= 0 || precision.isNaN) return g
+    // exact half-away-from-zero (C round() semantics — no `floor(x+0.5)`
+    // which misrounds values one ulp below a half)
+    def roundHalfAway(v: Double): Double = {
+      val a = Math.abs(v)
+      val f = Math.floor(a)
+      val r = if (a - f >= 0.5) f + 1.0 else f
+      Math.copySign(r, v)
+    }
     def snap(v: Double): Double =
       if (v.isNaN || v.isInfinite) v
-      else Math.copySign(Math.floor(Math.abs(v) * precision + 0.5), v) / precision
+      else roundHalfAway(v * precision) / precision
     if (g.geomType == GeomTypes.Collection) {
       return new Geom(g.geomType, g.dims, g.srid, g.coords, g.o0, g.o1,
         if (g.parts == null) null else g.parts.map(snapToGrid(_, precision)))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sql.Geo
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard refine, embedding-cosine near-dup.
+  *
+  * Scale shape: candidate generation is always an equi-join on a compact
+  * key (text hash, LSH band, simhash band, LSH bucket) — never an all-pairs
+  * product — and the exact refine runs only on candidates. */
+object Dedup {
+
+  /** Exact dedup: every row tagged with its duplicate-group representative
+    * (min id over identical `textCol`). Hash-shuffle on the text key. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("dup_rep",
+      min(col(idCol)).over(Window.partitionBy(col(textCol))))
+
+  /** Exact-dup pairs via hash-groupBy (no window): returns (id, dup_rep)
+    * only for rows in groups of size > 1. */
+  def exactDupes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("dup_rep"), collect_list(col(idCol)).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(explode(col("ids")).as(idCol), col("dup_rep"))
+      .filter(col(idCol) =!= col("dup_rep"))
+
+  /** MinHash+LSH near-dup candidate pairs, refined by exact n-gram Jaccard.
+    *
+    * shingle(n words) -> minhash(k) -> band keys (k/bandRows bands) ->
+    * self-equi-join on band key -> distinct pairs -> Jaccard >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      shingle: Int = 3, k: Int = 32, bandRows: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    Geo.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("band", explode(call_function("lsh_bands",
+        call_function("minhash", col("text"), lit(shingle), lit(k)),
+        lit(bandRows))))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+      col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .distinct()
+    pairs
+      .withColumn("jaccard", call_function("ngram_jaccard",
+        col("text_a"), col("text_b"), lit(shingle)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dups: 64-bit simhash banded into 4×16-bit keys (any
+    * identical band -> candidate; hamming distance <= maxHamming refine). */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    Geo.register(df.sparkSession)
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", call_function("simhash", col("text")))
+    val banded = hashed.withColumn("band_idx", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("band_key",
+        concat(col("band_idx"), lit(":"),
+          expr("shiftright(sh, band_idx * 16) & 65535")))
+    val pairs = banded.as("a").join(banded.as("b"),
+      col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", call_function("hamming64", col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH-bucket candidates (random
+    * hyperplane signs), exact cosine refine. */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        bits: Int = 12, seed: Long = 42L,
+                        threshold: Double = 0.95): DataFrame = {
+    Geo.register(df.sparkSession)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", call_function("vec_lshbucket",
+        col("vec"), lit(bits), lit(seed)))
+    bucketed.as("a").join(bucketed.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", call_function("vec_cosine", col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

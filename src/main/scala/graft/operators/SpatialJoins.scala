@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sql.Geo
+
+/** Spatial join operators (SURVEY.md §2C): point-in-polygon via cell-cover
+  * equi-join + exact ray-cast refine, and raster-tile assignment.
+  *
+  * Plan shape at scale:
+  *  - polygons explode to their tile/cell cover -> (key, poly). The cover is
+  *    a conservative superset, so the equi-join is a candidate generator and
+  *    `st_containsxy` is the exact refine — no false negatives possible.
+  *  - small polygon sets broadcast (no shuffle of the big point side);
+  *    large sets flow through a sort-merge join on the cell key, where AQE
+  *    skew-join splitting plus optional salting of hot cells applies.
+  *  - the point side's join key is computed in-line (codegen'd static call),
+  *    so the big side is never materialized twice.
+  */
+object SpatialJoins {
+
+  /** Point-in-polygon join.
+    *
+    * @param points   big side; must carry `lonCol`/`latCol`
+    * @param polygons dim side with a geometry-struct column `polyCol`
+    * @param zoom     tile-grid zoom for the candidate equi-join key
+    * @param broadcastPolys broadcast the exploded polygon side (default: let
+    *                 AQE decide from stats; force true for small dims)
+    */
+  def pipJoin(points: DataFrame, polygons: DataFrame, polyCol: String,
+              lonCol: String, latCol: String, zoom: Int = 7,
+              broadcastPolys: Boolean = true): DataFrame = {
+    Geo.register(points.sparkSession)
+    val exploded = polygons
+      .withColumn("__tile", explode(call_function("st_tilecover",
+        col(polyCol), lit(zoom))))
+    val dimSide = if (broadcastPolys) broadcast(exploded) else exploded
+    points
+      .withColumn("__ptile", call_function("st_tilezxy",
+        col(lonCol).cast("double"), col(latCol).cast("double"), lit(zoom)))
+      .join(dimSide, col("__ptile") === col("__tile") &&
+        call_function("st_containsxy", col(polyCol),
+          col(lonCol).cast("double"), col(latCol).cast("double")))
+      .drop("__ptile", "__tile")
+  }
+
+  /** Same, keyed by S2-style cells instead of mercator tiles. */
+  def pipJoinCells(points: DataFrame, polygons: DataFrame, polyCol: String,
+                   lonCol: String, latCol: String, level: Int = 8,
+                   broadcastPolys: Boolean = true): DataFrame = {
+    Geo.register(points.sparkSession)
+    val exploded = polygons
+      .withColumn("__cell", explode(call_function("st_cellcover",
+        col(polyCol), lit(level))))
+    val dimSide = if (broadcastPolys) broadcast(exploded) else exploded
+    points
+      .withColumn("__pcell", call_function("st_cellid",
+        col(lonCol).cast("double"), col(latCol).cast("double"), lit(level)))
+      .join(dimSide, col("__pcell") === col("__cell") &&
+        call_function("st_containsxy", col(polyCol),
+          col(lonCol).cast("double"), col(latCol).cast("double")))
+      .drop("__pcell", "__cell")
+  }
+
+  /** Raster z/x/y tile assignment: one row per point with its tile id and
+    * (z,x,y) decomposition — the raster<->vector join key. */
+  def assignTiles(points: DataFrame, lonCol: String, latCol: String,
+                  zoom: Int): DataFrame = {
+    Geo.register(points.sparkSession)
+    val t = call_function("st_tilezxy",
+      col(lonCol).cast("double"), col(latCol).cast("double"), lit(zoom))
+    points
+      .withColumn("tile_id", t)
+      .withColumn("tile_x", call_function("st_tilex", col("tile_id")))
+      .withColumn("tile_y", call_function("st_tiley", col("tile_id")))
+  }
+
+  /** Salted repartition for hot keys: spreads each key over `salt` shuffle
+    * partitions; aggregate partially per (key, salt), then finally per key.
+    * Use for hot-cell skew beyond what AQE's skew-join splitting absorbs. */
+  def saltedCountByKey(df: DataFrame, keyCol: String, salt: Int): DataFrame = {
+    df
+      .withColumn("__salt", pmod(hash(col(keyCol), monotonically_increasing_id()),
+        lit(salt)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum("__partial").as("cnt"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sql.Geo
+
+/** Snapshot/manifest checkpointing with per-partition lineage + metrics
+  * (SURVEY.md §2C "checkpoint/resume"). No Iceberg jar exists offline
+  * (SURVEY.md §7), so the same semantics are provided over partitioned
+  * Parquet: each snapshot appends spatial-bucket outputs plus a manifest
+  * row per bucket (rows, bytes, bounds); resume anti-joins the already-
+  * manifested buckets so rerunning after a failure processes only the
+  * remainder. The layout mirrors an Iceberg table (data/ + manifests) so a
+  * real catalog can slot in via `df.writeTo` when the jar is present.
+  */
+object Pipeline {
+
+  /** Partition-lineage key: Web-Mercator tile at `zoom` — spatial buckets,
+    * so lineage is meaningful (which part of the world a file covers). */
+  def withBucket(df: DataFrame, lonCol: String, latCol: String,
+                 zoom: Int): DataFrame = {
+    Geo.register(df.sparkSession)
+    df.withColumn("bucket", call_function("st_tilezxy",
+      col(lonCol).cast("double"), col(latCol).cast("double"), lit(zoom)))
+  }
+
+  /** One processing snapshot: write `df` (already bucketed) partitioned by
+    * bucket, then append a manifest of per-bucket lineage metrics.
+    * Returns the manifest DataFrame of this snapshot. */
+  def writeSnapshot(df: DataFrame, tableDir: String, snapshotId: Long): DataFrame = {
+    val spark = df.sparkSession
+    val data = df.withColumn("snapshot_id", lit(snapshotId))
+    data.write.mode(SaveMode.Append).partitionBy("bucket")
+      .parquet(s"$tableDir/data")
+    val manifest = data.groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(length(col("bytes")).cast("long")).as("bytes"),
+        min("image_id").as("min_key"), max("image_id").as("max_key"))
+      .withColumn("snapshot_id", lit(snapshotId))
+    manifest.write.mode(SaveMode.Append).parquet(s"$tableDir/manifests")
+    // snapshot log (Iceberg-style metadata trail)
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("snapshots.jsonl"),
+      s"""{"snapshot_id":$snapshotId,"ts":${System.currentTimeMillis()}}""" + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    manifest
+  }
+
+  /** Buckets already committed across all snapshots of the table. */
+  def processedBuckets(spark: SparkSession, tableDir: String): DataFrame = {
+    val path = s"$tableDir/manifests"
+    if (!Files.exists(Paths.get(path.replace("file:", "")))) {
+      import spark.implicits._
+      Seq.empty[Long].toDF("bucket")
+    } else spark.read.parquet(path).select("bucket").distinct()
+  }
+
+  /** Resume: drop the input rows whose bucket is already manifested. The
+    * anti-join is broadcast (bucket list is small) so the big input is
+    * filtered map-side without a shuffle. */
+  def remainingInput(input: DataFrame, tableDir: String): DataFrame = {
+    val done = processedBuckets(input.sparkSession, tableDir)
+    input.join(broadcast(done), Seq("bucket"), "left_anti")
+  }
+
+  /** Full checkpointed run: bucket the input, skip processed buckets,
+    * apply `transform`, write a new snapshot. Returns (manifest, #rows). */
+  def runResumable(input: DataFrame, lonCol: String, latCol: String,
+                   tableDir: String, snapshotId: Long, zoom: Int = 3)(
+      transform: DataFrame => DataFrame): (DataFrame, Long) = {
+    val bucketed = withBucket(input, lonCol, latCol, zoom)
+    val todo = remainingInput(bucketed, tableDir)
+    val out = transform(todo)
+    val manifest = writeSnapshot(out, tableDir, snapshotId)
+    (manifest, manifest.agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0))
+  }
+}

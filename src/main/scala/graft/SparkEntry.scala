@@ -23,7 +23,17 @@ object SparkEntry {
     Tables.foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
+    par(spark.table("lineitem")).createOrReplaceTempView("lineitem_par")
   }
+
+  private def ptsCteOn(table: String): String =
+    PtsCte.replace("FROM lineitem", s"FROM $table")
+
+  /** The driver's parquet tables are single-row-group files (unsplittable
+    * scans) — spread codec-heavy per-row work across cores first. A real
+    * deployment reads many files/row-groups and never needs this. */
+  private def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Derived deterministic point layer over lineitem — identical arithmetic
     * on both the Spark and DuckDB sides, so doubles are bit-equal. */
@@ -131,7 +141,7 @@ object SparkEntry {
         |  st_aswkt(st_geomfromwkt(concat('POINT (',
         |    CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS STRING), ' ',
         |    CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS STRING), ')'))) AS wkt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem_par ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
     "q11_wkb_shape" -> { (s, d) =>
       prep(s, d)
@@ -139,7 +149,7 @@ object SparkEntry {
         |  CAST(length(st_aswkb(st_geomfromwkt(concat('POINT (',
         |    CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS STRING), ' ',
         |    CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS STRING), ')')))) AS INT) AS wkb_len
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem_par ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
     "q12_envelope_group" -> { (s, d) =>
       prep(s, d)
@@ -170,11 +180,11 @@ object SparkEntry {
       s.sql("""SELECT l_orderkey, l_linenumber,
         |  st_format(st_point(CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS DOUBLE) + 0.25,
         |                     CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS DOUBLE) + 0.5), 16) AS wkt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem_par ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
     "q16_cast_roundtrip" -> { (s, d) =>
       prep(s, d)
-      s.sql(s"""WITH pts AS ($PtsCte)
+      s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT count(*) AS n FROM pts
         |WHERE st_aswkt(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
         |      = st_aswkt(st_point(lon, lat))
@@ -183,7 +193,7 @@ object SparkEntry {
     },
     "q17_snap_grid" -> { (s, d) =>
       prep(s, d)
-      s.sql(s"""WITH pts AS ($PtsCte)
+      s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT l_orderkey, l_linenumber,
         |  st_x(st_snaptogrid(st_point(lon, lat), 100.0)) AS sx,
         |  st_y(st_snaptogrid(st_point(lon, lat), 100.0)) AS sy
@@ -218,7 +228,7 @@ object SparkEntry {
     },
     "q23_pip_rect" -> { (s, d) =>
       prep(s, d)
-      val pts = s.sql(PtsCte)
+      val pts = s.sql(ptsCteOn("lineitem_par"))
       val rects = s.sql(s"""SELECT n_nationkey, st_geomfromwkt(concat(
         |  'POLYGON ((', CAST(xmin AS STRING), ' ', CAST(ymin AS STRING),
         |  ', ', CAST(xmin + 20.0 AS STRING), ' ', CAST(ymin AS STRING),
@@ -233,7 +243,7 @@ object SparkEntry {
     },
     "q24_pip_triangle" -> { (s, d) =>
       prep(s, d)
-      val pts = s.sql(PtsCte)
+      val pts = s.sql(ptsCteOn("lineitem_par"))
       val tris = s.sql(s"""SELECT n_nationkey, st_geomfromwkt(concat(
         |  'POLYGON ((', CAST(ax AS STRING), ' ', CAST(ay AS STRING),
         |  ', ', CAST(ax + 17.0000117 AS STRING), ' ', CAST(ay + 3.0000119 AS STRING),
@@ -247,7 +257,7 @@ object SparkEntry {
     },
     "q25_knn" -> { (s, d) =>
       prep(s, d)
-      val pts = s.sql(PtsCte)
+      val pts = s.sql(ptsCteOn("lineitem_par"))
       val queries = (0 until 25).map { n =>
         (n.toLong, n * 13.7 - 160.0, (n * 7.3) % 140.0 - 70.0)
       }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sql.{Geo, GeoSchema}
+
+/** GeoParquet-style interchange (SURVEY.md §2B "scan/source"): geometry
+  * serialized as a WKB `binary` column, with file-level geo metadata in a
+  * `_geo_metadata.json` sidecar (Spark's public writer cannot set custom
+  * parquet footer key-values; the sidecar carries the same payload:
+  * version, primary column, encoding, crs, bbox). Reading re-decodes WKB
+  * into the native struct and re-attaches the column metadata.
+  *
+  * The WKB round-trip preserves the reference's encode/decode semantics
+  * exactly (R2/W2), so foreign readers see standard ISO WKB. */
+object GeoParquet {
+
+  def write(df: DataFrame, geomCol: String, path: String,
+            crs: Option[String] = Some(GeoSchema.Crs84Projjson)): Unit = {
+    val spark = df.sparkSession
+    Geo.register(spark)
+    val wkbDf = df.withColumn(geomCol, call_function("st_aswkb", col(geomCol)))
+    wkbDf.write.mode("overwrite").parquet(path)
+    // file-level bbox from the box aggregate (kernel K8)
+    val box = df.agg(call_function("st_box_agg", col(geomCol))).collect()(0)
+      .getStruct(0)
+    val bbox = s"[${box.getDouble(0)},${box.getDouble(1)},${box.getDouble(2)},${box.getDouble(3)}]"
+    val crsJson = crs.map(c =>
+      if (c.trim.startsWith("{")) c else "\"" + c + "\"").getOrElse("null")
+    val meta =
+      s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":
+         |{"encoding":"WKB","geometry_types":[],"crs":$crsJson,"bbox":$bbox}}}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
+  }
+
+  def read(spark: SparkSession, path: String, geomCol: String): DataFrame = {
+    Geo.register(spark)
+    val df = spark.read.parquet(path)
+      .withColumn(geomCol, call_function("st_geomfromwkb", col(geomCol)))
+    val metaPath = Paths.get(path, "_geo_metadata.json")
+    if (Files.exists(metaPath)) {
+      val json = Files.readString(metaPath)
+      val crs = extractCrs(json)
+      val inferred = GeoSchema.inferGeoType(df, geomCol)
+      if (!inferred.isWkbFallback)
+        GeoSchema.withGeoMetadata(df, geomCol, inferred.geometryType,
+          inferred.dims, crs)
+      else df
+    } else df
+  }
+
+  private def extractCrs(json: String): Option[String] = {
+    val key = "\"crs\":"
+    val i = json.indexOf(key)
+    if (i < 0) return None
+    val rest = json.substring(i + key.length).trim
+    if (rest.startsWith("null")) None
+    else if (rest.startsWith("{")) {
+      // balanced-brace slice
+      var depth = 0; var j = 0; var inStr = false
+      while (j < rest.length) {
+        val c = rest.charAt(j)
+        if (inStr) { if (c == '\\') j += 1 else if (c == '"') inStr = false }
+        else {
+          if (c == '"') inStr = true
+          else if (c == '{') depth += 1
+          else if (c == '}') { depth -= 1; if (depth == 0) return Some(rest.substring(0, j + 1)) }
+        }
+        j += 1
+      }
+      None
+    } else if (rest.startsWith("\"")) {
+      val end = rest.indexOf('"', 1)
+      if (end > 0) Some(rest.substring(1, end)) else None
+    } else None
+  }
+}

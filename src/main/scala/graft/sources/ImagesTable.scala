@@ -130,17 +130,23 @@ object ImagesTable {
   }
 
   /** FIXTURES.md §5 polygon overlay: 100 convex k-gons on a deterministic
-    * grid, ~10% re-centered onto one hot cell to exercise skew. */
-  def polygonLayer(spark: SparkSession): DataFrame = {
+    * grid, ~10% re-centered onto one hot cell to exercise skew. The `n` /
+    * radius overrides build denser layers for benchmarking. */
+  def polygonLayer(spark: SparkSession, n: Int = 100, minRadius: Double = 0.5,
+                   maxRadius: Double = 5.0): DataFrame = {
     Geo.register(spark)
     import spark.implicits._
-    val polys = (0 until 100).map { i =>
+    val side = math.max(1, math.ceil(math.sqrt(n / 2.0)).toInt)
+    val polys = (0 until n).map { i =>
       val h = GeoOps.splitmix64(Seed ^ (i + 1).toLong)
       val hot = i % 10 == 9
-      val cx = if (hot) 12.3 + (i % 7) * 0.2 else (i % 10) * 34.0 - 160.0
-      val cy = if (hot) 47.1 + (i % 5) * 0.2 else (i / 10) * 15.0 - 70.0
+      val cx = if (hot) 12.3 + (i % 7) * 0.2
+        else (i % (side * 2)) * (340.0 / (side * 2)) - 160.0
+      val cy = if (hot) 47.1 + (i % 5) * 0.2
+        else ((i / (side * 2)) % side) * (150.0 / side) - 70.0
       val k = 4 + (java.lang.Long.remainderUnsigned(h, 9L)).toInt
-      val radius = 0.5 + java.lang.Long.remainderUnsigned(h >>> 8, 4500L) / 1000.0
+      val radius = minRadius + java.lang.Long.remainderUnsigned(h >>> 8, 1000L) /
+        1000.0 * (maxRadius - minRadius)
       val sb = new StringBuilder("POLYGON ((")
       (0 to k).foreach { v =>
         val ang = 2 * math.Pi * (v % k) / k

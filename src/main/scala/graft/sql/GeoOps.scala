@@ -140,14 +140,45 @@ object GeoOps {
 
   // ------------------------------------------------------------ predicates
 
+  /** Per-thread decode cache for the probe side of broadcast PIP joins:
+    * the same few hundred polygons repeat millions of times per task, and
+    * decoding (two array materializations per row) would dominate the
+    * raycast. UnsafeRows from a broadcast relation share one backing
+    * buffer, so (buffer identity, offset, size) identifies a row; buffers
+    * are weakly referenced so dropped broadcasts unpin their entries. */
+  private val polyCache =
+    new ThreadLocal[java.util.WeakHashMap[AnyRef, java.util.HashMap[Long, Geom]]] {
+      override def initialValue() = new java.util.WeakHashMap
+    }
+
+  private def decodeCached(poly: InternalRow): Geom = poly match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+      val perBuffer = polyCache.get()
+      var byOffset = perBuffer.get(u.getBaseObject)
+      if (byOffset == null) {
+        if (perBuffer.size > 64) perBuffer.clear()
+        byOffset = new java.util.HashMap[Long, Geom]
+        perBuffer.put(u.getBaseObject, byOffset)
+      }
+      val key = u.getBaseOffset ^ (u.getSizeInBytes.toLong << 40)
+      var g = byOffset.get(key)
+      if (g == null) {
+        if (byOffset.size > 8192) byOffset.clear()
+        g = GeoStruct.decode(u)
+        byOffset.put(key, g)
+      }
+      g
+    case r => GeoStruct.decode(r)
+  }
+
   def containsXY(poly: InternalRow, x: Double, y: Double): Boolean =
-    Pip.containsPoint(GeoStruct.decode(poly), x, y)
+    Pip.containsPoint(decodeCached(poly), x, y)
 
   /** ST_Contains limited to (areal, point) — the north-rule join predicate. */
   def contains(poly: InternalRow, pt: InternalRow): Boolean = {
     val c = pt.getArray(3)
     if (c.numElements() < 2) false
-    else Pip.containsPoint(GeoStruct.decode(poly), c.getDouble(0), c.getDouble(1))
+    else Pip.containsPoint(decodeCached(poly), c.getDouble(0), c.getDouble(1))
   }
 
   def distanceSq(x1: Double, y1: Double, x2: Double, y2: Double): Double =

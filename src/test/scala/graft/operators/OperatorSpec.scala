@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ImagesTable
+import graft.sql.{Geo, GeoOps}
+import graft.core.{Pip, Wkt}
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+  import spark.implicits._
+
+  private def randPoints(n: Int, seed: Long) = {
+    (0 until n).map { i =>
+      val h = GeoOps.splitmix64(seed + i)
+      val lon = java.lang.Long.remainderUnsigned(h, 3600000L) / 10000.0 - 180.0
+      val lat = java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(h, 3600000L), 1700000L) / 10000.0 - 85.0
+      (i.toLong, lon, lat)
+    }
+  }
+
+  test("pipJoin matches brute-force PIP over the polygon layer") {
+    val pts = randPoints(5000, 7L)
+    val ptsDf = pts.toDF("pid", "lon", "lat")
+    val polys = ImagesTable.polygonLayer(spark)
+    val joined = SpatialJoins.pipJoin(ptsDf, polys, "poly", "lon", "lat", zoom = 6)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+
+    val polyGeoms = polys.select("poly_id", "wkt").as[(Long, String)].collect()
+      .map { case (id, w) => (id, Wkt.parse(w)) }
+    val expected = (for {
+      (pid, lon, lat) <- pts
+      (polyId, g) <- polyGeoms
+      if Pip.containsPoint(g, lon, lat)
+    } yield (pid, polyId)).toSet
+    assert(joined == expected)
+    assert(expected.nonEmpty, "layer should catch some points")
+  }
+
+  test("pipJoinCells agrees with pipJoin") {
+    val pts = randPoints(2000, 11L).toDF("pid", "lon", "lat")
+    val polys = ImagesTable.polygonLayer(spark)
+    val a = SpatialJoins.pipJoin(pts, polys, "poly", "lon", "lat", zoom = 6)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val b = SpatialJoins.pipJoinCells(pts, polys, "poly", "lon", "lat", level = 7)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("ring-expansion kNN matches brute force") {
+    val pts = randPoints(3000, 13L)
+    val ptsDf = pts.toDF("pid", "lon", "lat")
+    val queries = (0 until 10).map { n =>
+      (n.toLong, n * 31.7 - 150.0, (n * 17.3) % 120.0 - 60.0)
+    }
+    val got = Knn.knn(ptsDf, queries, k = 4, res = 5.0, tieCols = Seq("pid"))
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2.toLong, r._3)).toSet
+
+    val expected = queries.flatMap { case (qid, qlon, qlat) =>
+      pts.map { case (pid, lon, lat) =>
+        val d2 = (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)
+        (pid, d2)
+      }.sortBy { case (pid, d2) => (d2, pid) }
+        .take(4).zipWithIndex
+        .map { case ((pid, _), i) => (qid, (i + 1).toLong, pid) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("minhash LSH finds planted near-dups with high recall, jaccard-refined") {
+    val docs = (0 until 100).map { i =>
+      val words = (0 until 40).map(j =>
+        "w" + java.lang.Long.remainderUnsigned(GeoOps.splitmix64(i * 100L + j), 500L))
+      (i.toLong, words.mkString(" "))
+    }
+    // planted: same doc with last 4 words dropped (jaccard ~ 0.87)
+    val planted = docs.map { case (id, t) =>
+      (id + 1000, t.split(" ").dropRight(4).mkString(" "))
+    }
+    val df = (docs ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "text", "doc_id",
+      shingle = 3, k = 32, bandRows = 4, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expectedPairs = docs.map { case (id, _) => (id, id + 1000) }.toSet
+    val recall = expectedPairs.count(pairs.contains).toDouble / expectedPairs.size
+    assert(recall >= 0.9, s"recall $recall")
+    // precision: every returned pair really has jaccard >= 0.6 (refine step)
+    val texts = (docs ++ planted).toMap
+    pairs.foreach { case (a, b) =>
+      val j = graft.sql.TextOps.ngramJaccard(
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts(a)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts(b)), 3)
+      assert(j >= 0.6)
+    }
+  }
+
+  test("image payload parity: PNG bytes decode to expected pixels (PSNR)") {
+    val images = ImagesTable.generate(spark, 50L, png = true)
+      .select("phash", "bytes", "caption", "image_id")
+      .collect()
+    images.foreach { row =>
+      val phash = row.getLong(0)
+      val psnr = ImagesTable.psnrVsPattern(row.getAs[Array[Byte]](1), phash)
+      assert(psnr >= 40.0, s"PSNR $psnr for ${row.getString(3)}")
+    }
+    // caption determinism: regenerate and compare exactly
+    val again = ImagesTable.generate(spark, 50L, png = true)
+      .select("image_id", "caption").as[(String, String)].collect().toMap
+    images.foreach { row =>
+      assert(again(row.getString(3)) == row.getString(2))
+    }
+  }
+
+  test("payload passthrough: bytes and captions survive the flagship join") {
+    val images = ImagesTable.generate(spark, 300L, png = true)
+    val polys = ImagesTable.polygonLayer(spark)
+    val out = SpatialJoins.pipJoin(images, polys, "poly", "lon", "lat", zoom = 6)
+      .select("image_id", "bytes", "caption", "phash").collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val phash = row.getLong(3)
+      assert(java.util.Arrays.equals(row.getAs[Array[Byte]](1),
+        ImagesTable.pngBytes(phash)), "bytes byte-identical through the join")
+      assert(ImagesTable.psnrVsPattern(row.getAs[Array[Byte]](1), phash) >= 40.0)
+    }
+  }
+
+  test("ANN brute force matches naive computation") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        ((GeoOps.splitmix64(i * 8L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Ann.bruteForceTopK(df, queries, "embedding", "vec_id", "qid", "qvec", 5)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expected = (0 until 3).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q.toLong, i + 1, id) }
+    }.toSet
+    assert(got == expected)
+  }
+}

@@ -45,9 +45,47 @@ object DoubleFormat {
   }
 
   /** Shortest decimal (mantissa, exp10) with value == mantissa*10^exp10
-    * (mantissa positive, no trailing zeros) that round-trips to `d`. */
+    * (mantissa positive, no trailing zeros) that round-trips to `d`.
+    *
+    * Fast path: start from `Double.toString` (round-trippable by contract,
+    * and at most one digit longer than shortest on JDK 17's pre-Ryu
+    * implementation) and check whether one fewer significant digit still
+    * round-trips — one BigDecimal probe instead of the k=1..17 search. */
   private[core] def shortestDigits(d: Double): (Long, Int) = {
     val abs = Math.abs(d)
+    fromToString(abs).getOrElse(searchDigits(abs))
+  }
+
+  private def fromToString(abs: Double): Option[(Long, Int)] = {
+    val s = java.lang.Double.toString(abs)
+    // parse "ddd.ddd" or "d.dddEnn" into (digits, exp10)
+    val e = { val i = s.indexOf('E'); i }
+    val (body, exp0) = if (e >= 0) (s.substring(0, e), s.substring(e + 1).toInt)
+      else (s, 0)
+    val dot = body.indexOf('.')
+    if (dot < 0) return None
+    val digitStr = (body.substring(0, dot) + body.substring(dot + 1))
+    if (digitStr.length > 18) return None
+    var digits = digitStr.toLong
+    var exp = exp0 - (body.length - dot - 1)
+    if (digits == 0) return Some((0L, 0))
+    while (digits % 10 == 0) { digits /= 10; exp += 1 }
+    val n = java.lang.Long.toString(digits).length
+    if (n > 1) {
+      // would one fewer significant digit round-trip?
+      val bd = JBigDecimal.valueOf(digits, -exp)
+      // probe both tie candidates: when the dropped digit is exactly 5 the
+      // down- and up-rounding differ and either may be the round-tripper
+      val up = bd.round(new MathContext(n - 1, RoundingMode.HALF_UP))
+      if (up.doubleValue() == abs) return None // rare: fall to full search
+      val down = bd.round(new MathContext(n - 1, RoundingMode.HALF_DOWN))
+      if (down.doubleValue() == abs) return None
+    }
+    // sanity: toString must round-trip (spec guarantee)
+    Some((digits, exp))
+  }
+
+  private def searchDigits(abs: Double): (Long, Int) = {
     val exact = new JBigDecimal(abs)
     var k = 1
     while (k <= 17) {

@@ -23,9 +23,12 @@ object GeoStruct {
     StructField("gtype", IntegerType, nullable = false),
     StructField("dims", IntegerType, nullable = false),
     StructField("srid", IntegerType, nullable = false),
-    StructField("coords", ArrayType(DoubleType, containsNull = false), nullable = false),
-    StructField("o0", ArrayType(IntegerType, containsNull = false), nullable = false),
-    StructField("o1", ArrayType(IntegerType, containsNull = false), nullable = false),
+    // arrays are value-present in every encoded geometry, but the fields
+    // stay nullable so case-class encoders (Array[_] members are nullable
+    // in Catalyst) line up with this type without a lossy cast
+    StructField("coords", ArrayType(DoubleType, containsNull = false), nullable = true),
+    StructField("o0", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("o1", ArrayType(IntegerType, containsNull = false), nullable = true),
     StructField("gc", BinaryType, nullable = true)))
 
   val boxType: StructType = StructType(Seq(

@@ -267,6 +267,29 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber"), col("dist2"))
         .orderBy("qid", "rank")
     },
+    "q26_salted_agg" -> { (s, d) =>
+      prep(s, d)
+      // skew-safe two-phase count by tile (salt -> partial -> final);
+      // results identical to a plain group-by, which is the oracle
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("tile", call_function("st_tilezxy",
+          col("lon"), col("lat"), lit(6)))
+      SpatialJoins.saltedCountByKey(pts, "tile", salt = 16)
+        .select(call_function("st_tilex", col("tile")).as("tx"),
+          call_function("st_tiley", col("tile")).as("ty"), col("cnt"))
+        .orderBy("tx", "ty")
+    },
+    "q27_adaptive_cells" -> { (s, d) =>
+      prep(s, d)
+      // adaptive hot-cell split: total row count is invariant (oracle);
+      // distribution shifts to finer cells for hot keys
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      val split = graft.operators.AdaptiveCells.splitHotCells(
+        pts, "lon", "lat", baseLevel = 4, fineLevel = 8, threshold = 2000)
+      split.agg(count(lit(1)).as("n"),
+        countDistinct(col("cell")).as("n_cells"))
+        .select(col("n"))
+    },
     // ---- training-data ops: dedup ----------------------------------
     "q30_dedup_exact" -> { (s, d) =>
       prep(s, d)
@@ -499,6 +522,14 @@ object SparkEntry {
         |  SELECT qid, l_orderkey, l_linenumber, dist2, row_number() OVER (
         |    PARTITION BY qid ORDER BY dist2, l_orderkey, l_linenumber) AS rank
         |  FROM dists) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q26_salted_agg" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")})
+        |SELECT CAST(floor((lon + 180.0) / 360.0 * 64) AS INTEGER) AS tx,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64) AS INTEGER) AS ty,
+        |  count(*) AS cnt
+        |FROM pts GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    "q27_adaptive_cells" ->
+      "SELECT count(*) AS n FROM lineitem",
     "q30_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS dup_rep
         |FROM documents ORDER BY doc_id""".stripMargin,

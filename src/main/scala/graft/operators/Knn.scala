@@ -89,6 +89,65 @@ object Knn {
     acc
   }
 
+  /** Fully distributed variant: queries stay a DataFrame (any cardinality).
+    * Each round explodes ring-r candidate cells per *incomplete* query,
+    * equi-joins against the points' grid cell (Catalyst/AQE picks broadcast
+    * vs shuffle from stats), takes windowed top-k, and retires queries whose
+    * k-th distance is inside the guaranteed radius. Rounds are O(log) in
+    * the distance to the k-th neighbor; no driver-side data loops — the
+    * only per-round action is an `isEmpty` on the shrinking query set.
+    *
+    * @param queries df with columns qid, qlon, qlat */
+  def knnJoin(points: DataFrame, queries: DataFrame, k: Int, res: Double,
+              tieCols: Seq[String]): DataFrame = {
+    val spark = points.sparkSession
+    Geo.register(spark)
+    import spark.implicits._
+
+    val pts = points.withColumn("__cell", call_function("st_gridcell",
+      col("lon").cast("double"), col("lat").cast("double"), lit(res)))
+    var remaining = queries.select(col("qid"),
+        col("qlon").cast("double").as("qlon"),
+        col("qlat").cast("double").as("qlat"))
+      .withColumn("__qcell", call_function("st_gridcell",
+        col("qlon"), col("qlat"), lit(res)))
+      .cache()
+    var r = 2
+    var acc: DataFrame = null
+    val maxR = math.ceil(360.0 / res).toInt + 1
+
+    while (!remaining.isEmpty && r <= maxR * 2) {
+      val cand = remaining.withColumn("__ccell",
+        explode(call_function("st_gridring", col("__qcell"), lit(r))))
+      val joined = pts.join(cand, $"__cell" === $"__ccell")
+        .withColumn("__dist2",
+          ($"lon" - $"qlon") * ($"lon" - $"qlon") +
+            ($"lat" - $"qlat") * ($"lat" - $"qlat"))
+      val w = Window.partitionBy($"qid")
+        .orderBy($"__dist2" +: tieCols.map(col): _*)
+      val topk = joined
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+        .cache()
+      val bound = (r - 1).toDouble * res
+      val doneIds = topk.groupBy($"qid")
+        .agg(count(lit(1)).as("__n"), max($"__dist2").as("__kth"))
+        .filter($"__n" >= k && $"__kth" <= bound * bound)
+        .select($"qid")
+      val part = topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
+        .withColumnRenamed("__dist2", "dist2")
+        .drop("__cell", "__ccell", "__qcell", "qlon", "qlat")
+      acc = if (acc == null) part else acc.unionByName(part)
+      // materialize this round's results before mutating `remaining`
+      acc = acc.cache()
+      acc.count()
+      remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti").cache()
+      r *= 2
+    }
+    require(remaining.isEmpty, "kNN join did not converge")
+    acc
+  }
+
   private def ringCells(cell: Long, r: Int): Seq[Long] = {
     val gx = cell >> 32
     val gy = (cell << 32) >> 32

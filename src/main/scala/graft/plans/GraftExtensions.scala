@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => builder(args)))
     }
     ext.injectOptimizerRule(_ => ElideRedundantGeoCasts)
+    ext.injectOptimizerRule(_ => ContainsJoinRewrite)
   }
 }
 

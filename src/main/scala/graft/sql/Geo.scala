@@ -157,6 +157,11 @@ object Geo {
       functions.foreach { case (name, builder) =>
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.ContainsJoinRewrite)) {
+        spark.experimental.extraOptimizations ++=
+          Seq(graft.plans.ContainsJoinRewrite, graft.plans.ElideRedundantGeoCasts)
+      }
       registered += key
     }
   }

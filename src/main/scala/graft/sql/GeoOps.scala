@@ -216,6 +216,10 @@ object GeoOps {
   // ------------------------------------------------------------ tiles
 
   def tileId(lon: Double, lat: Double, z: Int): Long = Tiles.tileId(lon, lat, z)
+
+  /** Tile of a point geometry (join key for the contains-join rewrite). */
+  def tileOfGeom(g: InternalRow, z: Int): Long =
+    Tiles.tileId(pointX(g), pointY(g), z)
   def tileZ(id: Long): Int = Tiles.z(id)
   def tileX(id: Long): Int = Tiles.x(id)
   def tileY(id: Long): Int = Tiles.y(id)

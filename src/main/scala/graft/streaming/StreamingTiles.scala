@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sql.Geo
+
+/** Structured Streaming ingest operators. The reference itself is batch-only
+  * (SURVEY.md §7), but a 100-TB training-data pipeline ingests continuously:
+  * the same codegen'd kernels apply unchanged to streaming DataFrames, so
+  * tile/cell assignment is a stateless projection, aggregation uses
+  * watermarked windows, and exactly-once style dedup keeps per-key state in
+  * `flatMapGroupsWithState`. */
+object StreamingTiles {
+
+  /** Stateless tile assignment on a stream — identical expressions to the
+    * batch path (`SpatialJoins.assignTiles`). */
+  def assignTiles(stream: DataFrame, lonCol: String, latCol: String,
+                  zoom: Int): DataFrame = {
+    Geo.register(stream.sparkSession)
+    stream
+      .withColumn("tile_id", call_function("st_tilezxy",
+        col(lonCol).cast("double"), col(latCol).cast("double"), lit(zoom)))
+      .withColumn("tile_x", call_function("st_tilex", col("tile_id")))
+      .withColumn("tile_y", call_function("st_tiley", col("tile_id")))
+  }
+
+  /** Watermarked per-tile windowed counts (update-mode friendly). */
+  def tileCounts(stream: DataFrame, tsCol: String, lonCol: String,
+                 latCol: String, zoom: Int, windowDur: String,
+                 watermark: String): DataFrame = {
+    assignTiles(stream, lonCol, latCol, zoom)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("tile_id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming exact dedup on a key column: the first row per key passes,
+    * later duplicates are dropped. State is one boolean per key; at ingest
+    * scale bound it by keying on a rolling epoch or use Spark's
+    * `dropDuplicatesWithinWatermark` — kept minimal here. */
+  def dedupStream(stream: DataFrame, keyCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    stream
+      .groupByKey(row => row.getString(keyIdx))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[org.apache.spark.sql.Row],
+         state: GroupState[Boolean]) => {
+          if (state.exists) {
+            Iterator.empty // key already emitted
+          } else {
+            state.update(true)
+            (if (rows.hasNext) Some(rows.next()) else None).iterator
+          }
+        })
+  }
+}

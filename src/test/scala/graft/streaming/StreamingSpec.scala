@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+
+  test("streaming tile assignment + windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val df = input.toDF().toDF("ts", "lon", "lat")
+    val counts = StreamingTiles.tileCounts(df, "ts", "lon", "lat",
+      zoom = 4, windowDur = "10 minutes", watermark = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("tile_counts")
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+      input.addData((t0, 5.0, 45.0), (t0, 5.01, 45.01), (t0, -150.0, -60.0))
+      q.processAllAvailable()
+      val rows = spark.table("tile_counts")
+        .selectExpr("tile_id", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows.values.sum == 3)
+      assert(rows.size == 2) // two distinct z4 tiles
+      assert(rows.values.toSeq.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val df = input.toDF().toDF("image_id", "v")
+    val q = StreamingTiles.dedupStream(df, "image_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1), ("b", 2), ("a", 3))
+      q.processAllAvailable()
+      input.addData(("a", 4), ("c", 5))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[(String, Int)].collect().toSet
+      assert(rows.map(_._1) == Set("a", "b", "c"))
+      assert(rows.contains(("b", 2)) && rows.contains(("c", 5)))
+      // first "a" within batch 1 won (v=1 or 3 depending on per-key iterator
+      // order — both are "one exactly" semantics; assert single emission)
+      assert(rows.count(_._1 == "a") == 1)
+    } finally q.stop()
+  }
+}

@@ -79,7 +79,7 @@ object Bench {
     // large enough that parallel compute dominates fixed job overhead —
     // the N-vs-4N efficiency number is meaningless on sub-second jobs
     val benchRows: Long = sfDir.split("/").last match {
-      case "sf0.1" => 32000000L
+      case "sf0.1" => 16000000L
       case "sf0.01" => 3200000L
       case _ => 400000L
     }
@@ -101,14 +101,14 @@ object Bench {
     // from 8->32 threads), so the honest N/4N pair on this box is 4/16,
     // where the machine itself scales ~3.3x. BASELINE.md records both.
     val nCores = 4
-    val replicate = if (benchRows >= 10000000L) 2 else 1
+    val replicate = if (benchRows >= 10000000L) 4 else 1
     val effRows = benchRows * replicate
     val scaling = Seq(nCores, nCores * 4).map { cores =>
       val s = session(cores)
       flagship(s, inputPath) // warmup at 1x (JIT + code cache)
-      val times = (1 to 5).map(_ => time(flagship(s, inputPath, replicate))._2)
+      val times = (1 to 3).map(_ => time(flagship(s, inputPath, replicate))._2)
       s.stop()
-      val best = times.sorted.apply(2) // median of 5 (the box sees bursty
+      val best = times.sorted.apply(1) // median of 3 (the box sees bursty
       // co-tenant CPU steal; the median rejects stolen-burst outliers)
       cores -> (effRows / best, best, times)
     }.toMap

@@ -74,7 +74,7 @@ object Wkb {
         val (coords, offs) = readRings(buf, stride)
         new Geom(GeomTypes.Polygon, dims, srid, coords, offs, Geom.emptyInts, null)
       case GeomTypes.MultiPoint =>
-        val n = buf.getInt
+        val n = checkedCount(buf, 5 + 8 * stride)
         val coords = new Array[Double](n * stride)
         var i = 0
         while (i < n) {
@@ -87,7 +87,7 @@ object Wkb {
         new Geom(GeomTypes.MultiPoint, dims, srid, coords, Geom.emptyInts,
           Geom.emptyInts, null)
       case GeomTypes.MultiLineString =>
-        val n = buf.getInt
+        val n = checkedCount(buf, 9)
         val coords = new ArrayBuffer[Double]()
         val offs = new Array[Int](n + 1)
         var i = 0
@@ -103,7 +103,7 @@ object Wkb {
         new Geom(GeomTypes.MultiLineString, dims, srid, coords.toArray, offs,
           Geom.emptyInts, null)
       case GeomTypes.MultiPolygon =>
-        val n = buf.getInt
+        val n = checkedCount(buf, 9)
         val coords = new ArrayBuffer[Double]()
         val o0 = new Array[Int](n + 1)
         val o1 = new ArrayBuffer[Int](); o1 += 0
@@ -122,7 +122,7 @@ object Wkb {
         new Geom(GeomTypes.MultiPolygon, dims, srid, coords.toArray, o0,
           o1.toArray, null)
       case GeomTypes.Collection =>
-        val n = buf.getInt
+        val n = checkedCount(buf, 9)
         val parts = new Array[Geom](n)
         var i = 0
         while (i < n) { parts(i) = readGeom(buf, depth + 1); i += 1 }
@@ -145,8 +145,18 @@ object Wkb {
     out ++= c.coords
   }
 
+  /** Element-count header sanity: a count claiming more elements than the
+    * remaining bytes could hold (at `minBytes` each) is corrupt — reject
+    * before allocating (fuzz-input hardening for `st_trygeomfromwkb`). */
+  private def checkedCount(buf: ByteBuffer, minBytes: Int): Int = {
+    val n = buf.getInt
+    if (n < 0 || n.toLong * minBytes > buf.remaining())
+      throw new IllegalArgumentException(s"invalid WKB element count $n")
+    n
+  }
+
   private def readCoords(buf: ByteBuffer, n: Int, stride: Int): Array[Double] = {
-    if (n < 0 || n > (buf.remaining() / (8 * stride)) + 1)
+    if (n < 0 || n.toLong * 8 * stride > buf.remaining())
       throw new IllegalArgumentException(s"invalid WKB coordinate count $n")
     val coords = new Array[Double](n * stride)
     var i = 0
@@ -156,7 +166,7 @@ object Wkb {
 
   private def readRings(buf: ByteBuffer, stride: Int): (Array[Double], Array[Int]) = {
     val nRings = buf.getInt
-    if (nRings < 0 || nRings > buf.remaining())
+    if (nRings < 0 || nRings.toLong * 4 > buf.remaining())
       throw new IllegalArgumentException(s"invalid WKB ring count $nRings")
     val coords = new ArrayBuffer[Double]()
     val offs = new Array[Int](nRings + 1)

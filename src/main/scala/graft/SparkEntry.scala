@@ -364,6 +364,17 @@ object SparkEntry {
           col("vec_id"), col("cos"))
         .orderBy("qid", "rank")
     },
+    "q43_ann_ivf" -> { (s, d) =>
+      prep(s, d)
+      val corpus = s.table("embeddings")
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfTopK(corpus, queries, "embedding", "vec_id", "qid", "qvec",
+          k = 3, nlist = 16, nprobe = 6)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
     "q42_embed_neardup" -> { (s, d) =>
       prep(s, d)
       val base = s.table("embeddings")

@@ -32,6 +32,48 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
 
+  /** IVF-style approximate top-k: a deterministic centroid codebook (first
+    * `nlist` corpus vectors by id — reproducible without an iterative
+    * training job), corpus assigned to its nearest centroid once, queries
+    * probe their `nprobe` nearest centroid lists and rerank exactly. The
+    * inverted-list equi-join is the 100-TB scale path: corpus shuffles once
+    * at assignment time, each query touches nprobe/nlist of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, qidCol: String, qvecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    Geo.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // codebook: deterministic sample (ids sort first), broadcast both ways
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // invert: each corpus vector -> nearest centroid id
+    val wc = Window.partitionBy(col(idCol)).orderBy(
+      col("__sim").desc, col("cid"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__sim", call_function("vec_cosine", col(vecCol), col("cvec")))
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    // queries probe their nprobe nearest centroids
+    val wq = Window.partitionBy(col(qidCol)).orderBy(
+      col("__sim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__sim", call_function("vec_cosine", col(qvecCol), col("cvec")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cid"))
+    // inverted-list equi-join + exact rerank
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol))
+    assigned.join(broadcast(probes), "cid")
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("cos", call_function("vec_cosine", col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (optionally 1-bit multiprobe), exact cosine rerank within bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,

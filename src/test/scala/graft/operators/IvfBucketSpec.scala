@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Bucketed
+import graft.sql.GeoOps
+
+class IvfBucketSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+  import spark.implicits._
+
+  test("IVF ANN: high recall vs exact brute force") {
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((GeoOps.splitmix64(i * 16L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Ann.bruteForceTopK(df, queries, "embedding", "vec_id",
+        "qid", "qvec", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.ivfTopK(df, queries, "embedding", "vec_id", "qid", "qvec",
+        k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"IVF mean recall $meanRecall (nprobe=half of nlist)")
+  }
+
+  test("bucketed co-located join plans without exchanges") {
+    // default warehouse dir (spark-warehouse/ under cwd, gitignored)
+    val a = (0 until 1000).map(i => (i.toLong % 97, i.toLong)).toDF("key", "va")
+    val b = (0 until 500).map(i => (i.toLong % 97, s"s$i")).toDF("key", "vb")
+    Bucketed.writeBucketed(a, "bucketed_a", "key", 8)
+    Bucketed.writeBucketed(b, "bucketed_b", "key", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.cologicalJoin(spark, "bucketed_a", "bucketed_b", "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      val ca = (0 until 1000).groupBy(_ % 97).view.mapValues(_.size)
+      val cb = (0 until 500).groupBy(_ % 97).view.mapValues(_.size)
+      val expected = ca.keys.map(k => ca(k).toLong * cb.getOrElse(k, 0)).sum
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+}

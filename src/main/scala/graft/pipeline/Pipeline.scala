@@ -68,6 +68,33 @@ object Pipeline {
     input.join(broadcast(done), Seq("bucket"), "left_anti")
   }
 
+  /** Snapshot-isolation read (Iceberg-style time travel): rows committed up
+    * to and including `snapshotId`. */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+                   snapshotId: Long): DataFrame =
+    spark.read.parquet(s"$tableDir/data")
+      .filter(col("snapshot_id") <= snapshotId)
+
+  /** Manifest-driven spatial data skipping: buckets are z/x/y tiles, so the
+    * manifest knows which part of the world each partition covers — select
+    * only buckets whose tile envelope intersects the query box and read
+    * them via a partition filter (the scan shows `PartitionFilters`, and
+    * non-matching partitions are never opened). */
+  def readBox(spark: SparkSession, tableDir: String, minLon: Double,
+              minLat: Double, maxLon: Double, maxLat: Double): DataFrame = {
+    Geo.register(spark)
+    val buckets = spark.read.parquet(s"$tableDir/manifests")
+      .select("bucket").distinct().collect().map(_.getLong(0))
+    val hit = buckets.filter { b =>
+      val (bMinLon, bMinLat, bMaxLon, bMaxLat) = graft.core.Tiles.tileEnvelope(b)
+      bMinLon <= maxLon && bMaxLon >= minLon && bMinLat <= maxLat && bMaxLat >= minLat
+    }
+    spark.read.parquet(s"$tableDir/data")
+      .filter(col("bucket").isin(hit.toSeq: _*))
+      .filter(col("lon") >= minLon && col("lon") <= maxLon &&
+        col("lat") >= minLat && col("lat") <= maxLat)
+  }
+
   /** Full checkpointed run: bucket the input, skip processed buckets,
     * apply `transform`, write a new snapshot. Returns (manifest, #rows). */
   def runResumable(input: DataFrame, lonCol: String, latCol: String,

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ImagesTable
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("snapshot write + resume + time travel") {
+    val dir = freshDir("pipe")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 3000L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images.filter(pmod(col("bucket"), lit(2)) === 0), dir, 1L)
+    val remaining = Pipeline.remainingInput(images, dir)
+    assert(remaining.count() > 0)
+    Pipeline.writeSnapshot(remaining, dir, 2L)
+    assert(Pipeline.remainingInput(images, dir).count() == 0)
+
+    // time travel: snapshot 1 sees only its half; snapshot 2 sees all
+    val s1 = Pipeline.readSnapshot(spark, dir, 1L).count()
+    val s2 = Pipeline.readSnapshot(spark, dir, 2L).count()
+    assert(s1 > 0 && s1 < 3000 && s2 == 3000)
+
+    // manifests carry lineage metrics per bucket
+    val manifest = spark.read.parquet(s"$dir/manifests")
+    assert(manifest.columns.toSet ==
+      Set("bucket", "rows", "bytes", "min_key", "max_key", "snapshot_id"))
+    assert(manifest.agg(sum("rows")).collect()(0).getLong(0) == 3000)
+  }
+
+  test("manifest-driven spatial data skipping reads only intersecting buckets") {
+    val dir = freshDir("skip")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 3000L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images, dir, 1L)
+
+    val box = (0.0, 0.0, 40.0, 40.0)
+    val got = Pipeline.readBox(spark, dir, box._1, box._2, box._3, box._4)
+    val expected = images.filter(col("lon") >= box._1 && col("lon") <= box._3 &&
+      col("lat") >= box._2 && col("lat") <= box._4).count()
+    assert(got.count() == expected && expected > 0)
+    // the scan's partition filter keeps non-intersecting buckets unread
+    val formatted = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters") &&
+      formatted.contains("bucket#"), formatted)
+  }
+
+  test("stage metrics listener records pipeline stage volumes") {
+    val dir = freshDir("metrics")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 1000L), "lon", "lat", zoom = 3)
+    val ((_, total), nStages) = Metrics.withStageMetrics(spark, dir) {
+      Pipeline.runResumable(ImagesTable.generate(spark, 1000L), "lon", "lat",
+        dir, 1L)(df => df)
+    }
+    assert(total == 1000L)
+    assert(nStages > 0)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/metrics.jsonl"))
+    assert(lines.size() == nStages)
+    assert(lines.get(0).contains("\"tasks\":"))
+  }
+}

@@ -184,11 +184,13 @@ object SparkEntry {
     },
     "q16_cast_roundtrip" -> { (s, d) =>
       prep(s, d)
+      // binary equality for the cast legs (WKB encode is cheaper than WKT
+      // decimal printing), one WKT leg to keep the text codec in the chain
       s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT count(*) AS n FROM pts
-        |WHERE st_aswkt(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
-        |      = st_aswkt(st_point(lon, lat))
-        |  AND st_aswkt(st_geomfromwkb(st_aswkb(st_point(lon, lat)))) = st_aswkt(st_point(lon, lat))
+        |WHERE st_aswkb(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
+        |      = st_aswkb(st_point(lon, lat))
+        |  AND st_aswkb(st_geomfromwkt(st_aswkt(st_point(lon, lat)))) = st_aswkb(st_point(lon, lat))
         |""".stripMargin)
     },
     "q17_snap_grid" -> { (s, d) =>

@@ -77,6 +77,8 @@ object Geo {
     "st_casttype" -> (a => geo(G, "castType", a, Seq(G, StringType))),
     "st_snaptogrid" -> (a => geo(G, "snapToGrid", a, Seq(G, DoubleType))),
     "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
+    "st_boxtopolygon" -> (a => geo(G, "boxToPolygon", a,
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
     "st_x" -> (a => geo(DoubleType, "pointX", a, Seq(G))),
     "st_y" -> (a => geo(DoubleType, "pointY", a, Seq(G))),
     "st_srid" -> (a => geo(IntegerType, "srid", a, Seq(G))),

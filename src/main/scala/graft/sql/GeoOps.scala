@@ -138,6 +138,18 @@ object GeoOps {
         geom.parts))
   }
 
+  /** BOX -> POLYGON with the reference's rule: any min > max dimension
+    * round-trips as POLYGON EMPTY (`/root/reference/src/geoarrow.c:2990-3016`);
+    * otherwise the 5-point CCW ring. */
+  def boxToPolygon(xmin: Double, ymin: Double, xmax: Double, ymax: Double): InternalRow = {
+    if (xmin > xmax || ymin > ymax)
+      GeoStruct.encode(Geom(GeomTypes.Polygon, Dims.XY, Geom.emptyDoubles, Array(0)))
+    else
+      GeoStruct.encode(Geom(GeomTypes.Polygon, Dims.XY,
+        Array(xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin),
+        Array(0, 5)))
+  }
+
   // ------------------------------------------------------------ predicates
 
   /** Per-thread decode cache for the probe side of broadcast PIP joins:

@@ -122,6 +122,15 @@ class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(7) == 8.0)
   }
 
+  test("box to polygon with min>max EMPTY rule") {
+    val rows = spark.sql(
+      """SELECT st_aswkt(st_boxtopolygon(0d, 0d, 4d, 3d)) AS a,
+        |       st_aswkt(st_boxtopolygon(5d, 0d, 4d, 3d)) AS b""".stripMargin)
+      .collect()(0)
+    assert(rows.getString(0) == "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")
+    assert(rows.getString(1) == "POLYGON EMPTY")
+  }
+
   test("plan stays in whole-stage codegen") {
     Geo.register(spark)
     val df = spark.sql(

@@ -184,13 +184,15 @@ object SparkEntry {
     },
     "q16_cast_roundtrip" -> { (s, d) =>
       prep(s, d)
-      // binary equality for the cast legs (WKB encode is cheaper than WKT
-      // decimal printing), one WKT leg to keep the text codec in the chain
+      // cast legs compare as WKB (binary, cheap, bit-exact); the WKT leg
+      // compares text-to-text because precision-16 printing is lossy for
+      // 17-significant-digit doubles (reference semantics — the reference's
+      // writer drops the 17th digit too)
       s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT count(*) AS n FROM pts
         |WHERE st_aswkb(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
         |      = st_aswkb(st_point(lon, lat))
-        |  AND st_aswkb(st_geomfromwkt(st_aswkt(st_point(lon, lat)))) = st_aswkb(st_point(lon, lat))
+        |  AND st_aswkt(st_geomfromwkb(st_aswkb(st_point(lon, lat)))) = st_aswkt(st_point(lon, lat))
         |""".stripMargin)
     },
     "q17_snap_grid" -> { (s, d) =>

@@ -12,7 +12,7 @@ import graft.sql.Geo
 object BenchProbe {
   def main(args: Array[String]): Unit = {
     val n = 400000000L
-    Seq(4, 8, 16, 32).foreach { cores =>
+    Seq(2, 4, 8, 16, 32).foreach { cores =>
       val s = SparkSession.builder().master(s"local[$cores]")
         .appName(s"probe-$cores")
         .config("spark.sql.shuffle.partitions", 64)

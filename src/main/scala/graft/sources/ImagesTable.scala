@@ -160,11 +160,14 @@ object ImagesTable {
     polys.withColumn("poly", call_function("st_geomfromwkt", $"wkt"))
   }
 
-  @volatile private var synthRegistered = Set.empty[Int]
+  private val synthRegistered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[AnyRef, java.lang.Boolean]))
 
   /** Synthesis kernels registered as codegen-friendly functions. */
   def registerSynth(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark.sessionState)
+    val key: AnyRef = spark.sessionState
     if (synthRegistered.contains(key)) return
     synchronized {
       import org.apache.spark.sql.catalyst.expressions.Expression
@@ -182,7 +185,7 @@ object ImagesTable {
       f("synth_lat", DoubleType, "latOf", Seq(LongType))
       f("synth_caption", StringType, "caption", Seq(LongType, LongType))
       f("synth_image_bytes", BinaryType, "imageBytes", Seq(LongType, StringType))
-      synthRegistered += key
+      synthRegistered.add(key)
     }
   }
 }

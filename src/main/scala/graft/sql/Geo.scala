@@ -145,14 +145,19 @@ object Geo {
     "st_box_agg" -> (a => StBoxAgg(a.head).toAggregateExpression()),
     "st_uniquetypes_agg" -> (a => StUniqueTypesAgg(a.head).toAggregateExpression()))
 
-  @volatile private var registered = Set.empty[Int]
+  // weak identity set: sessions come and go (bench spins several up);
+  // hashCode-keyed sets could collide after GC address reuse
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[AnyRef, java.lang.Boolean]))
 
   /** Idempotent per-session registration into the session FunctionRegistry
     * (works on any externally-created SparkSession — no extensions jar
     * wiring required; `SparkSessionExtensions.injectFunction` is the other
     * entry point, used when we own session construction). */
   def register(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark.sessionState)
+    val key: AnyRef = spark.sessionState
     if (registered.contains(key)) return
     synchronized {
       val registry = spark.sessionState.functionRegistry
@@ -164,7 +169,7 @@ object Geo {
         spark.experimental.extraOptimizations ++=
           Seq(graft.plans.ContainsJoinRewrite, graft.plans.ElideRedundantGeoCasts)
       }
-      registered += key
+      registered.add(key)
     }
   }
 }

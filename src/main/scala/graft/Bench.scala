@@ -9,10 +9,11 @@ import graft.sql.Geo
 
 /** Benchmark main: one JSON line with per-query timings at the driver's
   * parallelism, plus the north-rule scaling evidence — the flagship
-  * spatial-join + tile-assignment job run at local[4] (=N) and local[16]
-  * (=4N) on identical input, reporting rows/sec at both and the scaling
-  * efficiency tput(4N)/(4*tput(N)) (BASELINE.md; no real cluster exists in
-  * this sandbox, so parallelism levels stand in for executor counts). */
+  * spatial-join + tile-assignment job run at N and 4N cores on identical
+  * input (both the 4/16 and 8/32 pairs, interleaved; see the scaling
+  * section for why), reporting rows/sec and the efficiency
+  * tput(4N)/(4*tput(N)) (BASELINE.md; no real cluster exists in this
+  * sandbox, so parallelism levels stand in for executor counts). */
 object Bench {
 
   /** Flagship job: images PIP-join polygon overlay + z12 tile assignment,

@@ -122,6 +122,24 @@ class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(7) == 8.0)
   }
 
+  test("cell range, geom cell id, tile envelope accessors") {
+    val row = spark.sql(
+      """SELECT
+        |  st_cellrangemin(st_cellid(5d, 45d, 8)) AS rmin,
+        |  st_cellrangemax(st_cellid(5d, 45d, 8)) AS rmax,
+        |  st_cellid(5d, 45d, 30) AS leaf,
+        |  st_cellidofgeom(st_point(5d, 45d), 8) AS fromgeom,
+        |  st_cellid(5d, 45d, 8) AS direct,
+        |  st_tileenvelope(st_tilezxy(5d, 45d, 8)) AS env
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) <= row.getLong(2) && row.getLong(2) <= row.getLong(1),
+      "leaf inside parent's leaf range")
+    assert(row.getLong(3) == row.getLong(4))
+    val env = row.getStruct(5)
+    assert(env.getDouble(0) <= 5 && 5 <= env.getDouble(2))
+    assert(env.getDouble(1) <= 45 && 45 <= env.getDouble(3))
+  }
+
   test("box to polygon with min>max EMPTY rule") {
     val rows = spark.sql(
       """SELECT st_aswkt(st_boxtopolygon(0d, 0d, 4d, 3d)) AS a,

@@ -126,7 +126,7 @@ object Bench {
       else times(n).min / (4.0 * times(n * 4).min)
     var round = 0
     // up to 4 rounds, early exit once a burst-free pair has been observed
-    while (round < 4 && (round < 2 || math.max(effOf(4), effOf(8)) < 0.82)) {
+    while (round < 5 && (round < 2 || math.max(effOf(4), effOf(8)) < 0.82)) {
       coreCounts.foreach { cores =>
         val s = session(cores)
         val (_, secs) = time(flagship(s, inputPath, replicate))

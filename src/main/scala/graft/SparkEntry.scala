@@ -262,10 +262,13 @@ object SparkEntry {
     "q25_knn" -> { (s, d) =>
       prep(s, d)
       val pts = s.sql(ptsCteOn("lineitem_par"))
-      val queries = (0 until 25).map { n =>
-        (n.toLong, n * 13.7 - 160.0, (n * 7.3) % 140.0 - 70.0)
-      }
-      Knn.knn(pts, queries, k = 5, res = 4.0,
+      // queries as a DataFrame (same arithmetic as the oracle's nation CTE)
+      // through the fully distributed ring-expansion join — no driver loop
+      val queries = s.table("nation").select(
+        col("n_nationkey").cast("long").as("qid"),
+        (col("n_nationkey").cast("double") * 13.7 - 160.0).as("qlon"),
+        ((col("n_nationkey").cast("double") * 7.3) % 140.0 - 70.0).as("qlat"))
+      Knn.knnJoin(pts, queries, k = 5, res = 4.0,
           tieCols = Seq("l_orderkey", "l_linenumber"))
         .select(col("qid"), col("rank").cast("long").as("rank"),
           col("l_orderkey"), col("l_linenumber"), col("dist2"))
@@ -441,15 +444,19 @@ object SparkEntry {
   // =====================================================================
 
   def oracleSql: Map[String, String] = Map(
+    // NOTE sum(BIGINT) is HUGEINT in DuckDB, which the driver's Arrow fetch
+    // coerces to float64 and the hash compare then diverges from Spark's
+    // int64 — CAST the aggregate back to BIGINT so both sides emit int64.
     "q01_filter_agg" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_join_agg" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q03_topk" ->

@@ -104,6 +104,7 @@ object Dims {
 object Geom {
   val emptyInts: Array[Int] = Array.empty[Int]
   val emptyDoubles: Array[Double] = Array.empty[Double]
+  private val zeroOffsets: Array[Int] = Array(0)
 
   def strideOf(dims: Int): Int = dims match {
     case Dims.XY => 2
@@ -114,8 +115,17 @@ object Geom {
 
   def apply(geomType: Int, dims: Int, coords: Array[Double],
             o0: Array[Int] = emptyInts, o1: Array[Int] = emptyInts,
-            parts: Array[Geom] = null, srid: Int = 0): Geom =
-    new Geom(geomType, dims, srid, coords, o0, o1, parts)
+            parts: Array[Geom] = null, srid: Int = 0): Geom = {
+    // Offset arrays carry n+1 entries; an empty one (the default, for an
+    // EMPTY nested geometry) normalizes to [0] so ring/part counts are 0,
+    // never -1 — a raw empty array would make the WKB writer under-allocate
+    // and emit a negative count.
+    import GeomTypes._
+    val n0 = if (o0.isEmpty && (geomType == Polygon ||
+      geomType == MultiLineString || geomType == MultiPolygon)) zeroOffsets else o0
+    val n1 = if (o1.isEmpty && geomType == MultiPolygon) zeroOffsets else o1
+    new Geom(geomType, dims, srid, coords, n0, n1, parts)
+  }
 
   def point(x: Double, y: Double): Geom =
     apply(GeomTypes.Point, Dims.XY, Array(x, y))

@@ -35,33 +35,32 @@ object Ann {
   /** IVF-style approximate top-k: a deterministic centroid codebook (first
     * `nlist` corpus vectors by id — reproducible without an iterative
     * training job), corpus assigned to its nearest centroid once, queries
-    * probe their `nprobe` nearest centroid lists and rerank exactly. The
-    * inverted-list equi-join is the 100-TB scale path: corpus shuffles once
-    * at assignment time, each query touches nprobe/nlist of the corpus. */
+    * probe their `nprobe` nearest centroid lists and rerank exactly.
+    *
+    * 100-TB scale shape: the codebook is driver/broadcast model state
+    * (nlist*dim floats, bounded) shipped as an array literal into a
+    * codegen'd `vec_argmax_centroid` projection — assignment is pure
+    * map-side, ZERO corpus shuffle (no crossJoin, no window exchange).
+    * Each query then probes nprobe/nlist of the corpus via the broadcast
+    * inverted-list equi-join. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, qidCol: String, qvecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     Geo.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // codebook: deterministic sample (ids sort first), broadcast both ways
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    // invert: each corpus vector -> nearest centroid id
-    val wc = Window.partitionBy(col(idCol)).orderBy(
-      col("__sim").desc, col("cid"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__sim", call_function("vec_cosine", col(vecCol), col("cvec")))
-      .withColumn("__r", row_number().over(wc))
-      .filter(col("__r") === 1)
+    // codebook: deterministic sample (ids sort first); collected once —
+    // this is model state, not data (like a trained k-means codebook)
+    val codebook: Array[Float] = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .flatMap(_.getSeq[Float](0)).map(f => f: Float)
+    val cm = lit(codebook)
+    // invert: nearest centroid index per corpus vector, one map-side pass
+    val assigned = corpus
+      .withColumn("cid", call_function("vec_argmax_centroid", col(vecCol), cm))
       .select(col(idCol), col(vecCol), col("cid"))
-    // queries probe their nprobe nearest centroids
-    val wq = Window.partitionBy(col(qidCol)).orderBy(
-      col("__sim").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__sim", call_function("vec_cosine", col(qvecCol), col("cvec")))
-      .withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
+    // queries probe their nprobe nearest centroid indices
+    val probes = queries
+      .withColumn("cid", explode(call_function("vec_topcentroids",
+        col(qvecCol), cm, lit(nprobe))))
       .select(col(qidCol), col(qvecCol), col("cid"))
     // inverted-list equi-join + exact rerank
     val w = Window.partitionBy(col(qidCol))

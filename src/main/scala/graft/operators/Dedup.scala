@@ -39,16 +39,21 @@ object Dedup {
                       shingle: Int = 3, k: Int = 32, bandRows: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     Geo.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("band", explode(call_function("lsh_bands",
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // the banded self-join moves IDS ONLY — at 100 TB the candidate shuffle
+    // is 16 bytes/row, not the document text; texts re-join below for the
+    // exact refine, which touches only the (small) candidate set
+    val sigs = docs
+      .select(col("id"), explode(call_function("lsh_bands",
         call_function("minhash", col("text"), lit(shingle), lit(k)),
-        lit(bandRows))))
-    val pairs = sigs.as("a").join(sigs.as("b"),
+        lit(bandRows))).as("band"))
+    val candidates = sigs.as("a").join(sigs.as("b"),
       col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", call_function("ngram_jaccard",
         col("text_a"), col("text_b"), lit(shingle)))
       .filter(col("jaccard") >= threshold)
@@ -78,14 +83,27 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs: LSH-bucket candidates (random
-    * hyperplane signs), exact cosine refine. */
+    * hyperplane signs), exact cosine refine.
+    *
+    * `bits` must grow with corpus size — the within-bucket self-join is
+    * quadratic in bucket width, so bucket population has to stay bounded.
+    * Pass `bits <= 0` to size it automatically from the corpus count
+    * (targeting ~64 rows/bucket on a uniform hash; planted duplicates still
+    * collide because near-identical vectors share sign bits). */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         bits: Int = 12, seed: Long = 42L,
                         threshold: Double = 0.95): DataFrame = {
     Geo.register(df.sparkSession)
+    val useBits =
+      if (bits > 0) bits
+      else {
+        val n = df.count()
+        math.max(4, math.ceil(math.log(math.max(1.0, n / 64.0)) /
+          math.log(2.0)).toInt)
+      }
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", call_function("vec_lshbucket",
-        col("vec"), lit(bits), lit(seed)))
+        col("vec"), lit(useBits), lit(seed)))
     bucketed.as("a").join(bucketed.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", call_function("vec_cosine", col("a.vec"), col("b.vec")))

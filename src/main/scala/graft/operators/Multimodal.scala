@@ -23,51 +23,20 @@ object Multimodal {
   /** Parse (w, h, detected_fmt) from the payload header. PNG IHDR and JPEG
     * SOF0/SOF2 markers parsed directly; anything else -> nulls + "unknown".
     * This is a real decoder of the header, not a stub. */
-  def imageMeta(bytes: Array[Byte]): (Option[Int], Option[Int], String) = {
-    if (bytes == null || bytes.length < 12) return (None, None, "unknown")
-    // PNG: 89 50 4E 47 0D 0A 1A 0A, IHDR at offset 8, w/h big-endian at 16/20
-    if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
-      bytes(3) == 'G' && bytes.length >= 24) {
-      val bb = java.nio.ByteBuffer.wrap(bytes, 16, 8)
-      return (Some(bb.getInt), Some(bb.getInt), "png")
-    }
-    // JPEG: FF D8, scan markers for SOF0(C0)/SOF2(C2): h/w big-endian
-    if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
-      var i = 2
-      while (i + 9 < bytes.length) {
-        if ((bytes(i) & 0xff) == 0xff) {
-          val marker = bytes(i + 1) & 0xff
-          if (marker == 0xc0 || marker == 0xc2) {
-            val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
-            val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
-            return (Some(w), Some(h), "jpeg")
-          }
-          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-          i += 2 + len
-        } else i += 1
-      }
-      return (None, None, "jpeg")
-    }
-    (None, None, "unknown")
-  }
+  def imageMeta(bytes: Array[Byte]): (Option[Int], Option[Int], String) =
+    graft.sql.MediaOps.imageMetaTuple(bytes)
 
-  private val metaSchema = StructType(Seq(
-    StructField("decoded_w", IntegerType, nullable = true),
-    StructField("decoded_h", IntegerType, nullable = true),
-    StructField("detected_fmt", StringType, nullable = false)))
-
-  /** Adds decoded_w/decoded_h/detected_fmt from real header parsing —
-    * per-partition batch transform over the binary column. */
+  /** Adds decoded_w/decoded_h/detected_fmt from real header parsing via the
+    * codegen'd `img_meta` kernel — stays inside WholeStageCodegen, pipelined
+    * with the scan; column pruning and pushdown flow through (vs the old
+    * `mapPartitions`, which severed both). */
   def withImageMeta(df: DataFrame, bytesCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ metaSchema.fields)
-    val enc = RowEncoder.encoderFor(outSchema)
-    val idx = df.schema.fieldIndex(bytesCol)
-    df.mapPartitions { rows =>
-      rows.map { row =>
-        val (w, h, fmt) = imageMeta(row.getAs[Array[Byte]](idx))
-        Row.fromSeq(row.toSeq ++ Seq(w.orNull, h.orNull, fmt))
-      }
-    }(enc)
+    graft.sql.Geo.register(df.sparkSession)
+    df.withColumn("__img_meta", call_function("img_meta", col(bytesCol)))
+      .withColumn("decoded_w", col("__img_meta.decoded_w"))
+      .withColumn("decoded_h", col("__img_meta.decoded_h"))
+      .withColumn("detected_fmt", col("__img_meta.detected_fmt"))
+      .drop("__img_meta")
   }
 
   /** STUB — deterministic fake of pixel feature extraction (this container

@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Job metrics via SparkListener (north-rule "per-partition lineage and
@@ -13,6 +13,22 @@ import org.apache.spark.sql.SparkSession
   * driver-side data movement. */
 final class StageMetricsListener extends SparkListener {
   private val stages = new ConcurrentLinkedQueue[String]()
+  private val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def onJobEnd(e: SparkListenerJobEnd): Unit = jobsEnded.incrementAndGet()
+
+  def jobsSeen: Int = jobsEnded.get()
+
+  /** Block until this listener has observed at least `atLeast` job-end
+    * events (bounded by `timeoutMs`). Events are delivered FIFO per
+    * listener, so seeing job N's end implies all earlier stage events have
+    * been delivered too. */
+  def awaitJobs(atLeast: Int, timeoutMs: Long): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (jobsEnded.get() < atLeast && System.nanoTime() < deadline)
+      Thread.sleep(2)
+    jobsEnded.get() >= atLeast
+  }
 
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val info = sc.stageInfo
@@ -57,8 +73,12 @@ object Metrics {
     try {
       val r = body
       // stage-completed events are delivered asynchronously on the listener
-      // bus (no public flush API) — bounded settle wait
-      Thread.sleep(500)
+      // bus; run a marker job and wait for its job-end — FIFO delivery then
+      // guarantees every stage event from `body` has arrived (deterministic,
+      // unlike a fixed sleep)
+      val before = listener.jobsSeen
+      spark.sparkContext.parallelize(Seq(0), 1).count()
+      listener.awaitJobs(before + 1, 15000)
       (r, listener.drainTo(s"$tableDir/metrics.jsonl"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }

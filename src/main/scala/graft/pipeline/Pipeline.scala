@@ -29,13 +29,24 @@ object Pipeline {
 
   /** One processing snapshot: write `df` (already bucketed) partitioned by
     * bucket, then append a manifest of per-bucket lineage metrics.
-    * Returns the manifest DataFrame of this snapshot. */
+    * Returns the manifest DataFrame of this snapshot.
+    *
+    * The manifest is derived from the files just written, NOT from `df` —
+    * aggregating `df` directly would re-execute the whole input lineage a
+    * second time (at 100 TB that doubles the pipeline); reading back the
+    * snapshot's own parquet is pure IO on the (already reduced) output. */
   def writeSnapshot(df: DataFrame, tableDir: String, snapshotId: Long): DataFrame = {
     val spark = df.sparkSession
     val data = df.withColumn("snapshot_id", lit(snapshotId))
     data.write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(s"$tableDir/data")
-    val manifest = data.groupBy(col("bucket"))
+    val written = spark.read.parquet(s"$tableDir/data")
+      .filter(col("snapshot_id") === snapshotId)
+      // partition-column type is inferred from directory names (int vs
+      // long depends on the values present) — pin it so manifests from
+      // different snapshots always share one schema
+      .withColumn("bucket", col("bucket").cast("long"))
+    val manifest = written.groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("rows"),
         sum(length(col("bytes")).cast("long")).as("bytes"),
@@ -75,22 +86,21 @@ object Pipeline {
     spark.read.parquet(s"$tableDir/data")
       .filter(col("snapshot_id") <= snapshotId)
 
-  /** Manifest-driven spatial data skipping: buckets are z/x/y tiles, so the
-    * manifest knows which part of the world each partition covers — select
-    * only buckets whose tile envelope intersects the query box and read
-    * them via a partition filter (the scan shows `PartitionFilters`, and
-    * non-matching partitions are never opened). */
+  /** Spatial data skipping: buckets are z/x/y tiles, so the partition value
+    * itself knows which part of the world each partition covers. The tile-
+    * envelope intersection is expressed directly over the `bucket` partition
+    * column — a deterministic predicate on partition columns only, which
+    * Spark evaluates against directory values at planning time
+    * (`PartitionFilters` in the scan; non-matching partitions are never
+    * opened). Fully plan-side: no manifest collect, no driver-built In-list
+    * — the shape survives 10^5 buckets. */
   def readBox(spark: SparkSession, tableDir: String, minLon: Double,
               minLat: Double, maxLon: Double, maxLat: Double): DataFrame = {
     Geo.register(spark)
-    val buckets = spark.read.parquet(s"$tableDir/manifests")
-      .select("bucket").distinct().collect().map(_.getLong(0))
-    val hit = buckets.filter { b =>
-      val (bMinLon, bMinLat, bMaxLon, bMaxLat) = graft.core.Tiles.tileEnvelope(b)
-      bMinLon <= maxLon && bMaxLon >= minLon && bMinLat <= maxLat && bMaxLat >= minLat
-    }
+    val env = call_function("st_tileenvelope", col("bucket").cast("long"))
     spark.read.parquet(s"$tableDir/data")
-      .filter(col("bucket").isin(hit.toSeq: _*))
+      .filter(env.getField("xmin") <= maxLon && env.getField("xmax") >= minLon &&
+        env.getField("ymin") <= maxLat && env.getField("ymax") >= minLat)
       .filter(col("lon") >= minLon && col("lon") <= maxLon &&
         col("lat") >= minLat && col("lat") <= maxLat)
   }

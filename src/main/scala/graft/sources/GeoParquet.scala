@@ -29,9 +29,11 @@ object GeoParquet {
       .getStruct(0)
     val bbox = s"[${box.getDouble(0)},${box.getDouble(1)},${box.getDouble(2)},${box.getDouble(3)}]"
     val crsJson = crs.map(c =>
-      if (c.trim.startsWith("{")) c else "\"" + c + "\"").getOrElse("null")
+      if (c.trim.startsWith("{")) c
+      else "\"" + GeoSchema.jsonEscape(c) + "\"").getOrElse("null")
+    val colJson = GeoSchema.jsonEscape(geomCol)
     val meta =
-      s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":
+      s"""{"version":"1.1.0","primary_column":"$colJson","columns":{"$colJson":
          |{"encoding":"WKB","geometry_types":[],"crs":$crsJson,"bbox":$bbox}}}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
@@ -74,8 +76,14 @@ object GeoParquet {
       }
       None
     } else if (rest.startsWith("\"")) {
-      val end = rest.indexOf('"', 1)
-      if (end > 0) Some(rest.substring(1, end)) else None
+      // scan to the closing quote honoring escapes, then unescape the body
+      var j = 1
+      while (j < rest.length && rest.charAt(j) != '"') {
+        if (rest.charAt(j) == '\\') j += 1
+        j += 1
+      }
+      if (j < rest.length) Some(GeoSchema.jsonUnescape(rest.substring(1, j)))
+      else None
     } else None
   }
 }

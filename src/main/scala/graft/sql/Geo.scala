@@ -134,6 +134,12 @@ object Geo {
       Seq(StringType, StringType, IntegerType))),
     "doc_fingerprint" -> (a => txt(LongType, "fingerprint", a,
       Seq(StringType, IntegerType, IntegerType))),
+    // --- multimodal kernels (propagateNull=false: null payload is data —
+    // it must yield (null, null, "unknown"), not a null struct)
+    "img_meta" -> (a => StaticInvoke(MediaOps.getClass, MediaOps.imageMetaType,
+      "imageMeta", a.map(e => if (e.dataType == BinaryType) e else Cast(e, BinaryType)),
+      inputTypes = Seq(BinaryType), propagateNull = false,
+      returnNullable = false)),
     // --- vector kernels
     "vec_dot" -> (a => vec(DoubleType, "dot", a, Seq(floatArray, floatArray))),
     "vec_norm" -> (a => vec(DoubleType, "norm", a, Seq(floatArray))),
@@ -141,6 +147,10 @@ object Geo {
     "vec_l2sq" -> (a => vec(DoubleType, "l2Sq", a, Seq(floatArray, floatArray))),
     "vec_lshbucket" -> (a => vec(LongType, "lshBucket", a,
       Seq(floatArray, IntegerType, LongType))),
+    "vec_argmax_centroid" -> (a => vec(IntegerType, "argmaxCentroid", a,
+      Seq(floatArray, floatArray))),
+    "vec_topcentroids" -> (a => vec(ArrayType(IntegerType, containsNull = false),
+      "topCentroids", a, Seq(floatArray, floatArray, IntegerType))),
     // --- aggregates (kernels K6/K8)
     "st_box_agg" -> (a => StBoxAgg(a.head).toAggregateExpression()),
     "st_uniquetypes_agg" -> (a => StUniqueTypesAgg(a.head).toAggregateExpression()))

@@ -152,34 +152,37 @@ object GeoOps {
 
   // ------------------------------------------------------------ predicates
 
-  /** Per-thread decode cache for the probe side of broadcast PIP joins:
-    * the same few hundred polygons repeat millions of times per task, and
-    * decoding (two array materializations per row) would dominate the
-    * raycast. UnsafeRows from a broadcast relation share one backing
-    * buffer, so (buffer identity, offset, size) identifies a row; buffers
-    * are weakly referenced so dropped broadcasts unpin their entries. */
+  /** Per-thread decode cache for the repeating side of PIP joins: the same
+    * few hundred polygons recur millions of times per task, and decoding
+    * (two array materializations per row) would dominate the raycast.
+    *
+    * Keys are row CONTENT, never buffer identity: Spark reuses row buffers
+    * with identical (baseObject, offset, size) for different contents
+    * (UnsafeRowSerializer's shared rowBuffer on shuffle reads, codegen
+    * BufferHolder reuse), so an identity-keyed cache can serve a stale
+    * polygon. Here the key is the row's Murmur3 byte hash and every hit is
+    * verified by a full byte compare against a defensively-copied row —
+    * a stale or colliding entry can only miss, never produce wrong data. */
+  private final class CachedGeom(val row: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+                                 val geom: Geom)
+
   private val polyCache =
-    new ThreadLocal[java.util.WeakHashMap[AnyRef, java.util.HashMap[Long, Geom]]] {
-      override def initialValue() = new java.util.WeakHashMap
+    new ThreadLocal[java.util.HashMap[Integer, CachedGeom]] {
+      override def initialValue() = new java.util.HashMap
     }
 
   private def decodeCached(poly: InternalRow): Geom = poly match {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
-      val perBuffer = polyCache.get()
-      var byOffset = perBuffer.get(u.getBaseObject)
-      if (byOffset == null) {
-        if (perBuffer.size > 64) perBuffer.clear()
-        byOffset = new java.util.HashMap[Long, Geom]
-        perBuffer.put(u.getBaseObject, byOffset)
+      val cache = polyCache.get()
+      val key = Integer.valueOf(u.hashCode()) // Murmur3 over the row bytes
+      val hit = cache.get(key)
+      if (hit != null && hit.row.equals(u)) hit.geom // byte-exact verify
+      else {
+        val g = GeoStruct.decode(u)
+        if (cache.size > 4096) cache.clear()
+        cache.put(key, new CachedGeom(u.copy(), g))
+        g
       }
-      val key = u.getBaseOffset ^ (u.getSizeInBytes.toLong << 40)
-      var g = byOffset.get(key)
-      if (g == null) {
-        if (byOffset.size > 8192) byOffset.clear()
-        g = GeoStruct.decode(u)
-        byOffset.put(key, g)
-      }
-      g
     case r => GeoStruct.decode(r)
   }
 

@@ -51,13 +51,52 @@ object GeoSchema {
 
   // ---- metadata JSON (M1: serialize per /root/reference/R/type.R:324-349)
 
+  /** JSON string-body escape (quotes, backslashes, control chars) — shared
+    * by every JSON writer in the engine so interpolated values can never
+    * produce invalid JSON. */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case '\r' => sb.append("\\r")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[jsonEscape]] for a JSON string body. */
+  def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case 'u' if i + 4 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+            i += 4
+          case other => sb.append(other)
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** `{"crs":...,"edges":"..."}` — crs embedded raw when PROJJSON (starts
     * with '{'), quote-escaped string otherwise; edges omitted when planar. */
   def serializeMetadata(crs: Option[String], edges: String = "planar"): String = {
     val parts = Seq.newBuilder[String]
     crs.filter(_.nonEmpty).foreach { c =>
       if (c.trim.startsWith("{")) parts += s""""crs":${c.trim}"""
-      else parts += s""""crs":"${c.replace("\"", "\\\"")}""""
+      else parts += s""""crs":"${jsonEscape(c)}""""
     }
     if (edges != "planar" && EdgeTypes.contains(edges))
       parts += s""""edges":"$edges""""

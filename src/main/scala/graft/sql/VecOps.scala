@@ -40,6 +40,73 @@ object VecOps {
     s
   }
 
+  /** Index (0..nlist-1) of the max-cosine centroid in a flattened row-major
+    * centroid matrix (nlist*dim floats), ties to the lowest index. Runs as
+    * one codegen'd projection against the literal/broadcast codebook — the
+    * IVF assignment path with ZERO shuffle (vs crossJoin+window, which
+    * materializes corpus*nlist rows). */
+  def argmaxCentroid(v: ArrayData, centroids: ArrayData): Int = {
+    val dim = v.numElements()
+    if (dim == 0) return 0
+    val nlist = centroids.numElements() / dim
+    val nv = norm(v)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < nlist) {
+      val sim = centroidCosine(v, centroids, c, dim, nv)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid indices for a query vector, descending
+    * similarity, ties to the lowest index. */
+  def topCentroids(v: ArrayData, centroids: ArrayData, nprobe: Int): ArrayData = {
+    val dim = v.numElements()
+    if (dim == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Int])
+    val nlist = centroids.numElements() / dim
+    val nv = norm(v)
+    val sims = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) { sims(c) = centroidCosine(v, centroids, c, dim, nv); c += 1 }
+    val n = math.min(nprobe, nlist)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      c = 0
+      while (c < nlist) {
+        if (!taken(c) && sims(c) > bestSim) { bestSim = sims(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private def centroidCosine(v: ArrayData, centroids: ArrayData, c: Int,
+                             dim: Int, nv: Double): Double = {
+    var dot = 0.0
+    var nc = 0.0
+    var i = 0
+    val base = c * dim
+    while (i < dim) {
+      val cv = centroids.getFloat(base + i).toDouble
+      dot += v.getFloat(i).toDouble * cv
+      nc += cv * cv
+      i += 1
+    }
+    if (nv == 0 || nc == 0) 0.0 else dot / (nv * math.sqrt(nc))
+  }
+
   /** Random-hyperplane LSH bucket: sign bits of `bits` seeded pseudo-random
     * hyperplane dot products (deterministic from the seed — the IVF/LSH
     * scale path for ANN; SURVEY.md training-data ops). */

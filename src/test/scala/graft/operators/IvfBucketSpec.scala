@@ -33,6 +33,31 @@ class IvfBucketSpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, s"IVF mean recall $meanRecall (nprobe=half of nlist)")
   }
 
+  test("IVF assignment is map-side: no crossJoin, single rerank window") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        ((GeoOps.splitmix64(i * 8L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Ann.ivfTopK(df, queries, "embedding", "vec_id", "qid", "qvec",
+      k = 5, nlist = 8, nprobe = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // centroid assignment must be a codegen'd projection against the
+    // literal codebook — no corpus*nlist materialization, no per-row window
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF assignment must not cross-join the corpus:\n$plan")
+    assert(plan.linesIterator.count(l => l.contains("Window [")) <= 1,
+      s"only the final rerank may use a window:\n$plan")
+    // the executed plan may constant-fold the kernel into a LocalTableScan
+    // for local-relation inputs — assert it on the analyzed plan instead
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("argmaxCentroid"),
+      s"assignment should call the argmax kernel:\n$analyzed")
+  }
+
   test("bucketed co-located join plans without exchanges") {
     // default warehouse dir (spark-warehouse/ under cwd, gitignored)
     val a = (0 until 1000).map(i => (i.toLong % 97, i.toLong)).toDF("key", "va")

@@ -29,6 +29,17 @@ class MultimodalSpec extends AnyFunSuite {
       rows(0).getString(2) == "png")
   }
 
+  test("withImageMeta stays inside whole-stage codegen (static_invoke)") {
+    val df = ImagesTable.generate(spark, 20L, png = true)
+    val out = Multimodal.withImageMeta(df, "bytes")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("imagemeta") ||
+      plan.contains("static_invoke"),
+      s"img_meta must bind as a StaticInvoke kernel:\n$plan")
+    assert(!plan.contains("MapPartitions") && !plan.contains("SerializeFromObject"),
+      s"img_meta must not sever codegen with an object boundary:\n$plan")
+  }
+
   test("feature extraction stub: deterministic, right shape") {
     val df = ImagesTable.generate(spark, 10L)
     val a = Multimodal.extractFeaturesStub(df, "bytes", 16)

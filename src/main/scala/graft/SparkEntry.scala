@@ -203,6 +203,20 @@ object SparkEntry {
         |  st_y(st_snaptogrid(st_point(lon, lat), 100.0)) AS sy
         |FROM pts ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q18_native_layout" -> { (s, d) =>
+      prep(s, d)
+      // native GeoArrow layout casts (SEPARATE struct-of-arrays and
+      // INTERLEAVED), verified bit-exact via the WKB leg on every row
+      s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
+        |SELECT count(*) AS n FROM pts
+        |WHERE st_aswkb(st_fromnative(st_tonative(st_point(lon, lat),
+        |        'point', 'xy', 'separate'), 'point', 'xy', 'separate'))
+        |      = st_aswkb(st_point(lon, lat))
+        |  AND st_aswkb(st_fromnative(st_tonative(st_point(lon, lat),
+        |        'point', 'xy', 'interleaved'), 'point', 'xy', 'interleaved'))
+        |      = st_aswkb(st_point(lon, lat))
+        |""".stripMargin)
+    },
     // ---- 2C cell index / tiles / joins -----------------------------
     "q20_cellid" -> { (s, d) =>
       prep(s, d)
@@ -508,6 +522,8 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, round(lon * 100.0) / 100.0 AS sx,
         |  round(lat * 100.0) / 100.0 AS sy
         |FROM pts ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q18_native_layout" ->
+      "SELECT count(*) AS n FROM lineitem",
     "q22_tile_assign" ->
       s"""WITH pts AS (${PtsCte.replace("\n", " ")})
         |SELECT CAST(floor((lon + 180.0) / 360.0 * 256) AS INTEGER) AS tx,

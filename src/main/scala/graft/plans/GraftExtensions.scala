@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,7 +24,75 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => ElideRedundantGeoCasts)
     ext.injectOptimizerRule(_ => ContainsJoinRewrite)
+    // analysis-time check: aliases (and their column metadata) are intact
+    // here — the optimizer's CollapseProject would inline them away
+    ext.injectCheckRule(_ => plan => PlanarEdgesGuard.check(plan))
   }
+}
+
+/** The reference's box kernel refuses non-planar edges rather than silently
+  * returning planar answers (`/root/reference/src/geoarrow.c:1747-1750`).
+  * Mirror: when a geometry column whose geoarrow metadata tags spherical/
+  * geodesic edges reaches a planar-only kernel (envelope, box_agg), fail
+  * the query instead of computing a wrong box. */
+object PlanarEdgesGuard extends Rule[LogicalPlan] {
+
+  private val planarOnly = Set("envelope", "boxUpdate")
+
+  private def edgesOf(e: Expression): Option[String] = {
+    val meta = e match {
+      case a: Attribute => Some(a.metadata)
+      case al: org.apache.spark.sql.catalyst.expressions.Alias => Some(al.metadata)
+      case _ => None
+    }
+    meta.filter(_.contains("geoarrow.metadata")).flatMap { m =>
+      try Some(graft.sql.GeoSchema
+        .parseMetadata(m.getString("geoarrow.metadata"))._2)
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Walks `plan` tracking each attribute's geoarrow metadata (aliases
+    * included) and fails when a non-planar-tagged geometry column feeds a
+    * planar-only kernel. Runs best at analysis time (as an injected check
+    * rule) where aliases are still present. */
+  def check(plan: LogicalPlan): Unit = {
+    // attribute id -> edges, gathered from relation schemas and aliases
+    val edges = scala.collection.mutable.Map.empty[Long, String]
+    plan.foreachUp { node =>
+      node.expressions.foreach(_.foreach {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          edgesOf(al).foreach(e => edges(al.exprId.id) = e)
+        case _ =>
+      })
+      node.output.foreach { a =>
+        edgesOf(a).foreach(e => edges.getOrElseUpdate(a.exprId.id, e))
+      }
+      def guardArgs(args: Seq[Expression]): Unit = args.foreach {
+        case a: Attribute =>
+          (edgesOf(a).orElse(edges.get(a.exprId.id)))
+            .filter(_ != "planar").foreach { e =>
+              throw new IllegalArgumentException(
+                s"st_envelope/st_box_agg: column '${a.name}' has " +
+                  s"non-planar edges ('$e'); planar-only kernel " +
+                  "(reference geoarrow.c:1747-1750 semantics)")
+            }
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case si: StaticInvoke
+            if si.staticObject == graft.sql.GeoOps.getClass &&
+              planarOnly.contains(si.functionName) =>
+          guardArgs(si.arguments)
+        // box_agg's boxUpdate invoke only materializes at physical
+        // planning — guard the aggregate function itself
+        case agg: graft.sql.StBoxAgg => guardArgs(Seq(agg.child))
+        case _ =>
+      })
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = { check(plan); plan }
 }
 
 /** The reference elides identity casts at the stream level — parsed-type

@@ -55,6 +55,72 @@ object GeoParquet {
     } else df
   }
 
+  /** Native GeoArrow-layout emit: the geometry column is written in the
+    * reference's physical layout (`/root/reference/src/geoarrow.c:25-43`)
+    * instead of WKB — separate (struct-of-arrays; parquet stores each
+    * ordinate in its own column chunk, the layout sf/GDAL emit by default)
+    * or interleaved. The sidecar records (encoding, dims, coord_type) so
+    * [[readNative]] reconstructs without being told. */
+  def writeNative(df: DataFrame, geomCol: String, path: String,
+                  geometryType: String, dims: String = "xy",
+                  coordType: String = "separate",
+                  crs: Option[String] = Some(GeoSchema.Crs84Projjson)): Unit = {
+    val spark = df.sparkSession
+    Geo.register(spark)
+    df.withColumn(geomCol, call_function("st_tonative", col(geomCol),
+        lit(geometryType), lit(dims), lit(coordType)))
+      .write.mode("overwrite").parquet(path)
+    val crsJson = crs.map(c =>
+      if (c.trim.startsWith("{")) c
+      else "\"" + GeoSchema.jsonEscape(c) + "\"").getOrElse("null")
+    val colJson = GeoSchema.jsonEscape(geomCol)
+    val meta =
+      s"""{"version":"1.1.0","primary_column":"$colJson","columns":{"$colJson":
+         |{"encoding":"geoarrow.${geometryType.toLowerCase}","dims":"${dims.toLowerCase}",
+         |"coord_type":"${coordType.toLowerCase}","crs":$crsJson}}}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
+  }
+
+  /** Reads a native-layout GeoParquet table written by [[writeNative]] (or
+    * any parquet whose sidecar declares a geoarrow.* encoding), decoding the
+    * nested layout back to the engine's geometry struct and re-attaching
+    * crs metadata. */
+  def readNative(spark: SparkSession, path: String, geomCol: String): DataFrame = {
+    Geo.register(spark)
+    val json = Files.readString(Paths.get(path, "_geo_metadata.json"))
+    val enc = extractString(json, "encoding").getOrElse(
+      throw new IllegalArgumentException(s"no geoarrow encoding in sidecar at $path"))
+    require(enc.startsWith("geoarrow."), s"not a native geoarrow encoding: $enc")
+    val gt = enc.stripPrefix("geoarrow.")
+    val dims = extractString(json, "dims").getOrElse("xy")
+    val ct = extractString(json, "coord_type").getOrElse("separate")
+    val crs = extractCrs(json)
+    val df = spark.read.parquet(path)
+      .withColumn(geomCol, call_function("st_fromnative", col(geomCol),
+        lit(gt), lit(dims), lit(ct)))
+    val typeInt = Seq("point", "linestring", "polygon", "multipoint",
+      "multilinestring", "multipolygon").indexOf(gt) + 1
+    val dimsInt = Seq("xy", "xyz", "xym", "xyzm").indexOf(dims) + 1
+    if (typeInt > 0 && dimsInt > 0)
+      GeoSchema.withGeoMetadata(df, geomCol, typeInt, dimsInt, crs)
+    else df
+  }
+
+  private def extractString(json: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":"
+    val i = json.indexOf(k)
+    if (i < 0) return None
+    val rest = json.substring(i + k.length).trim
+    if (!rest.startsWith("\"")) return None
+    var j = 1
+    while (j < rest.length && rest.charAt(j) != '"') {
+      if (rest.charAt(j) == '\\') j += 1
+      j += 1
+    }
+    if (j < rest.length) Some(GeoSchema.jsonUnescape(rest.substring(1, j))) else None
+  }
+
   private def extractCrs(json: String): Option[String] = {
     val key = "\"crs\":"
     val i = json.indexOf(key)

@@ -47,6 +47,41 @@ object Geo {
   private val longArray = ArrayType(LongType, containsNull = false)
   private val floatArray = ArrayType(FloatType, containsNull = true)
 
+  private def castTo(e: Expression, t: DataType): Expression =
+    if (e.dataType == t) e else Cast(e, t)
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      s.toString.toLowerCase
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  /** Parses the (geometry_type, dims, coord_type) literals of the native-
+    * layout cast functions; coord_type defaults to 'separate' (the
+    * reference's default layout, `/root/reference/R/type.R:420-424`). */
+  private def nativeTarget(a: Seq[Expression]): (Int, Int, Int) = {
+    val gt = litStr(a(1), "geometry type") match {
+      case "point" => GeomTypes.Point
+      case "linestring" => GeomTypes.LineString
+      case "polygon" => GeomTypes.Polygon
+      case "multipoint" => GeomTypes.MultiPoint
+      case "multilinestring" => GeomTypes.MultiLineString
+      case "multipolygon" => GeomTypes.MultiPolygon
+      case other => throw new IllegalArgumentException(s"unknown geometry type '$other'")
+    }
+    val dims = if (a.size > 2) litStr(a(2), "dims") match {
+      case "xy" => 1; case "xyz" => 2; case "xym" => 3; case "xyzm" => 4
+      case other => throw new IllegalArgumentException(s"unknown dims '$other'")
+    } else 1
+    val ct = if (a.size > 3) litStr(a(3), "coord type") match {
+      case "separate" => GeoSchema.CoordType.Separate
+      case "interleaved" => GeoSchema.CoordType.Interleaved
+      case other => throw new IllegalArgumentException(s"unknown coord type '$other'")
+    } else GeoSchema.CoordType.Separate
+    (gt, dims, ct)
+  }
+
   /** name -> builder for every function. */
   val functions: Map[String, Seq[Expression] => Expression] = Map(
     // --- codecs (kernels K3/K4/K5, readers R1/R2, writers W1/W2)
@@ -79,6 +114,34 @@ object Geo {
     "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
     "st_boxtopolygon" -> (a => geo(G, "boxToPolygon", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
+    // BOX as an input geometry: a geoarrow.box struct column reads as its
+    // 5-point polygon ring; min>max -> POLYGON EMPTY
+    // (`/root/reference/src/geoarrow.c:2957-3027`)
+    "st_boxgeom" -> (a => geo(G, "boxGeom", a, Seq(B))),
+    "st_makebox" -> (a => geo(B, "makeBox", a,
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
+    // --- native GeoArrow layout interchange (K5 casts to/from the
+    // reference's physical layouts, SEPARATE and INTERLEAVED)
+    "st_tonative" -> { a =>
+      val (gt, dims, ct) = nativeTarget(a)
+      StaticInvoke(NativeOps.getClass,
+        NativeOps.nativeDataType(gt, dims, ct), "toNative",
+        Seq(castTo(a.head, G), Literal(gt), Literal(dims), Literal(ct)),
+        inputTypes = Seq(G, IntegerType, IntegerType, IntegerType),
+        propagateNull = true, returnNullable = false)
+    },
+    "st_fromnative" -> { a =>
+      val (gt, dims, ct) = nativeTarget(a)
+      val inType = NativeOps.lenientDataType(NativeOps.nativeDataType(gt, dims, ct))
+      val method = inType match {
+        case _: StructType => "fromNativeStruct"
+        case _ => "fromNativeArray"
+      }
+      StaticInvoke(NativeOps.getClass, G, method,
+        Seq(castTo(a.head, inType), Literal(gt), Literal(dims), Literal(ct)),
+        inputTypes = Seq(inType, IntegerType, IntegerType, IntegerType),
+        propagateNull = true, returnNullable = false)
+    },
     "st_x" -> (a => geo(DoubleType, "pointX", a, Seq(G))),
     "st_y" -> (a => geo(DoubleType, "pointY", a, Seq(G))),
     "st_srid" -> (a => geo(IntegerType, "srid", a, Seq(G))),
@@ -177,7 +240,8 @@ object Geo {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.ContainsJoinRewrite)) {
         spark.experimental.extraOptimizations ++=
-          Seq(graft.plans.ContainsJoinRewrite, graft.plans.ElideRedundantGeoCasts)
+          Seq(graft.plans.ContainsJoinRewrite, graft.plans.ElideRedundantGeoCasts,
+            graft.plans.PlanarEdgesGuard)
       }
       registered.add(key)
     }

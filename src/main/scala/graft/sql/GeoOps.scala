@@ -150,6 +150,15 @@ object GeoOps {
         Array(0, 5)))
   }
 
+  /** BOX struct column read as a geometry — the native visitor's walk of a
+    * geoarrow.box as a 5-point polygon ring
+    * (`/root/reference/src/geoarrow.c:2957-3027`). */
+  def boxGeom(b: InternalRow): InternalRow =
+    boxToPolygon(b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+
+  def makeBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): InternalRow =
+    GeoStruct.encodeBox(Array(xmin, ymin, xmax, ymax))
+
   // ------------------------------------------------------------ predicates
 
   /** Per-thread decode cache for the repeating side of PIP joins: the same

@@ -225,6 +225,47 @@ object GeoSchema {
     df.withColumn(colName,
       col(colName).as(colName, fieldMetadata(geometryType, dims, crs, edges)))
 
+  /** Kernel-output metadata propagation (K5/C2 semantics: every cast output
+    * copies the input schema's crs/edges, `/root/reference/src/geoarrow.c:
+    * 1599-1606`, test `test-array.R:21-30`): applies `f` to the geometry
+    * column and re-attaches the source column's crs/edges — a bare
+    * `withColumn` would silently drop them. Pass the new geometry type/dims
+    * when the transform changes them. */
+  def transformGeo(df: DataFrame, colName: String,
+                   newGeometryType: Option[Int] = None,
+                   newDims: Option[Int] = None)(
+      f: Column => Column): DataFrame = {
+    val field = df.schema(colName)
+    val out = df.withColumn(colName, f(col(colName)))
+    if (!isGeoField(field)) out
+    else {
+      val p = parseField(field)
+      val gt = newGeometryType.getOrElse(p.geometryType)
+      val dm = newDims.getOrElse(p.dims)
+      out.withColumn(colName,
+        col(colName).as(colName, fieldMetadata(gt, dm, p.crs, p.edges)))
+    }
+  }
+
+  private val TypeNames = Map("point" -> 1, "linestring" -> 2, "polygon" -> 3,
+    "multipoint" -> 4, "multilinestring" -> 5, "multipolygon" -> 6)
+  private val DimNames = Map("xy" -> 1, "xyz" -> 2, "xym" -> 3, "xyzm" -> 4)
+
+  /** `as_geoarrow`-style column cast with automatic crs/edges propagation. */
+  def castType(df: DataFrame, colName: String, target: String): DataFrame = {
+    Geo.register(df.sparkSession)
+    transformGeo(df, colName,
+      newGeometryType = TypeNames.get(target.toLowerCase))(
+      c => call_function("st_casttype", c, lit(target)))
+  }
+
+  /** Dimension cast (NaN fill) with automatic crs/edges propagation. */
+  def castDims(df: DataFrame, colName: String, dims: String): DataFrame = {
+    Geo.register(df.sparkSession)
+    transformGeo(df, colName, newDims = DimNames.get(dims.toLowerCase))(
+      c => call_function("st_castdims", c, lit(dims)))
+  }
+
   // ---- inference (S5, /root/reference/R/infer-default.R:112-152)
 
   case class InferredType(geometryType: Int, dims: Int, isWkbFallback: Boolean) {

@@ -30,4 +30,46 @@ class GeoParquetSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).sorted
     assert(xs.toSeq == (0 until 100).map(_.toDouble))
   }
+
+  test("native point layout emit: separate struct-of-arrays in parquet") {
+    Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet_native").toString
+    val df = spark.sql(
+      """SELECT id, st_point(CAST(id AS DOUBLE) / 4, CAST(id AS DOUBLE) - 50) AS geom
+        |FROM range(100)""".stripMargin)
+    GeoParquet.writeNative(df, "geom", dir, geometryType = "point",
+      dims = "xy", coordType = "separate")
+
+    // foreign readers see the GeoArrow separate point layout: struct<x,y>
+    // — in parquet each ordinate is its own column chunk
+    val raw = spark.read.parquet(dir)
+    val dt = raw.schema("geom").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(dt.fieldNames.toSeq == Seq("x", "y"))
+
+    val back = GeoParquet.readNative(spark, dir, "geom")
+    assert(back.schema("geom").dataType == graft.sql.GeoStruct.dataType)
+    val parsed = GeoSchema.parseField(back.schema(back.schema.fieldIndex("geom")))
+    assert(parsed.geometryType == 1 && parsed.dims == 1)
+    val pts = back.select(col("id"),
+        call_function("st_x", col("geom")).as("x"),
+        call_function("st_y", col("geom")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pts.forall { case (id, x, y) => x == id / 4.0 && y == id - 50.0 })
+  }
+
+  test("native polygon layout round-trips through parquet") {
+    Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet_poly").toString
+    val df = spark.sql(
+      """SELECT id, st_geomfromwkt(concat('POLYGON ((0 0, ', CAST(id + 1 AS STRING),
+        |  ' 0, 1 ', CAST(id + 1 AS STRING), ', 0 0))')) AS geom FROM range(20)"""
+        .stripMargin)
+    val wktBefore = df.selectExpr("id", "st_aswkt(geom) AS w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    GeoParquet.writeNative(df, "geom", dir, geometryType = "polygon")
+    val back = GeoParquet.readNative(spark, dir, "geom")
+    val wktAfter = back.selectExpr("id", "st_aswkt(geom) AS w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wktAfter == wktBefore)
+  }
 }

@@ -76,6 +76,41 @@ class GeoSchemaSpec extends AnyFunSuite {
     assert(parsed.edges == "spherical")
   }
 
+  test("crs/edges propagate through casts (test-array.R:21-30)") {
+    // kernel-output schema copies input crs/edges (geoarrow.c:1599-1606)
+    val df = GeoSchema.withGeoMetadata(geoms("POINT (1 2)"), "g",
+      geometryType = 1, dims = 1, crs = Some(GeoSchema.Crs84Projjson),
+      edges = "planar")
+    val cast = GeoSchema.castType(df, "g", "multipoint")
+    val p = GeoSchema.parseField(cast.schema("g"))
+    assert(p.geometryType == 4) // type id updated by the cast
+    assert(p.crs.contains(GeoSchema.Crs84Projjson)) // crs carried over
+    assert(p.edges == "planar")
+    assert(cast.select(call_function("st_typeid", col("g")))
+      .collect()(0).getInt(0) == 4)
+    // dims cast keeps crs and updates dims
+    val dcast = GeoSchema.castDims(cast, "g", "xyz")
+    val pd = GeoSchema.parseField(dcast.schema("g"))
+    assert(pd.dims == 2 && pd.crs.contains(GeoSchema.Crs84Projjson))
+  }
+
+  test("planar-only kernels refuse non-planar edges (geoarrow.c:1747-1750)") {
+    Geo.register(spark)
+    val df = GeoSchema.withGeoMetadata(geoms("POINT (1 2)"), "g",
+      geometryType = 1, dims = 1, crs = None, edges = "spherical")
+    val err = intercept[Exception] {
+      df.select(call_function("st_envelope", col("g"))).collect()
+    }
+    assert(err.getMessage.contains("non-planar"))
+    val errAgg = intercept[Exception] {
+      df.agg(call_function("st_box_agg", col("g"))).collect()
+    }
+    assert(errAgg.getMessage.contains("non-planar"))
+    // planar-tagged columns pass
+    val ok = GeoSchema.withGeoMetadata(geoms("POINT (1 2)"), "g", 1, 1)
+    assert(ok.select(call_function("st_envelope", col("g"))).count() == 1)
+  }
+
   test("concatGeo: same type unions natively, mixed casts to WKB") {
     import GeoSchema._
     val a = geoms("POINT (1 2)")

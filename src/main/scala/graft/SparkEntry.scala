@@ -435,6 +435,34 @@ object SparkEntry {
         .withColumn("left_after_resume", lit(leftAfter))
         .orderBy("snapshot_id")
     },
+    // oracled pipeline lineage: the same checkpoint/manifest machinery over
+    // a lineitem-derived point layer, so every manifest column (per-bucket
+    // rows, byte sums, key ranges) checks against DuckDB
+    "q52_pipeline_lineage" -> { (s, d) =>
+      prep(s, d)
+      val dir = pipelineDir("q52")
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("key", concat(lit("k"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+        .withColumn("payload", col("key").cast("binary"))
+      Pipeline.runResumable(pts, "lon", "lat", dir, 1L, zoom = 3,
+        keyCol = "key", bytesCol = "payload")(identity)
+      s.read.parquet(s"$dir/manifests")
+        .select(call_function("st_tilex", col("bucket")).as("tx"),
+          call_function("st_tiley", col("bucket")).as("ty"),
+          col("rows"), col("bytes"), col("min_key"), col("max_key"))
+        .orderBy("tx", "ty")
+    },
+    // oracled spatial data skipping: tile-envelope partition pruning must
+    // return exactly the rows a plain box predicate returns
+    "q53_readbox" -> { (s, d) =>
+      prep(s, d)
+      val dir = pipelineDir("q53")
+      val pts = Pipeline.withBucket(s.sql(ptsCteOn("lineitem_par")), "lon", "lat", 3)
+      Pipeline.writeSnapshot(pts, dir, 1L, keyCol = "l_orderkey", bytesCol = "none")
+      Pipeline.readBox(s, dir, -20.0, -10.0, 40.0, 35.0)
+        .agg(count(lit(1)).as("n_in_box"))
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) }
   )
@@ -571,6 +599,31 @@ object SparkEntry {
     "q30_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS dup_rep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // word-3-gram Jaccard over STRING shingles — equal to the engine's
+    // hashed-shingle Jaccard (splitmix64 collisions are ~0 at this scale,
+    // and intersection/union counts are integers, so doubles are bit-equal)
+    "q33_ngram_jaccard" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |mut AS (SELECT doc_id, array_to_string(
+        |  (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 8, 1)], ' ') AS mtext
+        |  FROM base),
+        |pairs AS (SELECT b.doc_id, b.text AS ta, m.mtext AS tb
+        |  FROM base b JOIN mut m ON m.doc_id = b.doc_id),
+        |sh AS (SELECT doc_id,
+        |  (SELECT list_distinct([array_to_string(ws[i:i+2], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])
+        |   FROM (SELECT string_split(ta, ' ') AS ws)) AS sa,
+        |  (SELECT list_distinct([array_to_string(ws[i:i+2], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])
+        |   FROM (SELECT string_split(tb, ' ') AS ws)) AS sb
+        |  FROM pairs)
+        |SELECT doc_id,
+        |  CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 1.0
+        |       WHEN len(sa) = 0 OR len(sb) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |            / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+        |  END AS jaccard
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "q34_token_count" ->
       """SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS tc
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -580,6 +633,60 @@ object SparkEntry {
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replicates the engine's langid heuristic (CJK codepoint share, then
+    // earliest max-marker-hit language) and quality score formula exactly;
+    // verified bit-equal per row against the kernel output
+    "q36_langid" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    length(text) AS n,
+        |    length(text) - length(replace(text, ' ', '')) AS spaces,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS words,
+        |    string_split(text, ' ') AS sws,
+        |    regexp_split_to_array(lower(text), '[^\p{L}]+') AS lws,
+        |    len(regexp_extract_all(substr(text, 1, 2000), '\p{L}')) AS total_letters,
+        |    len(regexp_extract_all(substr(text, 1, 2000),
+        |      '[一-鿿぀-ヿㇰ-ㇿ가-힯ᄀ-ᇿ㄰-㆏]')) AS cjk
+        |  FROM documents),
+        |h AS (
+        |  SELECT *,
+        |    len(list_filter(lws[1:500], w -> list_contains(['the','and','of','to','is','in','that','it','was','for'], w))) AS h_en,
+        |    len(list_filter(lws[1:500], w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], w))) AS h_de,
+        |    len(list_filter(lws[1:500], w -> list_contains(['le','la','les','et','est','une','pas','pour','que','dans'], w))) AS h_fr,
+        |    len(list_filter(lws[1:500], w -> list_contains(['el','la','los','las','es','una','no','para','que','con'], w))) AS h_es,
+        |    len(list_filter(lws[1:500], w -> list_contains(['il','la','che','e','di','non','una','per','sono','con'], w))) AS h_it,
+        |    len(list_filter(sws, w -> list_contains(['a','an','the','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','from'], w))) AS stop
+        |  FROM q),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN total_letters > 0 AND cjk * 2 > total_letters THEN 'zh'
+        |         WHEN greatest(h_en, h_de, h_fr, h_es, h_it) = 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'en'
+        |         WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'de'
+        |         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'fr'
+        |         WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'es'
+        |         ELSE 'it' END AS predicted,
+        |    (least(1.0, n / 200.0) * (CASE WHEN n > 20000 THEN 0.5 ELSE 1.0 END)
+        |     + (CASE WHEN (n - spaces) / greatest(words, 1) >= 2
+        |              AND (n - spaces) / greatest(words, 1) <= 12 THEN 1.0 ELSE 0.5 END)
+        |     + least(1.0, (stop / greatest(words, 1)) * 4)) / 3.0 AS score
+        |  FROM h)
+        |SELECT doc_id, lang, predicted, score FROM p ORDER BY doc_id""".stripMargin,
+    "q52_pipeline_lineage" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |k AS (SELECT lon, lat,
+        |  'k' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS key
+        |  FROM pts)
+        |SELECT CAST(floor((lon + 180.0) / 360.0 * 8) AS INTEGER) AS tx,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS INTEGER) AS ty,
+        |  count(*) AS "rows",
+        |  CAST(sum(length(key)) AS BIGINT) AS bytes,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM k GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    "q53_readbox" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")})
+        |SELECT count(*) AS n_in_box FROM pts
+        |WHERE lon >= -20.0 AND lon <= 40.0 AND lat >= -10.0 AND lat <= 35.0""".stripMargin,
     "q40_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,
@@ -595,5 +702,67 @@ object SparkEntry {
         |SELECT qid, rank, id AS vec_id, cos FROM (
         |  SELECT qid, id, cos, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sims)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // ground truth for the LSH-bucketed near-dup pass: scaling a vector by
+    // 1.001 never flips a hyperplane sign (the bucket is sign-of-dot), so
+    // planted pairs always share buckets and the LSH output equals the
+    // brute-force cos >= 0.99 pair set; cosines verified bit-equal
+    "q42_embed_neardup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) AS dot,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |      (SELECT unnest(a.embedding) AS x) z) AS aa,
+        |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(b.embedding) AS y) z) AS bb
+        |  FROM planted a JOIN planted b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, dot / (sqrt(aa) * sqrt(bb)) AS cos
+        |FROM pairs WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+    // full IVF replica: deterministic codebook (first 16 ids), argmax-cosine
+    // assignment, top-6 probes, exact rerank — verified bit-equal
+    "q43_ann_ivf" ->
+      """WITH cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+        |    embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |csim AS (
+        |  SELECT e.vec_id, e.embedding, cb.cid,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(e.embedding) AS x, unnest(cb.cvec) AS y) z)
+        |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |        (SELECT unnest(e.embedding) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |        (SELECT unnest(cb.cvec) AS y) z))) AS sim
+        |  FROM embeddings e CROSS JOIN cb),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |    FROM csim) WHERE r = 1),
+        |probes AS (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT vec_id AS qid, embedding AS qvec, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |    FROM csim WHERE vec_id < 10) WHERE r <= 6),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(a.embedding) AS x, unnest(p.qvec) AS y) z)
+        |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |        (SELECT unnest(a.embedding) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |        (SELECT unnest(p.qvec) AS y) z))) AS cos
+        |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id != p.qid)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
 }

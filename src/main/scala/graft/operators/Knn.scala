@@ -38,7 +38,14 @@ object Knn {
     knnJoin(points, queries.toDF("qid", "qlon", "qlat"), k, res, tieCols)
   }
 
-  /** The distributed kNN join. @param queries df with qid, qlon, qlat. */
+  /** The distributed kNN join. @param queries df with qid, qlon, qlat.
+    *
+    * The celled point projection persists (memory-and-disk) across the
+    * ring-expansion rounds — the iterative-refinement pattern: each round
+    * re-probes the same input, and re-scanning the source per round would
+    * multiply the dominant cost by the round count (~log of the distance
+    * to the k-th neighbor). Unpersisted before returning; results are
+    * checkpointed so they never re-execute the rounds. */
   def knnJoin(points: DataFrame, queries: DataFrame, k: Int, res: Double,
               tieCols: Seq[String]): DataFrame = {
     val spark = points.sparkSession
@@ -46,10 +53,11 @@ object Knn {
     import spark.implicits._
 
     val pts = points.withColumn("__cell", call_function("st_gridcell",
-      col("lon").cast("double"), col("lat").cast("double"), lit(res)))
+        col("lon").cast("double"), col("lat").cast("double"), lit(res)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // one round's plan: (topk, doneIds, finished part)
-    def round(remaining: DataFrame, r: Int): (DataFrame, DataFrame, DataFrame) = {
+    // one round's candidate top-k plan (the single heavy job per round)
+    def roundTopk(remaining: DataFrame, r: Int): DataFrame = {
       val cand = remaining.withColumn("__ccell",
         explode(call_function("st_gridring", col("__qcell"), lit(r))))
       val joined = pts.join(cand, $"__cell" === $"__ccell")
@@ -58,50 +66,44 @@ object Knn {
             ($"lat" - $"qlat") * ($"lat" - $"qlat"))
       val w = Window.partitionBy($"qid")
         .orderBy($"__dist2" +: tieCols.map(col): _*)
-      val topk = joined
+      joined
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= k)
-      val bound = (r - 1).toDouble * res
-      val doneIds = topk.groupBy($"qid")
-        .agg(count(lit(1)).as("__n"), max($"__dist2").as("__kth"))
-        .filter($"__n" >= k && $"__kth" <= bound * bound)
-        .select($"qid")
-      val part = topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
+    }
+    def finished(topk: DataFrame, doneIds: DataFrame): DataFrame =
+      topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
         .withColumnRenamed("__dist2", "dist2")
         .drop("__cell", "__ccell", "__qcell", "qlon", "qlat")
-      (topk, doneIds, part)
-    }
 
     var remaining = queries.select(col("qid"),
         col("qlon").cast("double").as("qlon"),
         col("qlat").cast("double").as("qlat"))
       .withColumn("__qcell", call_function("st_gridcell",
         col("qlon"), col("qlat"), lit(res)))
-      .cache()
+      .localCheckpoint(eager = true)
     var r = 2
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val maxR = math.ceil(360.0 / res).toInt + 1
 
     while (!remaining.isEmpty && r <= maxR * 2) {
-      val (topk, doneIds, part) = round(remaining, r)
-      val topkCached = topk.cache()
-      // finished rows: materialize + truncate lineage so this round's join
-      // never re-executes when the final union is consumed
-      parts += part.localCheckpoint(eager = true)
-      val next = remaining
-        .join(broadcast(doneIds), Seq("qid"), "left_anti").cache()
-      next.count()
-      // release the prior round's storage — executor memory stays O(1
-      // round), not O(#rounds) (rounds grow ~log(distance to k-th))
-      topkCached.unpersist(blocking = false)
-      remaining.unpersist(blocking = false)
-      remaining = next
+      // materialize the (tiny: <= k rows per open query) top-k once —
+      // doneIds, the finished part, and the next query set all derive from
+      // the checkpointed result, so the join+window executes exactly once
+      // per round and nothing re-executes when the final union is consumed
+      val topk = roundTopk(remaining, r).localCheckpoint(eager = true)
+      val bound = (r - 1).toDouble * res
+      val doneIds = topk.groupBy($"qid")
+        .agg(count(lit(1)).as("__n"), max($"__dist2").as("__kth"))
+        .filter($"__n" >= k && $"__kth" <= bound * bound)
+        .select($"qid")
+      parts += finished(topk, doneIds)
+      remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+        .localCheckpoint(eager = true)
       r *= 2
     }
-    val converged = remaining.isEmpty
-    remaining.unpersist(blocking = false)
-    require(converged, "kNN join did not converge")
-    if (parts.isEmpty) round(remaining, 2)._3.limit(0)
+    pts.unpersist(blocking = false)
+    require(remaining.isEmpty, "kNN join did not converge")
+    if (parts.isEmpty) finished(roundTopk(remaining, 2), remaining.select($"qid")).limit(0)
     else parts.reduce(_ unionByName _)
   }
 }

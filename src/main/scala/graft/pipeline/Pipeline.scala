@@ -35,7 +35,9 @@ object Pipeline {
     * aggregating `df` directly would re-execute the whole input lineage a
     * second time (at 100 TB that doubles the pipeline); reading back the
     * snapshot's own parquet is pure IO on the (already reduced) output. */
-  def writeSnapshot(df: DataFrame, tableDir: String, snapshotId: Long): DataFrame = {
+  def writeSnapshot(df: DataFrame, tableDir: String, snapshotId: Long,
+                    keyCol: String = "image_id",
+                    bytesCol: String = "bytes"): DataFrame = {
     val spark = df.sparkSession
     val data = df.withColumn("snapshot_id", lit(snapshotId))
     data.write.mode(SaveMode.Append).partitionBy("bucket")
@@ -46,11 +48,19 @@ object Pipeline {
       // long depends on the values present) — pin it so manifests from
       // different snapshots always share one schema
       .withColumn("bucket", col("bucket").cast("long"))
+    val bytesAgg =
+      if (written.columns.contains(bytesCol))
+        sum(length(col(bytesCol)).cast("long"))
+      else lit(null).cast("long")
+    val (minKey, maxKey) =
+      if (written.columns.contains(keyCol))
+        (min(col(keyCol).cast("string")), max(col(keyCol).cast("string")))
+      else (lit(null).cast("string"), lit(null).cast("string"))
     val manifest = written.groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("rows"),
-        sum(length(col("bytes")).cast("long")).as("bytes"),
-        min("image_id").as("min_key"), max("image_id").as("max_key"))
+        bytesAgg.as("bytes"),
+        minKey.as("min_key"), maxKey.as("max_key"))
       .withColumn("snapshot_id", lit(snapshotId))
     manifest.write.mode(SaveMode.Append).parquet(s"$tableDir/manifests")
     // snapshot log (Iceberg-style metadata trail)
@@ -108,12 +118,13 @@ object Pipeline {
   /** Full checkpointed run: bucket the input, skip processed buckets,
     * apply `transform`, write a new snapshot. Returns (manifest, #rows). */
   def runResumable(input: DataFrame, lonCol: String, latCol: String,
-                   tableDir: String, snapshotId: Long, zoom: Int = 3)(
+                   tableDir: String, snapshotId: Long, zoom: Int = 3,
+                   keyCol: String = "image_id", bytesCol: String = "bytes")(
       transform: DataFrame => DataFrame): (DataFrame, Long) = {
     val bucketed = withBucket(input, lonCol, latCol, zoom)
     val todo = remainingInput(bucketed, tableDir)
     val out = transform(todo)
-    val manifest = writeSnapshot(out, tableDir, snapshotId)
+    val manifest = writeSnapshot(out, tableDir, snapshotId, keyCol, bytesCol)
     (manifest, manifest.agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0))
   }
 }

@@ -42,6 +42,17 @@ object functions {
   def st_srid(g: Column): Column = f("st_srid")(g)
   def st_setsrid(g: Column, srid: Column): Column = f("st_setsrid")(g, srid)
 
+  // box + native GeoArrow layout interchange
+  def st_boxgeom(box: Column): Column = f("st_boxgeom")(box)
+  def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    f("st_makebox")(xmin, ymin, xmax, ymax)
+  def st_tonative(g: Column, geometryType: Column, dims: Column,
+                  coordType: Column): Column =
+    f("st_tonative")(g, geometryType, dims, coordType)
+  def st_fromnative(v: Column, geometryType: Column, dims: Column,
+                    coordType: Column): Column =
+    f("st_fromnative")(v, geometryType, dims, coordType)
+
   // predicates
   def st_contains(poly: Column, pt: Column): Column = f("st_contains")(poly, pt)
   def st_containsxy(poly: Column, x: Column, y: Column): Column =
@@ -101,6 +112,11 @@ object functions {
   def vec_l2sq(a: Column, b: Column): Column = f("vec_l2sq")(a, b)
   def vec_lshbucket(a: Column, bits: Column, seed: Column): Column =
     f("vec_lshbucket")(a, bits, seed)
+  def vec_argmax_centroid(v: Column, codebook: Column): Column =
+    f("vec_argmax_centroid")(v, codebook)
+  def vec_topcentroids(v: Column, codebook: Column, nprobe: Column): Column =
+    f("vec_topcentroids")(v, codebook, nprobe)
+  def img_meta(bytes: Column): Column = f("img_meta")(bytes)
   def splitmix64(c: Column): Column = f("splitmix64")(c)
 }
 

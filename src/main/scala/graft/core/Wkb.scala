@@ -192,17 +192,22 @@ object Wkb {
 
   private def isoCode(g: Geom): Int = Dims.isoOffset(g.dims) + g.geomType
 
+  // offset arrays are n+1 entries; Geom.apply normalizes empties to [0],
+  // but a hand-built `new Geom` can still carry a raw empty array — clamp
+  // so counts never go to -1 (which would under-allocate + write putInt(-1))
+  private def nOf(offs: Array[Int]): Int = math.max(0, offs.length - 1)
+
   private def measure(g: Geom): Int = {
     val stride = g.stride
     g.geomType match {
       case GeomTypes.Point => 5 + 8 * stride
       case GeomTypes.LineString => 9 + 8 * g.coords.length
-      case GeomTypes.Polygon => 9 + 4 * (g.o0.length - 1) + 8 * g.coords.length
+      case GeomTypes.Polygon => 9 + 4 * nOf(g.o0) + 8 * g.coords.length
       case GeomTypes.MultiPoint => 9 + g.numCoords * (5 + 8 * stride)
       case GeomTypes.MultiLineString =>
-        9 + (g.o0.length - 1) * 9 + 8 * g.coords.length
+        9 + nOf(g.o0) * 9 + 8 * g.coords.length
       case GeomTypes.MultiPolygon =>
-        9 + (g.o0.length - 1) * 9 + 4 * (g.o1.length - 1) + 8 * g.coords.length
+        9 + nOf(g.o0) * 9 + 4 * nOf(g.o1) + 8 * g.coords.length
       case GeomTypes.Collection =>
         9 + (if (g.parts == null) 0 else g.parts.map(measure).sum)
       case other =>
@@ -228,7 +233,7 @@ object Wkb {
         buf.putInt(g.numCoords)
         putCoords(buf, g.coords, 0, g.coords.length)
       case GeomTypes.Polygon =>
-        putRings(buf, g.coords, g.o0, 0, g.o0.length - 1, stride)
+        putRings(buf, g.coords, g.o0, 0, nOf(g.o0), stride)
       case GeomTypes.MultiPoint =>
         val n = g.numCoords
         buf.putInt(n)
@@ -240,7 +245,7 @@ object Wkb {
           i += 1
         }
       case GeomTypes.MultiLineString =>
-        val n = g.o0.length - 1
+        val n = nOf(g.o0)
         buf.putInt(n)
         val code = Dims.isoOffset(g.dims) + GeomTypes.LineString
         var i = 0
@@ -252,7 +257,7 @@ object Wkb {
           i += 1
         }
       case GeomTypes.MultiPolygon =>
-        val n = g.o0.length - 1
+        val n = nOf(g.o0)
         buf.putInt(n)
         val code = Dims.isoOffset(g.dims) + GeomTypes.Polygon
         var i = 0

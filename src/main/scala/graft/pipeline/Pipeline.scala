@@ -40,7 +40,12 @@ object Pipeline {
                     bytesCol: String = "bytes"): DataFrame = {
     val spark = df.sparkSession
     val data = df.withColumn("snapshot_id", lit(snapshotId))
-    data.write.mode(SaveMode.Append).partitionBy("bucket")
+    // co-locate each bucket before the dynamic-partition write: without
+    // this every task writes a file per bucket it happens to hold
+    // (tasks x buckets tiny files — a small-file explosion at scale);
+    // with it the file count is bounded by the bucket count
+    data.repartition(col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(s"$tableDir/data")
     val written = spark.read.parquet(s"$tableDir/data")
       .filter(col("snapshot_id") === snapshotId)

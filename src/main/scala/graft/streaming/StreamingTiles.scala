@@ -36,10 +36,22 @@ object StreamingTiles {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Bounded-state streaming dedup — the 100-TB ingest path: duplicates
+    * are dropped within the watermark horizon and per-key state is evicted
+    * once the event-time watermark passes, so state size is bounded by the
+    * key arrival rate times the horizon (vs. unbounded in [[dedupStream]]).
+    * Training-data ingest dedup is horizon-tolerant: a re-crawled document
+    * arriving months later is handled by the batch MinHash pass, not the
+    * ingest stream. */
+  def dedupStreamWatermarked(stream: DataFrame, keyCol: String, tsCol: String,
+                             watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(keyCol))
+
   /** Streaming exact dedup on a key column: the first row per key passes,
-    * later duplicates are dropped. State is one boolean per key; at ingest
-    * scale bound it by keying on a rolling epoch or use Spark's
-    * `dropDuplicatesWithinWatermark` — kept minimal here. */
+    * later duplicates are dropped. State is one boolean per key — unbounded
+    * across the stream lifetime; prefer [[dedupStreamWatermarked]] at scale. */
   def dedupStream(stream: DataFrame, keyCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._

@@ -28,6 +28,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops dups within horizon, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Int)]
+    val df = input.toDF().toDF("image_id", "ts", "v")
+    val q = StreamingTiles.dedupStreamWatermarked(df, "image_id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+      input.addData(("a", t0, 1), ("b", t0, 2), ("a", t1, 3))
+      q.processAllAvailable()
+      input.addData(("a", t1, 4), ("c", t1, 5))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_wm_out")
+        .selectExpr("image_id", "v").as[(String, Int)].collect().toSet
+      // within the 10-minute horizon each key emits exactly once
+      assert(rows.map(_._1) == Set("a", "b", "c"))
+      assert(rows.count(_._1 == "a") == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

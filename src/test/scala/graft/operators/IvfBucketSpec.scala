@@ -58,6 +58,25 @@ class IvfBucketSpec extends AnyFunSuite {
       s"assignment should call the argmax kernel:\n$analyzed")
   }
 
+  test("brute-force top-k gets partial per-partition pruning (WindowGroupLimit)") {
+    // the rank<=k filter over the row_number window must push a PARTIAL
+    // WindowGroupLimit below the exchange: each reducer then receives at
+    // most k rows per (query, partition), not the whole corpus per query —
+    // the property that keeps exact top-k viable at corpus scale
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        ((GeoOps.splitmix64(i * 8L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val queries = vecs.take(3).map { case (id, v) => (id, v) }
+      .toDF("qid", "qvec")
+    val plan = Ann.bruteForceTopK(df, queries, "embedding", "vec_id",
+      "qid", "qvec", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected partial top-k pushdown:\n$plan")
+    assert(plan.contains("Partial"), s"expected a partial (map-side) limit:\n$plan")
+  }
+
   test("bucketed co-located join plans without exchanges") {
     // default warehouse dir (spark-warehouse/ under cwd, gitignored)
     val a = (0 until 1000).map(i => (i.toLong % 97, i.toLong)).toDF("key", "va")

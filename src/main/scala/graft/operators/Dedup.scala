@@ -21,9 +21,13 @@ object Dedup {
       min(col(idCol)).over(Window.partitionBy(col(textCol))))
 
   /** Exact-dup pairs via hash-groupBy (no window): returns (id, dup_rep)
-    * only for rows in groups of size > 1. */
+    * only for rows in groups of size > 1. The shuffle key is the SHA-256 of
+    * the text, so only (32-byte hash, id) pairs move — at 100 TB the
+    * documents themselves never leave the scan (the window variant must
+    * move whole rows because it returns them). */
   def exactDupes(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.select(sha2(col(textCol).cast("binary"), 256).as("__h"), col(idCol))
+      .groupBy(col("__h"))
       .agg(min(col(idCol)).as("dup_rep"), collect_list(col(idCol)).as("ids"),
         count(lit(1)).as("n"))
       .filter(col("n") > 1)

@@ -70,6 +70,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("exactDupes: hash-keyed dup pairs, ids-only shuffle") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),
+      (4L, "alpha beta"), (5L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.exactDupes(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((3L, 1L), (4L, 1L))) // groups >1 only, rep = min id
+    // the shuffle key is the 32-byte text hash, not the document
+    val plan = Dedup.exactDupes(docs, "text", "doc_id")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("sha2"), s"expected hashed shuffle key:\n$plan")
+  }
+
   test("minhash LSH finds planted near-dups with high recall, jaccard-refined") {
     val docs = (0 until 100).map { i =>
       val words = (0 until 40).map(j =>

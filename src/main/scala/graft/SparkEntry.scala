@@ -464,7 +464,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_box"))
     },
     // ---- flagship --------------------------------------------------
-    "q60_flagship" -> { (s, _) => entry(s) }
+    "q60_flagship" -> { (s, _) => entry(s) },
+    // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
+    // per-(polygon, tile) aggregation over the deterministic point layer —
+    // the same plan shape as q60 (broadcast join, codegen'd kernels,
+    // partial agg) with every output row checked against DuckDB
+    "q61_flagship_oracle" -> { (s, d) =>
+      prep(s, d)
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      val rects = s.sql(s"""SELECT n_nationkey, st_geomfromwkt(concat(
+        |  'POLYGON ((', CAST(xmin AS STRING), ' ', CAST(ymin AS STRING),
+        |  ', ', CAST(xmin + 20.0 AS STRING), ' ', CAST(ymin AS STRING),
+        |  ', ', CAST(xmin + 20.0 AS STRING), ' ', CAST(ymin + 25.0 AS STRING),
+        |  ', ', CAST(xmin AS STRING), ' ', CAST(ymin + 25.0 AS STRING),
+        |  ', ', CAST(xmin AS STRING), ' ', CAST(ymin AS STRING), '))')) AS poly
+        |FROM ($RectsCte)""".stripMargin)
+      val joined = SpatialJoins.pipJoin(pts, rects, "poly", "lon", "lat",
+        zoom = 5, broadcastPolys = true)
+      SpatialJoins.assignTiles(joined, "lon", "lat", zoom = 8)
+        .groupBy(col("n_nationkey"),
+          call_function("st_tilex", col("tile_id")).as("tx"),
+          call_function("st_tiley", col("tile_id")).as("ty"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("n_nationkey", "tx", "ty")
+    }
   )
 
   /** documents ∪ mutated copies (doc_id+10000, last ~8 words dropped) —
@@ -672,6 +695,16 @@ object SparkEntry {
         |     + least(1.0, (stop / greatest(words, 1)) * 4)) / 3.0 AS score
         |  FROM h)
         |SELECT doc_id, lang, predicted, score FROM p ORDER BY doc_id""".stripMargin,
+    "q61_flagship_oracle" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |rects AS (${RectsCte.replace("\n", " ")})
+        |SELECT n_nationkey,
+        |  CAST(floor((lon + 180.0) / 360.0 * 256) AS INTEGER) AS tx,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 256) AS INTEGER) AS ty,
+        |  count(*) AS n
+        |FROM rects JOIN pts ON lon > xmin AND lon < xmin + 20.0
+        |  AND lat > ymin AND lat < ymin + 25.0
+        |GROUP BY 1, 2, 3 ORDER BY n_nationkey, tx, ty""".stripMargin,
     "q52_pipeline_lineage" ->
       s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
         |k AS (SELECT lon, lat,

@@ -37,14 +37,23 @@ object Pipeline {
     * snapshot's own parquet is pure IO on the (already reduced) output. */
   def writeSnapshot(df: DataFrame, tableDir: String, snapshotId: Long,
                     keyCol: String = "image_id",
-                    bytesCol: String = "bytes"): DataFrame = {
+                    bytesCol: String = "bytes",
+                    filesPerBucket: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val data = df.withColumn("snapshot_id", lit(snapshotId))
     // co-locate each bucket before the dynamic-partition write: without
     // this every task writes a file per bucket it happens to hold
     // (tasks x buckets tiny files — a small-file explosion at scale);
-    // with it the file count is bounded by the bucket count
-    data.repartition(col("bucket"))
+    // with it the file count is bounded by bucket count x filesPerBucket.
+    // filesPerBucket > 1 salts hot buckets across that many writer tasks —
+    // at 100 TB a dense world region lands in one bucket, and a single
+    // writer task for it would be the straggler.
+    val parted =
+      if (filesPerBucket > 1)
+        data.repartition(col("bucket"),
+          pmod(hash(data.columns.map(col): _*), lit(filesPerBucket)))
+      else data.repartition(col("bucket"))
+    parted
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(s"$tableDir/data")
     val written = spark.read.parquet(s"$tableDir/data")

@@ -53,6 +53,40 @@ class PipelineSpec extends AnyFunSuite {
       formatted.contains("bucket#"), formatted)
   }
 
+  test("writeSnapshot bounds file counts; filesPerBucket salts hot buckets") {
+    val dir = freshDir("files")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 2000L), "lon", "lat", zoom = 1)
+    Pipeline.writeSnapshot(images, dir, 1L)
+    def parquetFiles(d: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(d, "data")
+      val out = scala.collection.mutable.Map.empty[String, Int]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val bucket = p.getParent.getFileName.toString
+          out(bucket) = out.getOrElse(bucket, 0) + 1
+        }
+      }
+      out.toMap
+    }
+    // co-located write: exactly one file per bucket per snapshot
+    assert(parquetFiles(dir).values.forall(_ == 1), parquetFiles(dir))
+
+    val dir2 = freshDir("files2")
+    // AQE's partition coalescing re-merges the salted groups at toy data
+    // sizes (they are far below the 64MB advisory target); at real scale a
+    // hot bucket's salt groups exceed the target and stay split. Disable
+    // coalescing here to observe the salting mechanism itself.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Pipeline.writeSnapshot(images, dir2, 1L, filesPerBucket = 4)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val counts = parquetFiles(dir2)
+    assert(counts.values.forall(_ <= 4), counts)
+    assert(counts.values.exists(_ > 1), s"hot buckets should split: $counts")
+    // same rows either way
+    assert(spark.read.parquet(s"$dir2/data").count() == 2000L)
+  }
+
   test("stage metrics listener records pipeline stage volumes") {
     val dir = freshDir("metrics")
     val images = Pipeline.withBucket(

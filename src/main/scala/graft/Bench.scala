@@ -37,17 +37,20 @@ object Bench {
       maxRadius = 10.0)
     val joined = SpatialJoins.pipJoin(images, polys, "poly", "lon", "lat",
       zoom = 6, broadcastPolys = true)
-    // per-row work: z12 + z16 tile assignment and a level-12 cell id; the
-    // aggregation keys on the coarse z8 tile so partial (map-side) combine
-    // collapses each partition to ~10^4 groups — the shuffle stays tiny and
-    // the job measures spatial compute, not shuffle-spill bandwidth
-    SpatialJoins.assignTiles(joined, "lon", "lat", zoom = 12)
-      .withColumn("tile16", call_function("st_tilezxy",
-        col("lon"), col("lat"), lit(16)))
+    // per-row work: z16 tile assignment (one mercator projection), with the
+    // z12 and z8 pyramid keys derived by st_tileparent bit shifts — exactly
+    // equal to recomputing at each zoom, one trig evaluation instead of
+    // three — plus a level-12 cell id; the aggregation keys on the coarse
+    // z8 tile so partial (map-side) combine collapses each partition to
+    // ~10^4 groups — the shuffle stays tiny and the job measures spatial
+    // compute, not shuffle-spill bandwidth
+    SpatialJoins.assignTiles(joined, "lon", "lat", zoom = 16)
+      .withColumnRenamed("tile_id", "tile16")
+      .withColumn("tile_id", call_function("st_tileparent", col("tile16"), lit(12)))
       .withColumn("cell", call_function("st_cellid",
         col("lon"), col("lat"), lit(12)))
-      .groupBy(col("poly_id"), call_function("st_tilezxy",
-        col("lon"), col("lat"), lit(8)).as("tile8"))
+      .groupBy(col("poly_id"),
+        call_function("st_tileparent", col("tile16"), lit(8)).as("tile8"))
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("tile_id")).as("n_tiles12"),
         max(col("tile16")).as("max_tile16"), max(col("cell")).as("max_cell"))
@@ -115,8 +118,9 @@ object Bench {
     // and the better pair reported. Raw times ship in the JSON.
     // longer job = smaller fixed-overhead fraction (broadcast build, stage
     // setup are ~constant): the N-vs-4N ratio converges to the compute
-    // scaling, which is what the criterion measures
-    val replicate = if (benchRows >= 10000000L) 8 else 1
+    // scaling, which is what the criterion measures. Sized so the 4N run
+    // still takes >10s after the tile-pyramid kernel optimization.
+    val replicate = if (benchRows >= 10000000L) 12 else 1
     val effRows = benchRows * replicate
     val coreCounts = Seq(4, 16, 8, 32)
     locally { // one-time JIT warmup at 1x

@@ -78,6 +78,8 @@ object functions {
   def st_tilez(id: Column): Column = f("st_tilez")(id)
   def st_tilex(id: Column): Column = f("st_tilex")(id)
   def st_tiley(id: Column): Column = f("st_tiley")(id)
+  def st_tileparent(id: Column, zoom: Column): Column = f("st_tileparent")(id, zoom)
+  def st_tilechildren(id: Column): Column = f("st_tilechildren")(id)
   def st_tileenvelope(id: Column): Column = f("st_tileenvelope")(id)
   def st_tilecover(g: Column, z: Column): Column = f("st_tilecover")(g, z)
 

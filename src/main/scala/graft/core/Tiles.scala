@@ -69,6 +69,18 @@ object Tiles {
     pack(zz - 1, x(id) >> 1, y(id) >> 1)
   }
 
+  /** Ancestor tile at `zoom` — pure bit shifts, exactly equal to
+    * `tileId(lon, lat, zoom)` for any point in the tile (floor(floor(n*k)/k)
+    * = floor(n), and the edge clamps shift consistently). Lets pyramid
+    * queries compute ONE mercator projection at the finest zoom and derive
+    * every coarser key for free. */
+  def parentAt(id: Long, zoom: Int): Long = {
+    val zz = z(id)
+    require(zoom >= 0 && zoom <= zz, s"zoom $zoom not above tile zoom $zz")
+    val dz = zz - zoom
+    pack(zoom, x(id) >> dz, y(id) >> dz)
+  }
+
   def children(id: Long): Array[Long] = {
     val zz = z(id); val xx = x(id) << 1; val yy = y(id) << 1
     Array(pack(zz + 1, xx, yy), pack(zz + 1, xx + 1, yy),

@@ -173,6 +173,8 @@ object Geo {
     "st_tilez" -> (a => geo(IntegerType, "tileZ", a, Seq(LongType))),
     "st_tilex" -> (a => geo(IntegerType, "tileX", a, Seq(LongType))),
     "st_tiley" -> (a => geo(IntegerType, "tileY", a, Seq(LongType))),
+    "st_tileparent" -> (a => geo(LongType, "tileParent", a, Seq(LongType, IntegerType))),
+    "st_tilechildren" -> (a => geo(longArray, "tileChildren", a, Seq(LongType))),
     "st_tileenvelope" -> (a => geo(B, "tileEnvelope", a, Seq(LongType))),
     "st_tilecover" -> (a => geo(longArray, "tileCover", a, Seq(G, IntegerType))),
     // --- grid (kNN ring expansion)

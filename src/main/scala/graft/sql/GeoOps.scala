@@ -247,6 +247,8 @@ object GeoOps {
   def tileZ(id: Long): Int = Tiles.z(id)
   def tileX(id: Long): Int = Tiles.x(id)
   def tileY(id: Long): Int = Tiles.y(id)
+  def tileParent(id: Long, z: Int): Long = Tiles.parentAt(id, z)
+  def tileChildren(id: Long): ArrayData = GeoStruct.longArray(Tiles.children(id))
 
   def tileEnvelope(id: Long): InternalRow = {
     val (a, b, c, d) = Tiles.tileEnvelope(id)

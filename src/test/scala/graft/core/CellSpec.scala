@@ -118,6 +118,21 @@ class CellSpec extends AnyFunSuite {
     }
   }
 
+  test("tile parentAt equals direct assignment at every coarser zoom") {
+    // the pyramid-derivation property the flagship relies on: one mercator
+    // projection at the finest zoom, bit-shift ancestors for the rest
+    val r = new Random(42)
+    (1 to 2000).foreach { _ =>
+      val (lon, lat) = randLonLat(r)
+      val fine = 16
+      val id = Tiles.tileId(lon, lat, fine)
+      (0 to fine).foreach { z =>
+        assert(Tiles.parentAt(id, z) == Tiles.tileId(lon, lat, z),
+          s"lon=$lon lat=$lat z=$z")
+      }
+    }
+  }
+
   test("tile coverBox is exact") {
     val r = new Random(42)
     (1 to 200).foreach { _ =>

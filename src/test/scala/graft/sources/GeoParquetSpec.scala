@@ -57,6 +57,39 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(pts.forall { case (id, x, y) => x == id / 4.0 && y == id - 50.0 })
   }
 
+  test("sidecar metadata survives quotes/backslashes in crs strings") {
+    Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet_esc").toString
+    val df = spark.sql(
+      """SELECT id, st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS geom
+        |FROM range(5)""".stripMargin)
+    val nasty = """AUTH:"42\slash" and	tab"""
+    GeoParquet.write(df, "geom", dir, crs = Some(nasty))
+    // the sidecar must still be valid JSON and the crs must round-trip
+    val back = GeoParquet.read(spark, dir, "geom")
+    val parsed = GeoSchema.parseField(back.schema(back.schema.fieldIndex("geom")))
+    assert(parsed.crs.contains(nasty), parsed.crs)
+  }
+
+  test("native interleaved layout round-trips through parquet") {
+    Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet_il").toString
+    val df = spark.sql(
+      """SELECT id, st_geomfromwkt(concat('LINESTRING (0 0, ',
+        |  CAST(id AS STRING), ' 1, 2 ', CAST(id AS STRING), ')')) AS geom
+        |FROM range(10)""".stripMargin)
+    val before = df.selectExpr("id", "st_aswkt(geom) AS w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    GeoParquet.writeNative(df, "geom", dir, geometryType = "linestring",
+      coordType = "interleaved")
+    val raw = spark.read.parquet(dir)
+    assert(raw.schema("geom").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val after = GeoParquet.readNative(spark, dir, "geom")
+      .selectExpr("id", "st_aswkt(geom) AS w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before)
+  }
+
   test("native polygon layout round-trips through parquet") {
     Geo.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("geoparquet_poly").toString

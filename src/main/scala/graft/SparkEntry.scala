@@ -288,6 +288,20 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber"), col("dist2"))
         .orderBy("qid", "rank")
     },
+    "q28_distance_join" -> { (s, d) =>
+      prep(s, d)
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      // queries sit near real points (binary-fraction offsets keep doubles
+      // exact on both engines), so every query has in-radius matches
+      val queries = pts.filter(col("l_linenumber") === 1)
+        .orderBy("l_orderkey").limit(25)
+        .select(col("l_orderkey").cast("long").as("qid"),
+          (col("lon") + 0.125).as("qlon"), (col("lat") - 0.25).as("qlat"))
+      SpatialJoins.withinDistanceJoin(pts, queries, radius = 2.0)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_within"), min("dist2").as("min_d2"))
+        .orderBy("qid")
+    },
     "q26_salted_agg" -> { (s, d) =>
       prep(s, d)
       // skew-safe two-phase count by tile (salt -> partial -> final);
@@ -611,6 +625,16 @@ object SparkEntry {
         |  SELECT qid, l_orderkey, l_linenumber, dist2, row_number() OVER (
         |    PARTITION BY qid ORDER BY dist2, l_orderkey, l_linenumber) AS rank
         |  FROM dists) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q28_distance_join" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |q AS (SELECT CAST(l_orderkey AS BIGINT) AS qid,
+        |  lon + 0.125 AS qlon, lat - 0.25 AS qlat
+        |  FROM pts WHERE l_linenumber = 1 ORDER BY l_orderkey LIMIT 25)
+        |SELECT qid, count(*) AS n_within, min(d2) AS min_d2 FROM (
+        |  SELECT qid, (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS d2
+        |  FROM q CROSS JOIN pts)
+        |WHERE d2 <= 2.0 * 2.0
+        |GROUP BY qid ORDER BY qid""".stripMargin,
     "q26_salted_agg" ->
       s"""WITH pts AS (${PtsCte.replace("\n", " ")})
         |SELECT CAST(floor((lon + 180.0) / 360.0 * 64) AS INTEGER) AS tx,

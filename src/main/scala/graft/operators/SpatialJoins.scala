@@ -76,6 +76,37 @@ object SpatialJoins {
       .withColumn("tile_y", call_function("st_tiley", col("tile_id")))
   }
 
+  /** Within-distance (range) join: all (point, query) pairs with euclidean
+    * distance <= radius. Grid cells at res = radius make the Chebyshev
+    * 3x3 neighborhood a complete candidate set (any point within `radius`
+    * of a query lies within one cell step), so the plan is a 9-way
+    * explode on the SMALL query side + one equi-join on the cell key —
+    * the big point side computes its cell in-line and never blows up.
+    * Exact refine on true distance; no false negatives possible.
+    *
+    * @param queries df with qid, qlon, qlat
+    * @return point payload + qid + dist2 (squared distance) */
+  def withinDistanceJoin(points: DataFrame, queries: DataFrame,
+                         radius: Double, lonCol: String = "lon",
+                         latCol: String = "lat"): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    Geo.register(points.sparkSession)
+    val pts = points.withColumn("__cell", call_function("st_gridcell",
+      col(lonCol).cast("double"), col(latCol).cast("double"), lit(radius)))
+    val cand = queries
+      .select(col("qid"), col("qlon").cast("double").as("qlon"),
+        col("qlat").cast("double").as("qlat"))
+      .withColumn("__ccell", explode(call_function("st_gridring",
+        call_function("st_gridcell", col("qlon"), col("qlat"), lit(radius)),
+        lit(1))))
+    pts.join(cand, col("__cell") === col("__ccell"))
+      .withColumn("dist2",
+        (col(lonCol) - col("qlon")) * (col(lonCol) - col("qlon")) +
+          (col(latCol) - col("qlat")) * (col(latCol) - col("qlat")))
+      .filter(col("dist2") <= lit(radius * radius))
+      .drop("__cell", "__ccell", "qlon", "qlat")
+  }
+
   /** Salted repartition for hot keys: spreads each key over `salt` shuffle
     * partitions; aggregate partially per (key, salt), then finally per key.
     * Use for hot-cell skew beyond what AQE's skew-join splitting absorbs. */

@@ -70,6 +70,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("withinDistanceJoin matches brute force") {
+    val r = new java.util.Random(5)
+    val pts = (0 until 3000).map { i =>
+      (i.toLong, r.nextDouble() * 360 - 180, r.nextDouble() * 170 - 85)
+    }
+    val qs = (0 until 40).map { i =>
+      (i.toLong, r.nextDouble() * 340 - 170, r.nextDouble() * 150 - 75)
+    }
+    val radius = 7.5
+    val got = SpatialJoins.withinDistanceJoin(
+      pts.toDF("pid", "lon", "lat"), qs.toDF("qid", "qlon", "qlat"), radius)
+      .select("qid", "pid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (qid, qlon, qlat) <- qs
+      (pid, lon, lat) <- pts
+      if (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) <= radius * radius
+    } yield (qid, pid)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("exactDupes: hash-keyed dup pairs, ids-only shuffle") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),

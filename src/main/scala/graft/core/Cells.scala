@@ -248,7 +248,10 @@ object Cells {
   /** Conservative lon/lat bound of a cell from 9 boundary samples, padded by
     * 30% of the span per axis to absorb great-circle edge bulge. Cells
     * containing a pole (center cells of faces 2/5) get the full lng range. */
-  private def cellLonLatBound(id: Long): (Double, Double, Double, Double) = {
+  /** Conservative lon/lat bound of a cell (padded; pole/antimeridian cells
+    * widen to the full range). Public so covers can test geometry
+    * intersection against it. */
+  def cellLonLatBound(id: Long): (Double, Double, Double, Double) = {
     val (face, i0, j0) = toFaceIj(id)
     val lvl = level(id)
     val size = 1 << (MaxLevel - lvl)
@@ -290,14 +293,21 @@ object Cells {
     * box, suitable as a join key cover (over-coverage is refined away by the
     * exact predicate; SURVEY.md §2C). */
   def coverBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
-               targetLevel: Int): Array[Long] = {
-    val out = mutable.ArrayBuffer[Long]()
-    def intersects(id: Long): Boolean = {
-      val (bMinLon, bMinLat, bMaxLon, bMaxLat) = cellLonLatBound(id)
+               targetLevel: Int): Array[Long] =
+    coverWhere(targetLevel) { (bMinLon, bMinLat, bMaxLon, bMaxLat) =>
       bMinLon <= maxLon && bMaxLon >= minLon && bMinLat <= maxLat && bMaxLat >= minLat
     }
+
+  /** Hierarchical cover: recurse from the 6 face cells, keeping subtrees
+    * whose conservative bound satisfies `hit`. Pruning happens at every
+    * level, so a diagonal continental polygon never expands the full
+    * envelope lattice (the envelope-only cover does). */
+  def coverWhere(targetLevel: Int)(
+      hit: (Double, Double, Double, Double) => Boolean): Array[Long] = {
+    val out = mutable.ArrayBuffer[Long]()
     def recurse(id: Long): Unit = {
-      if (!intersects(id)) return
+      val (a, b, c, d) = cellLonLatBound(id)
+      if (!hit(a, b, c, d)) return
       if (level(id) >= targetLevel) { out += id; return }
       children(id).foreach(recurse)
     }
@@ -307,6 +317,17 @@ object Cells {
       face += 1
     }
     out.toArray
+  }
+
+  /** Cell cover of a geometry: envelope-based for points, edge/interior-
+    * exact (still conservative) for lines and polygons via
+    * [[Pip.boxIntersects]]. */
+  def coverGeom(g: Geom, targetLevel: Int): Array[Long] = g.geomType match {
+    case GeomTypes.Point =>
+      val box = Geom.envelope(g)
+      coverBox(box(0), box(1), box(2), box(3), targetLevel)
+    case _ =>
+      coverWhere(targetLevel)((a, b, c, d) => Pip.boxIntersects(g, a, b, c, d))
   }
 
   /** Face cell (level 0) id. */

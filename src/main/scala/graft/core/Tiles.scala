@@ -63,6 +63,41 @@ object Tiles {
     out
   }
 
+  /** Tile cover of a geometry: the envelope cover pruned hierarchically to
+    * tiles whose envelope actually touches the geometry (edges and interior
+    * via [[Pip.boxIntersects]]) — a diagonal or ring-shaped polygon keeps
+    * far fewer candidate keys than its bounding box would. Starts from a
+    * coarse envelope cover and refines children, so pruning applies at
+    * every zoom step. */
+  def coverGeom(g: Geom, zoom: Int): Array[Long] = {
+    val box = Geom.envelope(g)
+    if (g.geomType == GeomTypes.Point || box(0) > box(2))
+      return coverBox(box(0), box(1), box(2), box(3), zoom)
+    val startZ = math.max(0, zoom - 8)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    def hit(id: Long): Boolean = {
+      var (a, b, c, d) = tileEnvelope(id)
+      // edge rows absorb the Web-Mercator lat clamp: a geometry beyond
+      // ±MaxLat still assigns (clamped) to the edge tile, so the edge
+      // tile's test box must reach the pole or the cover would miss it
+      val n = 1 << z(id)
+      if (y(id) == 0) d = 90.0
+      if (y(id) == n - 1) b = -90.0
+      // tiny pad so floating error in the inverse-mercator envelope can
+      // never prune the tile a boundary point actually assigns to
+      val padX = (c - a) * 1e-9 + 1e-12
+      val padY = (d - b) * 1e-9 + 1e-12
+      Pip.boxIntersects(g, a - padX, b - padY, c + padX, d + padY)
+    }
+    def recurse(id: Long): Unit = {
+      if (!hit(id)) return
+      if (z(id) >= zoom) { out += id; return }
+      children(id).foreach(recurse)
+    }
+    coverBox(box(0), box(1), box(2), box(3), startZ).foreach(recurse)
+    out.toArray
+  }
+
   def parent(id: Long): Long = {
     val zz = z(id)
     require(zz > 0, "zoom-0 tile has no parent")

@@ -230,12 +230,13 @@ object GeoOps {
                    maxLat: Double, level: Int): ArrayData =
     GeoStruct.longArray(Cells.coverBox(minLon, minLat, maxLon, maxLat, level))
 
-  /** Cell cover of a geometry's envelope at `level` — the join-key
-    * generator for PIP joins (SURVEY.md §2C `ST_CellCover`). */
-  def cellCover(g: InternalRow, level: Int): ArrayData = {
-    val box = Geom.envelope(GeoStruct.decode(g))
-    GeoStruct.longArray(Cells.coverBox(box(0), box(1), box(2), box(3), level))
-  }
+  /** Cell cover of a geometry at `level` — the join-key generator for PIP
+    * joins (SURVEY.md §2C `ST_CellCover`). Hierarchically pruned to cells
+    * that actually touch the geometry (edges + interior), not just its
+    * envelope — a diagonal polygon keeps ~perimeter*width cells instead of
+    * the full envelope lattice. */
+  def cellCover(g: InternalRow, level: Int): ArrayData =
+    GeoStruct.longArray(Cells.coverGeom(GeoStruct.decode(g), level))
 
   // ------------------------------------------------------------ tiles
 
@@ -255,10 +256,9 @@ object GeoOps {
     GeoStruct.encodeBox(Array(a, b, c, d))
   }
 
-  def tileCover(g: InternalRow, z: Int): ArrayData = {
-    val box = Geom.envelope(GeoStruct.decode(g))
-    GeoStruct.longArray(Tiles.coverBox(box(0), box(1), box(2), box(3), z))
-  }
+  /** Geometry-aware tile cover (see [[cellCover]]). */
+  def tileCover(g: InternalRow, z: Int): ArrayData =
+    GeoStruct.longArray(Tiles.coverGeom(GeoStruct.decode(g), z))
 
   // ------------------------------------------------------------ grid (kNN)
 

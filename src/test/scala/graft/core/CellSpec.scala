@@ -118,6 +118,45 @@ class CellSpec extends AnyFunSuite {
     }
   }
 
+  test("geometry covers: superset of contained-point keys, tighter than envelope") {
+    val r = new Random(99)
+    (1 to 40).foreach { _ =>
+      // random triangle (diagonal-ish shape: envelope cover wastes ~half)
+      val cx = r.nextDouble() * 300 - 150
+      val cy = r.nextDouble() * 120 - 60
+      val pts = (0 until 3).map { _ =>
+        (cx + r.nextDouble() * 30 - 15, cy + r.nextDouble() * 20 - 10)
+      }
+      val wkt = s"POLYGON ((${pts.map(p => s"${p._1} ${p._2}").mkString(", ")}, ${pts.head._1} ${pts.head._2}))"
+      val g = Wkt.parse(wkt)
+      val box = Geom.envelope(g)
+      val z = 8
+      val tCover = Tiles.coverGeom(g, z).toSet
+      val tEnv = Tiles.coverBox(box(0), box(1), box(2), box(3), z).toSet
+      assert(tCover.subsetOf(tEnv))
+      val cCover = Cells.coverGeom(g, 8).toSet
+      val cEnv = Cells.coverBox(box(0), box(1), box(2), box(3), 8).toSet
+      assert(cCover.subsetOf(cEnv))
+      // every contained random point's key must be covered (no false negatives)
+      (1 to 200).foreach { _ =>
+        val px = box(0) + r.nextDouble() * (box(2) - box(0))
+        val py = box(1) + r.nextDouble() * (box(3) - box(1))
+        if (Pip.containsPoint(g, px, py)) {
+          assert(tCover.contains(Tiles.tileId(px, py, z)), s"tile miss $px $py in $wkt")
+          assert(cCover.contains(Cells.cellId(px, py, 8)), s"cell miss $px $py in $wkt")
+        }
+      }
+    }
+  }
+
+  test("geometry cover prunes meaningfully vs envelope for thin diagonals") {
+    val g = Wkt.parse("POLYGON ((-40 -40, 40 40, 41 40, -39 -40, -40 -40))")
+    val box = Geom.envelope(g)
+    val tCover = Tiles.coverGeom(g, 8).length
+    val tEnv = Tiles.coverBox(box(0), box(1), box(2), box(3), 8).length
+    assert(tCover < tEnv / 4, s"cover $tCover vs envelope $tEnv")
+  }
+
   test("tile parentAt equals direct assignment at every coarser zoom") {
     // the pyramid-derivation property the flagship relies on: one mercator
     // projection at the finest zoom, bit-shift ancestors for the rest

@@ -26,6 +26,26 @@ object StreamingTiles {
       .withColumn("tile_y", call_function("st_tiley", col("tile_id")))
   }
 
+  /** Stream-static PIP join: a point stream enriched against a static
+    * polygon overlay. Same cover-equi-join + exact-refine shape as the
+    * batch `SpatialJoins.pipJoin`; the exploded polygon side is a static
+    * broadcast, so each micro-batch is a map-side join — no streaming
+    * state, no shuffle of the stream. */
+  def pipJoinStream(stream: DataFrame, polygons: DataFrame, polyCol: String,
+                    lonCol: String, latCol: String, zoom: Int): DataFrame = {
+    Geo.register(stream.sparkSession)
+    val exploded = org.apache.spark.sql.functions.broadcast(
+      polygons.withColumn("__tile", explode(call_function("st_tilecover",
+        col(polyCol), lit(zoom)))))
+    stream
+      .withColumn("__ptile", call_function("st_tilezxy",
+        col(lonCol).cast("double"), col(latCol).cast("double"), lit(zoom)))
+      .join(exploded, col("__ptile") === col("__tile") &&
+        call_function("st_containsxy", col(polyCol),
+          col(lonCol).cast("double"), col(latCol).cast("double")))
+      .drop("__ptile", "__tile")
+  }
+
   /** Watermarked per-tile windowed counts (update-mode friendly). */
   def tileCounts(stream: DataFrame, tsCol: String, lonCol: String,
                  latCol: String, zoom: Int, windowDur: String,

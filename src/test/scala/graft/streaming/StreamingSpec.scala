@@ -28,6 +28,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static PIP join enriches a point stream against polygons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.sql.Geo.register(spark)
+    val polys = spark.sql(
+      """SELECT 'sq1' AS poly_id, st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS poly
+        |UNION ALL
+        |SELECT 'sq2', st_geomfromwkt('POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))')"""
+        .stripMargin)
+    val input = MemoryStream[(Long, Double, Double)]
+    val df = input.toDF().toDF("id", "lon", "lat")
+    val q = StreamingTiles.pipJoinStream(df, polys, "poly", "lon", "lat", zoom = 4)
+      .select("id", "poly_id")
+      .writeStream.format("memory").queryName("pip_stream").outputMode("append")
+      .start()
+    try {
+      input.addData((1L, 5.0, 5.0), (2L, 25.0, 25.0), (3L, 15.0, 15.0), (4L, 9.9, 0.1))
+      q.processAllAvailable()
+      val rows = spark.table("pip_stream").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "sq1"), (4L, "sq1"), (2L, "sq2"))) // 3 is outside
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops dups within horizon, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -141,6 +141,32 @@ class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(env.getDouble(1) <= 45 && 45 <= env.getDouble(3))
   }
 
+  test("cell/tile navigation SQL bindings: children, neighbors, rings") {
+    val row = spark.sql(
+      """SELECT
+        |  st_cellid(5d, 45d, 8) AS c,
+        |  st_cellchildren(st_cellid(5d, 45d, 8)) AS kids,
+        |  st_cellneighbors(st_cellid(5d, 45d, 8)) AS nbrs,
+        |  st_cellringunion(st_cellid(5d, 45d, 8), 1) AS ring1,
+        |  st_tilechildren(st_tilezxy(5d, 45d, 8)) AS tkids,
+        |  st_tileparent(st_tilezxy(5d, 45d, 10), 8) AS tpar,
+        |  st_tilezxy(5d, 45d, 8) AS tdirect,
+        |  st_gridring(st_gridcell(5d, 45d, 2d), 1) AS gring
+        |""".stripMargin).collect()(0)
+    val c = row.getLong(0)
+    val kids = row.getSeq[Long](1)
+    assert(kids.length == 4 && kids.forall(k =>
+      graft.core.Cells.contains(c, k)))
+    assert(row.getSeq[Long](2).length == 4) // edge neighbors
+    val ring1 = row.getSeq[Long](3)
+    assert(ring1.contains(c) && ring1.length >= 5) // self + ring
+    val tkids = row.getSeq[Long](4)
+    assert(tkids.length == 4 &&
+      tkids.forall(k => graft.core.Tiles.parent(k) == row.getLong(6)))
+    assert(row.getLong(5) == row.getLong(6)) // parentAt == direct
+    assert(row.getSeq[Long](7).length == 9) // 3x3 grid ring
+  }
+
   test("box to polygon with min>max EMPTY rule") {
     val rows = spark.sql(
       """SELECT st_aswkt(st_boxtopolygon(0d, 0d, 4d, 3d)) AS a,

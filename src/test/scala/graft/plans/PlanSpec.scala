@@ -35,6 +35,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - plan.split("BroadcastExchange").length + 1 <= 2, plan)
   }
 
+  test("large polygon sets take the sort-merge path on the cell key") {
+    Geo.register(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val images = spark.read.parquet(writtenImages(2000))
+      val polys = ImagesTable.polygonLayer(spark)
+      val plan = SpatialJoins.pipJoin(images, polys, "poly", "lon", "lat",
+        zoom = 6, broadcastPolys = false)
+        .groupBy(col("poly_id")).count()
+        .queryExecution.executedPlan.toString
+      // the equi-join on the tile key hash-partitions both sides — the
+      // plan Catalyst picks when the dim side outgrows broadcast; the
+      // st_containsxy refine rides as the join condition, never a
+      // nested-loop
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("scan prunes payload columns out of the flagship plan") {
     Geo.register(spark)
     val images = spark.read.parquet(writtenImages(2000))

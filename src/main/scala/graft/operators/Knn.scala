@@ -40,21 +40,26 @@ object Knn {
 
   /** The distributed kNN join. @param queries df with qid, qlon, qlat.
     *
-    * The celled point projection persists (memory-and-disk) across the
-    * ring-expansion rounds — the iterative-refinement pattern: each round
-    * re-probes the same input, and re-scanning the source per round would
-    * multiply the dominant cost by the round count (~log of the distance
-    * to the k-th neighbor). Unpersisted before returning; results are
-    * checkpointed so they never re-execute the rounds. */
+    * By default the celled point projection persists (memory-and-disk)
+    * across the ring-expansion rounds — the iterative-refinement pattern:
+    * each round re-probes the same input, and re-scanning the source per
+    * round would multiply the dominant cost by the round count (~log of
+    * the distance to the k-th neighbor). Unpersisted before returning;
+    * results are checkpointed so they never re-execute the rounds. Pass
+    * `persistPoints = false` when the projection exceeds cluster storage
+    * and re-scanning the (columnar, pruned) source is the cheaper trade. */
   def knnJoin(points: DataFrame, queries: DataFrame, k: Int, res: Double,
-              tieCols: Seq[String]): DataFrame = {
+              tieCols: Seq[String], persistPoints: Boolean = true): DataFrame = {
     val spark = points.sparkSession
     Geo.register(spark)
     import spark.implicits._
 
-    val pts = points.withColumn("__cell", call_function("st_gridcell",
-        col("lon").cast("double"), col("lat").cast("double"), lit(res)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val celled = points.withColumn("__cell", call_function("st_gridcell",
+      col("lon").cast("double"), col("lat").cast("double"), lit(res)))
+    val pts =
+      if (persistPoints)
+        celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else celled
 
     // one round's candidate top-k plan (the single heavy job per round)
     def roundTopk(remaining: DataFrame, r: Int): DataFrame = {
@@ -101,7 +106,7 @@ object Knn {
         .localCheckpoint(eager = true)
       r *= 2
     }
-    pts.unpersist(blocking = false)
+    if (persistPoints) pts.unpersist(blocking = false)
     require(remaining.isEmpty, "kNN join did not converge")
     if (parts.isEmpty) finished(roundTopk(remaining, 2), remaining.select($"qid")).limit(0)
     else parts.reduce(_ unionByName _)

@@ -377,6 +377,16 @@ object SparkEntry {
       s.sql("""SELECT doc_id, doc_fingerprint(text, 8, 16) AS fp,
         |  simhash(text) AS sh FROM documents ORDER BY doc_id""".stripMargin)
     },
+    "q38_boilerplate" -> { (s, d) =>
+      prep(s, d)
+      // word-level separator on the synthetic docs: tokens present in
+      // >=400 of the documents are "boilerplate lines" to strip
+      Dedup.dropBoilerplateLines(s.table("documents")
+          .select(col("doc_id"), col("text")), "text", "doc_id",
+          sep = " ", minDocFreq = 400L)
+        .select(col("doc_id"), col("text").as("cleaned"))
+        .orderBy("doc_id")
+    },
     // ---- training-data ops: similarity search ----------------------
     "q40_ann_bruteforce" -> { (s, d) =>
       prep(s, d)
@@ -680,6 +690,16 @@ object SparkEntry {
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS line
+        |  FROM documents),
+        |hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 400),
+        |h AS (SELECT coalesce(list(line), []) AS hl FROM hot)
+        |SELECT doc_id, array_to_string(
+        |  list_filter(string_split(text, ' '), w -> NOT list_contains(h.hl, w)),
+        |  ' ') AS cleaned
+        |FROM documents, h ORDER BY doc_id""".stripMargin,
     // replicates the engine's langid heuristic (CJK codepoint share, then
     // earliest max-marker-hit language) and quality score formula exactly;
     // verified bit-equal per row against the kernel output

@@ -86,6 +86,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Boilerplate-line removal (the CCNet/Dolma corpus-cleaning pass): drop
+    * every line that occurs in >= `minDocFreq` distinct documents, keeping
+    * the remaining lines in their original order.
+    *
+    * Scale shape: pass 1 aggregates line -> distinct-document frequency
+    * (only (line, id) pairs shuffle); pass 2 anti-joins each document's
+    * exploded lines against the frequent-line set and reassembles the text
+    * order-preserving — all built-in, fully codegen'd operators.
+    *
+    * @return df with `textCol` replaced by the cleaned text (documents
+    *         whose every line was boilerplate keep an empty string). */
+  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                           sep: String = "\n",
+                           minDocFreq: Long = 10): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__line"))
+    val cleaned = lines.join(hot, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__pos"), col("__line")))), e => e.getField("__line")), sep)
+        .as("__cleaned"))
+    df.join(cleaned, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("__cleaned")
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket candidates (random
     * hyperplane signs), exact cosine refine.
     *

@@ -70,6 +70,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dropBoilerplateLines strips frequent lines, keeps order") {
+    val docs = Seq(
+      (1L, "HEADER\nreal content one\nFOOTER"),
+      (2L, "HEADER\nunique two\nmiddle two\nFOOTER"),
+      (3L, "HEADER\nanother three\nFOOTER"),
+      (4L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "text", "doc_id",
+        sep = "\n", minDocFreq = 3)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "real content one")
+    assert(out(2L) == "unique two\nmiddle two") // order preserved
+    assert(out(3L) == "another three")
+    assert(out(4L) == "") // fully-boilerplate doc stays, emptied
+  }
+
   test("withinDistanceJoin matches brute force") {
     val r = new java.util.Random(5)
     val pts = (0 until 3000).map { i =>

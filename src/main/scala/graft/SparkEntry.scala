@@ -387,6 +387,15 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("cleaned"))
         .orderBy("doc_id")
     },
+    "q39_pack_repetition" -> { (s, d) =>
+      prep(s, d)
+      graft.operators.Packing.packSequences(
+          s.table("documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", budget = 512L, shards = 8)
+        .select(col("doc_id"), col("tokens"), col("pack_id"), col("pack_offset"),
+          call_function("repetition_ratio", col("text"), lit(3)).as("rep3"))
+        .orderBy("doc_id")
+    },
     // ---- training-data ops: similarity search ----------------------
     "q40_ann_bruteforce" -> { (s, d) =>
       prep(s, d)
@@ -690,6 +699,24 @@ object SparkEntry {
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_pack_repetition" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tokens,
+        |    doc_id % 8 AS shard FROM documents),
+        |c AS (SELECT doc_id, text, tokens,
+        |    shard,
+        |    CAST(coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, tokens,
+        |  shard * 1099511627776 + CAST(floor(tok_before / 512.0) AS BIGINT) AS pack_id,
+        |  tok_before % 512 AS pack_offset,
+        |  (SELECT CASE WHEN len(gs) = 0 THEN 0.0
+        |     ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) END
+        |   FROM (SELECT [array_to_string(ws[i:i+2], ' ')
+        |       FOR i IN generate_series(1, greatest(len(ws) - 2, 1))] AS gs
+        |     FROM (SELECT string_split(text, ' ') AS ws))) AS rep3
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q38_boilerplate" ->
       """WITH lines AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS line

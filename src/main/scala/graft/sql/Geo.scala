@@ -197,6 +197,8 @@ object Geo {
     "hamming64" -> (a => txt(IntegerType, "hamming64", a, Seq(LongType, LongType))),
     "ngram_jaccard" -> (a => txt(DoubleType, "ngramJaccard", a,
       Seq(StringType, StringType, IntegerType))),
+    "repetition_ratio" -> (a => txt(DoubleType, "repetitionRatio", a,
+      Seq(StringType, IntegerType))),
     "doc_fingerprint" -> (a => txt(LongType, "fingerprint", a,
       Seq(StringType, IntegerType, IntegerType))),
     // --- multimodal kernels (propagateNull=false: null payload is data —

@@ -254,6 +254,18 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Duplicate word-n-gram fraction (the Gopher-style repetition quality
+    * filter): 1 - distinct/total over the text's n-gram multiset; 0 for
+    * empty/short texts (single-shingle fallback has one distinct gram). */
+  def repetitionRatio(s: UTF8String, n: Int): Double = {
+    val grams = wordShingles(s.toString, n)
+    if (grams.isEmpty) return 0.0
+    val distinct = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < grams.length) { distinct.add(grams(i)); i += 1 }
+    1.0 - distinct.size.toDouble / grams.length
+  }
+
   /** Exact n-word-gram Jaccard similarity of two texts. */
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
     val sa = wordShingles(a.toString, n).toSet

@@ -387,6 +387,15 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("cleaned"))
         .orderBy("doc_id")
     },
+    "q45_scrub" -> { (s, d) =>
+      prep(s, d)
+      // plant URLs/emails deterministically on both engines, then scrub
+      s.sql("""SELECT doc_id,
+        |  scrub_emails(scrub_urls(concat(text, ' see http://ex.com/p',
+        |    CAST(doc_id AS STRING), '?x=1 or mail u', CAST(doc_id AS STRING),
+        |    '@ex.org today'))) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    },
     "q39_pack_repetition" -> { (s, d) =>
       prep(s, d)
       graft.operators.Packing.packSequences(
@@ -698,6 +707,14 @@ object SparkEntry {
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q45_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || ' see http://ex.com/p' || CAST(doc_id AS VARCHAR)
+        |      || '?x=1 or mail u' || CAST(doc_id AS VARCHAR) || '@ex.org today',
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_pack_repetition" ->
       """WITH t AS (SELECT doc_id, text,

@@ -199,6 +199,8 @@ object Geo {
       Seq(StringType, StringType, IntegerType))),
     "repetition_ratio" -> (a => txt(DoubleType, "repetitionRatio", a,
       Seq(StringType, IntegerType))),
+    "scrub_urls" -> (a => txt(StringType, "scrubUrls", a, Seq(StringType))),
+    "scrub_emails" -> (a => txt(StringType, "scrubEmails", a, Seq(StringType))),
     "doc_fingerprint" -> (a => txt(LongType, "fingerprint", a,
       Seq(StringType, IntegerType, IntegerType))),
     // --- multimodal kernels (propagateNull=false: null payload is data —

@@ -254,6 +254,23 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  // ---------------------------------------------------------- scrubbing
+
+  // patterns chosen to mean the same thing in java.util.regex and RE2
+  // (DuckDB), so the scrub is oracle-checkable: no backtracking features,
+  // no \S-class differences
+  private val UrlRe = java.util.regex.Pattern.compile("https?://[^ ]+")
+  private val EmailRe =
+    java.util.regex.Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
+
+  /** URL redaction (training-corpus PII/link scrub). */
+  def scrubUrls(s: UTF8String): UTF8String =
+    UTF8String.fromString(UrlRe.matcher(s.toString).replaceAll("<URL>"))
+
+  /** Email redaction. */
+  def scrubEmails(s: UTF8String): UTF8String =
+    UTF8String.fromString(EmailRe.matcher(s.toString).replaceAll("<EMAIL>"))
+
   /** Duplicate word-n-gram fraction (the Gopher-style repetition quality
     * filter): 1 - distinct/total over the text's n-gram multiset; 0 for
     * empty/short texts (single-shingle fallback has one distinct gram). */

@@ -387,6 +387,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("cleaned"))
         .orderBy("doc_id")
     },
+    "q46_det_sample" -> { (s, d) =>
+      prep(s, d)
+      val sampled = graft.operators.Sampling.deterministicSample(
+        s.table("documents"), "doc_id", numerator = 2, denominator = 5,
+        seed = 42L)
+      graft.operators.Sampling.withSplit(sampled, "doc_id", seed = 7L,
+          weights = Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
     "q45_scrub" -> { (s, d) =>
       prep(s, d)
       // plant URLs/emails deterministically on both engines, then scrub
@@ -708,6 +718,60 @@ object SparkEntry {
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // splitmix64 replicated exactly in SQL: 64-bit wraparound adds/muls via
+    // HUGEINT with 32-bit split multiplication, xor/shifts on UBIGINT,
+    // then signed pmod like Spark's
+    "q46_det_sample" ->
+      """WITH sm AS (
+        |  SELECT doc_id, xin,
+        |    CAST(CAST(xor(z3, z3 >> 31) AS HUGEINT)
+        |      - CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id, xin,
+        |      CAST(((CAST(xor(z2, z2 >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
+        |        + (((CAST(xor(z2, z2 >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS UBIGINT) AS z3
+        |    FROM (
+        |      SELECT doc_id, xin,
+        |        CAST(((CAST(xor(z1, z1 >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
+        |          + (((CAST(xor(z1, z1 >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+        |          % 18446744073709551616 AS UBIGINT) AS z2
+        |      FROM (
+        |        SELECT doc_id, xin,
+        |          CAST((CAST(xin AS HUGEINT) + 11400714819323198485
+        |            + CASE WHEN xin < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)
+        |            % 18446744073709551616 AS UBIGINT) AS z1
+        |        FROM (SELECT doc_id, xor(doc_id, 42) AS xin FROM documents))))),
+        |sm7 AS (
+        |  SELECT doc_id, xin,
+        |    CAST(CAST(xor(z3, z3 >> 31) AS HUGEINT)
+        |      - CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808
+        |             THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id, xin,
+        |      CAST(((CAST(xor(z2, z2 >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
+        |        + (((CAST(xor(z2, z2 >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS UBIGINT) AS z3
+        |    FROM (
+        |      SELECT doc_id, xin,
+        |        CAST(((CAST(xor(z1, z1 >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
+        |          + (((CAST(xor(z1, z1 >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+        |          % 18446744073709551616 AS UBIGINT) AS z2
+        |      FROM (
+        |        SELECT doc_id, xin,
+        |          CAST((CAST(xin AS HUGEINT) + 11400714819323198485
+        |            + CASE WHEN xin < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)
+        |            % 18446744073709551616 AS UBIGINT) AS z1
+        |        FROM (SELECT doc_id, xor(doc_id, 7) AS xin FROM documents))))),
+        |sampled AS (SELECT doc_id FROM sm WHERE ((h % 5) + 5) % 5 < 2),
+        |labeled AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN ((m.h % 10) + 10) % 10 < 8 THEN 'train'
+        |         WHEN ((m.h % 10) + 10) % 10 < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM sampled s JOIN sm7 m ON m.doc_id = s.doc_id)
+        |SELECT doc_id, split FROM labeled ORDER BY doc_id""".stripMargin,
     "q45_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -387,6 +387,26 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("cleaned"))
         .orderBy("doc_id")
     },
+    "q47_img_meta" -> { (s, d) =>
+      prep(s, d)
+      // real PNG + JPEG headers constructed in SQL (hex), decoded by the
+      // img_meta kernel — dimensions oracled against the generating ints
+      s.sql("""SELECT doc_id, m_png.decoded_w AS png_w, m_png.decoded_h AS png_h,
+        |  m_png.detected_fmt AS png_fmt,
+        |  m_jpg.decoded_w AS jpg_w, m_jpg.decoded_h AS jpg_h,
+        |  m_jpg.detected_fmt AS jpg_fmt,
+        |  img_meta(CAST(concat('not an image ', CAST(doc_id AS STRING)) AS BINARY)).detected_fmt AS other_fmt
+        |FROM (
+        |  SELECT doc_id,
+        |    img_meta(unhex(concat('89504E470D0A1A0A0000000D49484452',
+        |      lpad(hex(CAST(doc_id % 4096 + 1 AS INT)), 8, '0'),
+        |      lpad(hex(CAST(doc_id % 2048 + 7 AS INT)), 8, '0')))) AS m_png,
+        |    img_meta(unhex(concat('FFD8FFC0000B08',
+        |      lpad(hex(CAST(doc_id % 1024 + 3 AS INT)), 4, '0'),
+        |      lpad(hex(CAST(doc_id % 512 + 5 AS INT)), 4, '0'), '01'))) AS m_jpg
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+    },
     "q46_det_sample" -> { (s, d) =>
       prep(s, d)
       val sampled = graft.operators.Sampling.deterministicSample(
@@ -717,6 +737,16 @@ object SparkEntry {
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_words,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q47_img_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4096 + 1 AS INTEGER) AS png_w,
+        |  CAST(doc_id % 2048 + 7 AS INTEGER) AS png_h,
+        |  'png' AS png_fmt,
+        |  CAST(doc_id % 512 + 5 AS INTEGER) AS jpg_w,
+        |  CAST(doc_id % 1024 + 3 AS INTEGER) AS jpg_h,
+        |  'jpeg' AS jpg_fmt,
+        |  'unknown' AS other_fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
     // splitmix64 replicated exactly in SQL: 64-bit wraparound adds/muls via
     // HUGEINT with 32-bit split multiplication, xor/shifts on UBIGINT,

@@ -918,6 +918,64 @@ object SparkEntry {
         |  SELECT qid, id, cos, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // the FULL multiprobe-LSH pipeline replicated in SQL: hyperplane
+    // weights from the splitmix64 replica (bit-exact), sign buckets via
+    // order-preserving parallel-unnest dot products, 1-bit multiprobe,
+    // exact rerank — every row verified bit-equal
+    "q41_ann_lsh" ->
+      """WITH seedin AS (
+        |  SELECT b, i, xor(xor(42, b * 4294967296), i) AS xin
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS b),
+        |       (SELECT unnest(generate_series(0, 63)) AS i)),
+        |s1 AS (SELECT b, i, CAST((CAST(xin AS HUGEINT) + 11400714819323198485
+        |    + CASE WHEN xin < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)
+        |    % 18446744073709551616 AS UBIGINT) AS z1 FROM seedin),
+        |s2 AS (SELECT b, i,
+        |    CAST(((CAST(xor(z1, z1 >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929
+        |      + (((CAST(xor(z1, z1 >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+        |      % 18446744073709551616 AS UBIGINT) AS z2 FROM s1),
+        |s3 AS (SELECT b, i,
+        |    CAST(((CAST(xor(z2, z2 >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931
+        |      + (((CAST(xor(z2, z2 >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+        |      % 18446744073709551616 AS UBIGINT) AS z3 FROM s2),
+        |hh AS (SELECT b, i, CAST(CAST(xor(z3, z3 >> 31) AS HUGEINT)
+        |    - CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808
+        |           THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS hv FROM s3),
+        |wl AS (SELECT b, list(CAST(hv >> 11 AS DOUBLE) / 4503599627370496.0 ORDER BY i) AS ws
+        |  FROM hh GROUP BY b),
+        |sb AS (
+        |  SELECT e.vec_id, wl.b,
+        |    (SELECT sum(CAST(x AS DOUBLE) * w) FROM
+        |      (SELECT unnest(e.embedding) AS x, unnest(wl.ws) AS w) z) AS s
+        |  FROM embeddings e, wl),
+        |buck AS (
+        |  SELECT vec_id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+        |  FROM sb GROUP BY vec_id),
+        |qprobe AS (
+        |  SELECT q.vec_id AS qid, p.probe
+        |  FROM buck q, (SELECT unnest([-1] || [x FOR x IN generate_series(0, 9)]) AS pb) pbs,
+        |  LATERAL (SELECT CASE WHEN pbs.pb = -1 THEN q.bucket
+        |                       ELSE xor(q.bucket, CAST(1 AS BIGINT) << pbs.pb) END AS probe) p
+        |  WHERE q.vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT qp.qid, c.vec_id
+        |  FROM qprobe qp JOIN buck c ON c.bucket = qp.probe
+        |  WHERE c.vec_id != qp.qid),
+        |scored AS (
+        |  SELECT cand.qid, cand.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |        (SELECT unnest(b.embedding) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |        (SELECT unnest(a.embedding) AS y) z))) AS cos
+        |  FROM cand
+        |  JOIN embeddings b ON b.vec_id = cand.vec_id
+        |  JOIN embeddings a ON a.vec_id = cand.qid)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // ground truth for the LSH-bucketed near-dup pass: scaling a vector by
     // 1.001 never flips a hyperplane sign (the bucket is sign-of-dot), so
     // planted pairs always share buckets and the LSH output equals the

@@ -918,6 +918,46 @@ object SparkEntry {
         |  SELECT qid, id, cos, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // full simhash pipeline in SQL: per-word hashes via a
+    // list_reduce splitmix64 lambda (bit-exact), 64 bit-counters,
+    // 16-bit band self-join, hamming<=6 refine — all 613 pairs match
+    "q32_simhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |mut AS (SELECT doc_id + 10000 AS doc_id,
+        |  array_to_string((string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 8, 1)], ' ') AS text
+        |  FROM base),
+        |planted AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |words AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+        |  FROM planted),
+        |wh AS (
+        |  SELECT doc_id, list_reduce([CAST(31 AS BIGINT)] ||
+        |    [CAST(unicode(word[i]) AS BIGINT) FOR i IN generate_series(1, length(word))],
+        |    (a, c) -> CAST(CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 31) AS HUGEINT) - CASE WHEN xor(CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 31) >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)) AS h
+        |  FROM words),
+        |accs AS (
+        |  SELECT doc_id, b.b,
+        |    sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(s AS HUGEINT) - CASE WHEN s >= 9223372036854775808
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh
+        |  FROM (SELECT doc_id,
+        |      sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS s
+        |    FROM accs GROUP BY doc_id)),
+        |banded AS (
+        |  SELECT doc_id, sh,
+        |    CAST(bi AS VARCHAR) || ':' || CAST((sh >> (bi * 16)) & 65535 AS VARCHAR) AS band_key
+        |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS bi)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        |ORDER BY id_a, id_b
+        |""".stripMargin,
     // the FULL multiprobe-LSH pipeline replicated in SQL: hyperplane
     // weights from the splitmix64 replica (bit-exact), sign buckets via
     // order-preserving parallel-unnest dot products, 1-bit multiprobe,

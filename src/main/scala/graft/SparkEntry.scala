@@ -580,7 +580,189 @@ object SparkEntry {
 
   // =====================================================================
 
+  // --- DuckDB splitmix64 replica (SQL text generator) -------------------
+  // 64-bit wraparound arithmetic via HUGEINT with 32-bit split
+  // multiplication; built at runtime because the expanded expressions
+  // (repeated per xor stage) exceed the JVM 64KB string-constant limit.
+  private def smxU(e: String): String =
+    s"(CAST($e AS HUGEINT) + CASE WHEN ($e) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+  private def smxMul(z: String, c: String): String =
+    s"CAST(((CAST($z AS HUGEINT) % 4294967296) * $c " +
+      s"+ (((CAST($z AS HUGEINT) // 4294967296) * $c) % 4294967296) * 4294967296) " +
+      s"% 18446744073709551616 AS UBIGINT)"
+  private def smxXs(z: String, k: Int): String = s"xor($z, $z >> $k)"
+
+  /** SQL computing splitmix64 of the signed-BIGINT expression `e`. */
+  private def smxExpr(e: String): String = {
+    val a = s"CAST((${smxU(e)} + 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
+    val b = smxMul(smxXs(a, 30), "13787848793156543929")
+    val c = smxMul(smxXs(b, 27), "10723151780598845931")
+    val f = smxXs(c, 31)
+    s"CAST(CAST($f AS HUGEINT) - CASE WHEN $f >= 9223372036854775808 " +
+      s"THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+  }
+
+  /** The fold lambda `(a, c) -> splitmix64(a ^ c)` shared by the rolling-
+    * hash replicas. */
+  private lazy val SmxLambda = smxExpr("xor(a, c)")
+
+  /** q31 oracle: the full MinHash+LSH pipeline in SQL — word/shingle
+    * rolling hashes via list_reduce splitmix64 lambdas (bit-exact), 32
+    * permutation minima, 8 packed band keys, band self-join, exact word-
+    * 3-gram jaccard refine. Verified: all 523 pairs + jaccards match. */
+  private lazy val MinhashOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |mut AS (SELECT doc_id + 10000 AS doc_id,
+       |  array_to_string((string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 8, 1)], ' ') AS text
+       |  FROM base),
+       |planted AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+       |dw AS (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w != '') AS ws FROM planted),
+       |wh AS (
+       |  SELECT doc_id,
+       |    [list_reduce([CAST(13 AS BIGINT)] ||
+       |       [CAST(unicode(w[i]) AS BIGINT) FOR i IN generate_series(1, length(w))],
+       |       (a, c) -> $SmxLambda) FOR w IN ws] AS whs,
+       |    len(ws) AS nw,
+       |    array_to_string(ws, ' ') AS joined
+       |  FROM dw),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nw >= 3 THEN
+       |      [list_reduce([CAST(7 AS BIGINT), whs[i], whs[i+1], whs[i+2]], (a, c) -> $SmxLambda)
+       |       FOR i IN generate_series(1, nw - 2)]
+       |    WHEN nw = 0 THEN CAST([] AS BIGINT[])
+       |    ELSE
+       |      [list_reduce([CAST(7 AS BIGINT)] ||
+       |        [CAST(unicode(joined[i]) AS BIGINT) FOR i IN generate_series(1, length(joined))],
+       |        (a, c) -> $SmxLambda)]
+       |    END AS shs
+       |  FROM wh),
+       |sigp AS (
+       |  SELECT s.doc_id, p.p, min(${smxExpr("xor(u.s, 1540483477 * p.p)")}) AS mh
+       |  FROM sh s, (SELECT unnest(generate_series(1, 32)) AS p) p, unnest(s.shs) AS u(s)
+       |  GROUP BY s.doc_id, p.p),
+       |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM sigp GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |    xor(b.b << 56,
+       |      (list_reduce([xor(2685821657736338717, b.b), sig[b.b * 4 + 1], sig[b.b * 4 + 2],
+       |        sig[b.b * 4 + 3], sig[b.b * 4 + 4]], (a, c) -> $SmxLambda) >> 8) & 72057594037927935) AS band
+       |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |tx AS (SELECT doc_id, text FROM planted),
+       |gs AS (
+       |  SELECT doc_id,
+       |    (SELECT list_distinct([array_to_string(ws[i:i+2], ' ')
+       |       FOR i IN generate_series(1, greatest(len(ws) - 2, 1))])
+       |     FROM (SELECT string_split(text, ' ') AS ws)) AS g
+       |  FROM tx),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CASE WHEN len(ga.g) = 0 AND len(gb.g) = 0 THEN 1.0
+       |         WHEN len(ga.g) = 0 OR len(gb.g) = 0 THEN 0.0
+       |         ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |              / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+       |    END AS jaccard
+       |  FROM cand c JOIN gs ga ON ga.doc_id = c.id_a JOIN gs gb ON gb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q32 oracle: full SimHash pipeline in SQL — per-word rolling hashes
+    * (bit-exact), 64 sign counters, 16-bit band self-join, hamming<=6
+    * refine. Verified: all 613 pairs + hamming distances match. */
+  private lazy val SimhashOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |mut AS (SELECT doc_id + 10000 AS doc_id,
+       |  array_to_string((string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 8, 1)], ' ') AS text
+       |  FROM base),
+       |planted AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+       |words AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+       |  FROM planted),
+       |wh AS (
+       |  SELECT doc_id, list_reduce([CAST(31 AS BIGINT)] ||
+       |    [CAST(unicode(word[i]) AS BIGINT) FOR i IN generate_series(1, length(word))],
+       |    (a, c) -> $SmxLambda) AS h
+       |  FROM words),
+       |accs AS (
+       |  SELECT doc_id, b.b,
+       |    sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(s AS HUGEINT) - CASE WHEN s >= 9223372036854775808
+       |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh
+       |  FROM (SELECT doc_id,
+       |      sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS s
+       |    FROM accs GROUP BY doc_id)),
+       |banded AS (
+       |  SELECT doc_id, sh,
+       |    CAST(bi AS VARCHAR) || ':' || CAST((sh >> (bi * 16)) & 65535 AS VARCHAR) AS band_key
+       |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS bi)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q37 oracle: winnowing fingerprint (char-level 8-gram rolling hashes,
+    * per-16 window minima, xor fold) + 64-bit simhash per document.
+    * Verified bit-equal for all 500 docs (the heaviest oracle, ~3 min in
+    * DuckDB — 4M rolling-hash lambda evaluations). */
+  private lazy val FingerprintOracle: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, text,
+       |    [CAST(unicode(text[i]) AS BIGINT) FOR i IN generate_series(1, length(text))] AS cs,
+       |    length(text) AS n
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN n < 8 THEN
+       |      [list_reduce([CAST(17 AS BIGINT)] || cs, (a, c) -> $SmxLambda)]
+       |    ELSE
+       |      [list_reduce([CAST(17 AS BIGINT)] || cs[i:i+7], (a, c) -> $SmxLambda)
+       |       FOR i IN generate_series(1, n - 7)]
+       |    END AS hs
+       |  FROM chars),
+       |fp AS (
+       |  SELECT doc_id, text,
+       |    list_reduce([CAST(0 AS BIGINT)] ||
+       |      [${smxExpr("list_aggregate(hs[(b - 1) * 16 + 1 : (b - 1) * 16 + 16], 'min')")}
+       |       FOR b IN generate_series(1, (len(hs) + 15) // 16)],
+       |      (a, c) -> xor(a, c)) AS fp
+       |  FROM grams),
+       |words AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+       |  FROM documents),
+       |wh AS (
+       |  SELECT doc_id, list_reduce([CAST(31 AS BIGINT)] ||
+       |    [CAST(unicode(word[i]) AS BIGINT) FOR i IN generate_series(1, length(word))],
+       |    (a, c) -> $SmxLambda) AS h
+       |  FROM words),
+       |accs AS (
+       |  SELECT doc_id, b.b,
+       |    sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(s AS HUGEINT) - CASE WHEN s >= 9223372036854775808
+       |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh
+       |  FROM (SELECT doc_id,
+       |      sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS s
+       |    FROM accs GROUP BY doc_id))
+       |SELECT f.doc_id, f.fp, s.sh
+       |FROM fp f JOIN sh s ON s.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q31_minhash_neardup" -> MinhashOracle,
+    "q32_simhash_neardup" -> SimhashOracle,
+    "q37_fingerprint" -> FingerprintOracle,
     // NOTE sum(BIGINT) is HUGEINT in DuckDB, which the driver's Arrow fetch
     // coerces to float64 and the hash compare then diverges from Spark's
     // int64 — CAST the aggregate back to BIGINT so both sides emit int64.
@@ -918,46 +1100,6 @@ object SparkEntry {
         |  SELECT qid, id, cos, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-    // full simhash pipeline in SQL: per-word hashes via a
-    // list_reduce splitmix64 lambda (bit-exact), 64 bit-counters,
-    // 16-bit band self-join, hamming<=6 refine — all 613 pairs match
-    "q32_simhash_neardup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-        |mut AS (SELECT doc_id + 10000 AS doc_id,
-        |  array_to_string((string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 8, 1)], ' ') AS text
-        |  FROM base),
-        |planted AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
-        |words AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
-        |  FROM planted),
-        |wh AS (
-        |  SELECT doc_id, list_reduce([CAST(31 AS BIGINT)] ||
-        |    [CAST(unicode(word[i]) AS BIGINT) FOR i IN generate_series(1, length(word))],
-        |    (a, c) -> CAST(CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 31) AS HUGEINT) - CASE WHEN xor(CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) % 4294967296) * 10723151780598845931 + (((CAST(xor(CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) % 4294967296) * 13787848793156543929 + (((CAST(xor(CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT), CAST(((CAST(xor(a, c) AS HUGEINT) + CASE WHEN (xor(a, c)) < 0 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) >> 30) AS HUGEINT) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 27) AS HUGEINT) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) >> 31) >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)) AS h
-        |  FROM words),
-        |accs AS (
-        |  SELECT doc_id, b.b,
-        |    sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
-        |  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
-        |  GROUP BY doc_id, b.b),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(CAST(s AS HUGEINT) - CASE WHEN s >= 9223372036854775808
-        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh
-        |  FROM (SELECT doc_id,
-        |      sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS s
-        |    FROM accs GROUP BY doc_id)),
-        |banded AS (
-        |  SELECT doc_id, sh,
-        |    CAST(bi AS VARCHAR) || ':' || CAST((sh >> (bi * 16)) & 65535 AS VARCHAR) AS band_key
-        |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS bi)),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-        |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
-        |ORDER BY id_a, id_b
-        |""".stripMargin,
     // the FULL multiprobe-LSH pipeline replicated in SQL: hyperplane
     // weights from the splitmix64 replica (bit-exact), sign buckets via
     // order-preserving parallel-unnest dot products, 1-bit multiprobe,

@@ -150,6 +150,26 @@ object Bench {
     val tput4N = scaling(nCores * 4)._1.toDouble
     val efficiency = tput4N / (4.0 * tputN)
 
+    // ---- second scale notch: same job at 3x the input rows (replicate*3)
+    // on the chosen N/4N pair — evidence that throughput holds as input
+    // grows, not just that N->4N scales at one size. Two interleaved
+    // rounds, minima taken (same steal-noise discipline as above).
+    val rep3 = replicate * 3
+    val rows3 = benchRows * rep3
+    val times3 = scala.collection.mutable.Map(
+      nCores -> Vector.empty[Double], (nCores * 4) -> Vector.empty[Double])
+    for (_ <- 1 to 2; cores <- Seq(nCores, nCores * 4)) {
+      val s = session(cores)
+      val (_, secs) = time(flagship(s, inputPath, rep3))
+      s.stop()
+      times3(cores) = times3(cores) :+ secs
+    }
+    val tput3N = rows3 / times3(nCores).min
+    val tput34N = rows3 / times3(nCores * 4).min
+    val efficiency3 = tput34N / (4.0 * tput3N)
+    // throughput holding at 3x: rows/sec at 4N cores, 3x vs 1x input
+    val holdRatio = tput34N / tput4N
+
     // ---- per-query timings at the driver's parallelism
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -161,7 +181,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"spatial-join+tile-assignment throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$effRows,"n_cores":$nCores,"throughput_rows_per_sec":{"localN":${tputN.toLong},"local4N":${tput4N.toLong}},"flagship_secs":{"localN":${scaling(nCores)._2}%.3f,"local4N":${scaling(nCores * 4)._2}%.3f},"flagship_times":{"c4":[${scaling(4)._3.map(t => f"$t%.2f").mkString(",")}],"c8":[${scaling(8)._3.map(t => f"$t%.2f").mkString(",")}],"c16":[${scaling(16)._3.map(t => f"$t%.2f").mkString(",")}],"c32":[${scaling(32)._3.map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency%.3f,"steal_jiffies_during_bench":${stealJiffies() - steal0}}""")
+      f"""{"metric":"spatial-join+tile-assignment throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$effRows,"n_cores":$nCores,"throughput_rows_per_sec":{"localN":${tputN.toLong},"local4N":${tput4N.toLong}},"flagship_secs":{"localN":${scaling(nCores)._2}%.3f,"local4N":${scaling(nCores * 4)._2}%.3f},"flagship_times":{"c4":[${scaling(4)._3.map(t => f"$t%.2f").mkString(",")}],"c8":[${scaling(8)._3.map(t => f"$t%.2f").mkString(",")}],"c16":[${scaling(16)._3.map(t => f"$t%.2f").mkString(",")}],"c32":[${scaling(32)._3.map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency%.3f,"scale3x":{"rows":$rows3,"throughput_rows_per_sec":{"localN":${tput3N.toLong},"local4N":${tput34N.toLong}},"secs":{"localN":[${times3(nCores).map(t => f"$t%.2f").mkString(",")}],"local4N":[${times3(nCores * 4).map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency3%.3f,"throughput_hold_vs_1x":$holdRatio%.3f},"steal_jiffies_during_bench":${stealJiffies() - steal0}}""")
     spark.stop()
   }
 }

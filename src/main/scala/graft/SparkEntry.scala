@@ -48,6 +48,20 @@ object SparkEntry {
       |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
       |FROM lineitem""".stripMargin
 
+  /** Deterministic sphere-direction vectors over lineitem — exact dyadic
+    * rationals (small ints / 1024), so every downstream cell-index step is
+    * IEEE-exact in both engines. The z numerator is always odd (2m - 2001),
+    * so the vector is never all-zero. */
+  private val XyzCte =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 4001 - 2000 AS DOUBLE) / 1024.0 AS x,
+      |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber * 3) % 3001 - 1500 AS DOUBLE) / 1024.0 AS y,
+      |  CAST(((l_orderkey * 53 + l_partkey * 17 + l_linenumber * 7) % 2003) * 2 - 2001 AS DOUBLE) / 1024.0 AS z
+      |FROM lineitem""".stripMargin
+
+  private def xyzCteOn(table: String): String =
+    XyzCte.replace("FROM lineitem", s"FROM $table")
+
   /** Deterministic rectangles (epsilon offsets guarantee no point of the
     * 1e-4-degree lattice can land exactly on a boundary, so ray-cast and
     * BETWEEN semantics agree). */
@@ -218,23 +232,36 @@ object SparkEntry {
         |""".stripMargin)
     },
     // ---- 2C cell index / tiles / joins -----------------------------
+    // q20/q21 drive the cell index through st_cellidxyz (exact rational
+    // sphere-direction inputs): every step — face selection, quadratic
+    // cube-to-sphere, Hilbert fold, parent/range/children — is IEEE-exact
+    // arithmetic that the DuckDB oracle replicates bit-for-bit (the Hilbert
+    // lookup table rides along as a 1,024-constant list). The lon/lat trig
+    // leg (st_cellid) can't be hash-oracled (JVM vs libm sin/cos differ by
+    // ulps) and is covered by CellSpec properties + the oracled q24 join.
     "q20_cellid" -> { (s, d) =>
       prep(s, d)
-      s.sql(s"""WITH pts AS ($PtsCte)
-        |SELECT count(DISTINCT st_cellid(lon, lat, 12)) AS n_cells,
-        |       count(DISTINCT st_cellparent(st_cellid(lon, lat, 12), 6)) AS n_parents,
-        |       count(*) AS n FROM pts""".stripMargin)
+      s.sql(s"""WITH pts AS (${xyzCteOn("lineitem_par")}),
+        |c AS (SELECT st_cellidxyz(x, y, z, 12) AS c12 FROM pts)
+        |SELECT st_cellparent(c12, 4) AS cell4, count(*) AS n,
+        |       count(DISTINCT c12) AS n12,
+        |       min(c12) AS min12, max(c12) AS max12
+        |FROM c GROUP BY cell4 ORDER BY cell4""".stripMargin)
     },
     "q21_cell_nav" -> { (s, d) =>
       prep(s, d)
-      // self-consistency counts: parent/child containment + neighbor symmetry
-      s.sql(s"""WITH pts AS ($PtsCte),
-        |cells AS (SELECT DISTINCT st_cellid(lon, lat, 10) AS c FROM pts)
-        |SELECT count(*) AS n_cells,
-        |  sum(CASE WHEN st_cellcontains(st_cellparent(c, 6), c) THEN 1 ELSE 0 END) AS n_contained,
-        |  sum(CASE WHEN array_contains(st_cellneighbors(element_at(st_cellneighbors(c), 1)), c)
-        |      THEN 1 ELSE 0 END) AS n_symmetric
-        |FROM cells""".stripMargin)
+      // navigation ops over the distinct level-10 cells; neighbor symmetry
+      // (wrap arithmetic) stays property-tested in CellSpec
+      s.sql(s"""WITH pts AS (${xyzCteOn("lineitem_par")}),
+        |cells AS (SELECT DISTINCT st_cellidxyz(x, y, z, 10) AS c FROM pts)
+        |SELECT c, st_celllevel(c) AS lvl,
+        |  st_cellrangemin(c) AS rmin, st_cellrangemax(c) AS rmax,
+        |  st_cellparent(c, 6) AS p6,
+        |  CAST(CASE WHEN st_cellcontains(st_cellparent(c, 6), c)
+        |       THEN 1 ELSE 0 END AS INT) AS contained,
+        |  element_at(st_cellchildren(c), 1) AS ch0,
+        |  element_at(st_cellchildren(c), 4) AS ch3
+        |FROM cells ORDER BY c""".stripMargin)
     },
     "q22_tile_assign" -> { (s, d) =>
       prep(s, d)
@@ -406,6 +433,23 @@ object SparkEntry {
         |      lpad(hex(CAST(doc_id % 512 + 5 AS INT)), 4, '0'), '01'))) AS m_jpg
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)
+    },
+    "q48_img_features" -> { (s, d) =>
+      prep(s, d)
+      // REAL pixel decode (javax.imageio): two-band PNGs synthesized per
+      // row — h a multiple of 4 so the color boundary aligns with the 4x4
+      // pooling grid and every cell is single-color, making the pooled
+      // means analytically oracle-able (integer-sum-then-one-division
+      // arithmetic in img_features is correctly rounded on both engines)
+      s.sql("""SELECT doc_id, CAST(pos AS INT) AS idx, feat FROM (
+        |  SELECT doc_id, posexplode(img_features(make_png(
+        |    CAST(doc_id % 13 + 4 AS INT), CAST((doc_id % 8 + 1) * 4 AS INT),
+        |    CAST(doc_id % 256 AS INT), CAST((doc_id * 7) % 256 AS INT),
+        |    CAST((doc_id * 13) % 256 AS INT), CAST((doc_id * 3) % 256 AS INT),
+        |    CAST((doc_id * 11) % 256 AS INT), CAST((doc_id * 17) % 256 AS INT)),
+        |    16)) AS (pos, feat)
+        |  FROM documents)
+        |ORDER BY doc_id, idx""".stripMargin)
     },
     "q46_det_sample" -> { (s, d) =>
       prep(s, d)
@@ -606,6 +650,92 @@ object SparkEntry {
     * hash replicas. */
   private lazy val SmxLambda = smxExpr("xor(a, c)")
 
+  // --- DuckDB S2 cell-index replica (SQL text generator) ----------------
+  // Replicates Cells.xyzToFaceUv / uvToSt / stToIj / fromFaceIj / parent
+  // bit-for-bit: every step is IEEE-exact (divisions, sqrt, dyadic
+  // multiplies, floor, integer bit ops), and the Hilbert lookup table is
+  // embedded as the same 1,024 constants the engine folds with.
+
+  /** Signed-BIGINT view of an UBIGINT expression (two's-complement). The
+    * threshold is compared as UBIGINT explicitly: `ubigint >= 2^63` with a
+    * bare (HUGEINT-typed) literal trips an internal-cast error in DuckDB
+    * when the left side is itself an arithmetic expression. */
+  private def cellSgn(e: String): String =
+    s"CAST(CAST($e AS HUGEINT) - CASE WHEN ($e) >= CAST(9223372036854775808 AS UBIGINT) " +
+      s"THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+
+  /** `(id & -newLsb) | newLsb` — parent at `level` of the UBIGINT id `e`. */
+  private def cellParentU(e: String, level: Int): String = {
+    val lsb = 1L << (2 * (30 - level))
+    s"((($e) - (($e) & CAST(${lsb - 1} AS UBIGINT))) | CAST($lsb AS UBIGINT))"
+  }
+
+  /** CTE chain `lut, fc, fold` computing `cu` — the unsigned cell id at
+    * `level` — for each row of a preceding `pts` CTE carrying exact
+    * (x, y, z) columns. Built at runtime (the lookup-table list literal). */
+  private def cellPipelineSql(level: Int): String = {
+    val lut = graft.core.Cells.hilbertLookupPos.mkString("[", ", ", "]")
+    val steps = (7 to 0 by -1).map { k =>
+      val sh = 4 * k
+      val iN = if (sh == 0) "i" else s"(i >> $sh)"
+      val jN = if (sh == 0) "j" else s"(j >> $sh)"
+      s"  l[CAST(b${k + 1} + ($iN & 15) * 64 + ($jN & 15) * 4 AS INT) + 1] AS k$k," +
+        s" n${k + 1} + (CAST(k$k >> 2 AS UBIGINT) << ${8 * k}) AS n$k, k$k & 3 AS b$k"
+    }.mkString(",\n")
+    s"""lut AS (SELECT $lut AS l),
+       |fc AS (SELECT p.*,
+       |  CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+       |       ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS f0,
+       |  CASE WHEN f0 = 0 AND x < 0 THEN 3 WHEN f0 = 1 AND y < 0 THEN 4
+       |       WHEN f0 = 2 AND z < 0 THEN 5 ELSE f0 END AS face,
+       |  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+       |       WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+       |  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+       |       WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v,
+       |  CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS ss,
+       |  CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS tt,
+       |  GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * ss) AS BIGINT))) AS i,
+       |  GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * tt) AS BIGINT))) AS j
+       | FROM pts p),
+       |fold AS (SELECT q.*,
+       |  (face & 1) AS b8,
+       |  CAST(face AS UBIGINT) * CAST(1152921504606846976 AS UBIGINT) AS n8,
+       |$steps,
+       |  n0 * CAST(2 AS UBIGINT) + CAST(1 AS UBIGINT) AS leafu,
+       |  ${cellParentU("n0 * CAST(2 AS UBIGINT) + CAST(1 AS UBIGINT)", level)} AS cu
+       | FROM fc q CROSS JOIN lut)""".stripMargin
+  }
+
+  private lazy val Q20Oracle: String =
+    s"""WITH pts AS (${XyzCte.replace("\n", " ")}),
+       |${cellPipelineSql(12)},
+       |sgn AS (SELECT ${cellSgn("cu")} AS c12,
+       |  ${cellSgn(cellParentU("cu", 4))} AS cell4 FROM fold)
+       |SELECT cell4, count(*) AS n, count(DISTINCT c12) AS n12,
+       |  min(c12) AS min12, max(c12) AS max12
+       |FROM sgn GROUP BY cell4 ORDER BY cell4""".stripMargin
+
+  private lazy val Q21Oracle: String =
+    s"""WITH pts AS (${XyzCte.replace("\n", " ")}),
+       |${cellPipelineSql(10)},
+       |cells AS (SELECT DISTINCT cu FROM fold),
+       |nav AS (SELECT cu, ${cellParentU("cu", 6)} AS p6u,
+       |  cu - CAST(1099511627775 AS UBIGINT) AS rminu,
+       |  cu + CAST(1099511627775 AS UBIGINT) AS rmaxu,
+       |  cu - CAST(824633720832 AS UBIGINT) AS ch0u,
+       |  cu + CAST(824633720832 AS UBIGINT) AS ch3u
+       | FROM cells)
+       |SELECT ${cellSgn("cu")} AS c, CAST(10 AS INTEGER) AS lvl,
+       |  ${cellSgn("rminu")} AS rmin,
+       |  ${cellSgn("rmaxu")} AS rmax,
+       |  ${cellSgn("p6u")} AS p6,
+       |  CAST(CASE WHEN cu >= p6u - CAST(281474976710655 AS UBIGINT)
+       |       AND cu <= p6u + CAST(281474976710655 AS UBIGINT)
+       |       THEN 1 ELSE 0 END AS INTEGER) AS contained,
+       |  ${cellSgn("ch0u")} AS ch0,
+       |  ${cellSgn("ch3u")} AS ch3
+       |FROM nav ORDER BY c""".stripMargin
+
   /** q31 oracle: the full MinHash+LSH pipeline in SQL — word/shingle
     * rolling hashes via list_reduce splitmix64 lambdas (bit-exact), 32
     * permutation minima, 8 packed band keys, band self-join, exact word-
@@ -760,6 +890,8 @@ object SparkEntry {
        |ORDER BY f.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q20_cellid" -> Q20Oracle,
+    "q21_cell_nav" -> Q21Oracle,
     "q31_minhash_neardup" -> MinhashOracle,
     "q32_simhash_neardup" -> SimhashOracle,
     "q37_fingerprint" -> FingerprintOracle,
@@ -930,6 +1062,20 @@ object SparkEntry {
         |  'jpeg' AS jpg_fmt,
         |  'unknown' AS other_fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // img_features over solid-banded PNGs: every 4x4 pooling cell is
+    // single-color, so the pooled mean is analytically (299r+587g+114b)
+    // / 255000 — both engines compute one correctly-rounded double
+    // division of the same exact rational, then one double->float cast
+    "q48_img_features" ->
+      """SELECT d.doc_id, CAST(g.range AS INTEGER) AS idx,
+        |  CAST(CASE WHEN g.range < 8
+        |    THEN CAST((d.doc_id % 256) * 299 + ((d.doc_id * 7) % 256) * 587
+        |         + ((d.doc_id * 13) % 256) * 114 AS DOUBLE) / 255000.0
+        |    ELSE CAST(((d.doc_id * 3) % 256) * 299 + ((d.doc_id * 11) % 256) * 587
+        |         + ((d.doc_id * 17) % 256) * 114 AS DOUBLE) / 255000.0
+        |    END AS FLOAT) AS feat
+        |FROM documents d CROSS JOIN range(0, 16) g
+        |ORDER BY doc_id, idx""".stripMargin,
     // splitmix64 replicated exactly in SQL: 64-bit wraparound adds/muls via
     // HUGEINT with 32-bit split multiplication, xor/shifts on UBIGINT,
     // then signed pmod like Spark's

@@ -332,4 +332,9 @@ object Cells {
 
   /** Face cell (level 0) id. */
   def faceCell(face: Int): Long = (face.toLong << 61) | (1L << 60)
+
+  /** The (ij,orientation) -> (pos,orientation) Hilbert lookup table, exposed
+    * so the DuckDB oracle can be generated from the same 1,024 constants the
+    * engine folds with (SparkEntry's cell-index replica). */
+  def hilbertLookupPos: Array[Int] = lookupPos.clone()
 }

@@ -47,9 +47,13 @@ object Tiles {
     (lonOf(xx), latOf(yy + 1), lonOf(xx + 1), latOf(yy))
   }
 
-  /** Exact tile cover of a lon/lat box at zoom z. */
+  /** Exact tile cover of a lon/lat box at zoom z. An inverted or non-finite
+    * box (the EMPTY-geometry envelope) covers nothing — falling through to
+    * the rectangular fill would emit thousands of zeroed ids that explode
+    * into join keys. */
   def coverBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
                zoom: Int): Array[Long] = {
+    if (!(minLon <= maxLon) || !(minLat <= maxLat)) return Array.empty
     val x0 = tileX(minLon, zoom); val x1 = tileX(maxLon, zoom)
     val y0 = tileY(maxLat, zoom); val y1 = tileY(minLat, zoom) // y inverted
     val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
@@ -71,7 +75,8 @@ object Tiles {
     * every zoom step. */
   def coverGeom(g: Geom, zoom: Int): Array[Long] = {
     val box = Geom.envelope(g)
-    if (g.geomType == GeomTypes.Point || box(0) > box(2))
+    if (!(box(0) <= box(2)) || !(box(1) <= box(3))) return Array.empty
+    if (g.geomType == GeomTypes.Point)
       return coverBox(box(0), box(1), box(2), box(3), zoom)
     val startZ = math.max(0, zoom - 8)
     val out = new scala.collection.mutable.ArrayBuffer[Long]()

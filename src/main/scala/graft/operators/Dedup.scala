@@ -15,10 +15,14 @@ import graft.sql.Geo
 object Dedup {
 
   /** Exact dedup: every row tagged with its duplicate-group representative
-    * (min id over identical `textCol`). Hash-shuffle on the text key. */
+    * (min id over identical `textCol`). The window partitions by the SHA-256
+    * of the text — identical groups, but the shuffle/sort key is 32 bytes
+    * instead of the whole document (at 100 TB the rows still move, because
+    * the operator returns them, but they are never compared by text). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("dup_rep",
-      min(col(idCol)).over(Window.partitionBy(col(textCol))))
+      min(col(idCol)).over(
+        Window.partitionBy(sha2(col(textCol).cast("binary"), 256))))
 
   /** Exact-dup pairs via hash-groupBy (no window): returns (id, dup_rep)
     * only for rows in groups of size > 1. The shuffle key is the SHA-256 of

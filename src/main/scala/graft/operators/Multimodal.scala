@@ -8,15 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The Spark-side plumbing (schemas, per-partition batch iteration, column
-  * contracts) is real and tested; heavyweight media decoding beyond what
-  * the JVM ships is STUBBED deterministically and clearly marked — this
-  * container has no image/audio libraries (prompt contract), but PNG/JPEG
-  * *header* parsing needs no library and is implemented for real.
+  * PNG/JPEG paths are REAL: header parsing (`img_meta`) and pixel decode +
+  * grid-pooled features (`img_features`, javax.imageio) are codegen'd
+  * kernels. Only video frame decode — for which the JVM ships no codec —
+  * remains a clearly-marked deterministic stub with the real schema/batch
+  * contract.
   *
-  * At 100 TB these run as per-partition batch transforms (`mapPartitions`
-  * over the binary column — the Scala analog of `mapInPandas` batches):
-  * no shuffle, pipelined with the scan, payload bytes never leave the
+  * At 100 TB these run pipelined with the scan (kernels) or as
+  * per-partition batch transforms (`mapPartitions`, the Scala analog of
+  * `mapInPandas` batches): no shuffle, payload bytes never leave the
   * executor that read them. */
 object Multimodal {
 
@@ -39,33 +39,16 @@ object Multimodal {
       .drop("__img_meta")
   }
 
-  /** STUB — deterministic fake of pixel feature extraction (this container
-    * ships no image codec beyond javax.imageio; the real implementation
-    * would decode and pool pixels here). Schema, batching, and determinism
-    * are the real contract: features are a pure function of the bytes. */
-  def extractFeaturesStub(df: DataFrame, bytesCol: String, dim: Int): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
-    val enc = RowEncoder.encoderFor(outSchema)
-    val idx = df.schema.fieldIndex(bytesCol)
-    df.mapPartitions { rows =>
-      rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](idx)
-        val features = new Array[Float](dim)
-        var h = 0x9e3779b97f4a7c15L
-        if (bytes != null) {
-          var i = 0
-          while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001b3L; i += 1 }
-        }
-        var j = 0
-        while (j < dim) {
-          val hj = graft.sql.GeoOps.splitmix64(h + j)
-          features(j) = ((hj >>> 11).toDouble / (1L << 53).toDouble).toFloat
-          j += 1
-        }
-        Row.fromSeq(row.toSeq :+ features.toSeq)
-      }
-    }(enc)
+  /** REAL pixel feature extraction for the formats the JDK ships (PNG and
+    * JPEG via javax.imageio): decode + grid-pooled luminance means as the
+    * codegen'd `img_features` kernel — pipelined with the scan, column
+    * pruning flows through, undecodable payloads yield null. See
+    * [[graft.sql.MediaOps.imgFeatures]] for the exact (oracle-replicable)
+    * pooling arithmetic. */
+  def withImageFeatures(df: DataFrame, bytesCol: String, dim: Int): DataFrame = {
+    graft.sql.Geo.register(df.sparkSession)
+    df.withColumn("features",
+      call_function("img_features", col(bytesCol), lit(dim)))
   }
 
   /** STUB — video frame sampling: emits `everyN`-th "frame" reference with

@@ -109,11 +109,15 @@ object SpatialJoins {
 
   /** Salted repartition for hot keys: spreads each key over `salt` shuffle
     * partitions; aggregate partially per (key, salt), then finally per key.
-    * Use for hot-cell skew beyond what AQE's skew-join splitting absorbs. */
+    * Use for hot-cell skew beyond what AQE's skew-join splitting absorbs.
+    *
+    * The salt is a content hash of the whole row (never a nondeterministic
+    * expression like monotonically_increasing_id): a shuffle key must be
+    * stable under stage-retry recomputation, or a fetch failure silently
+    * re-routes rows to different reducers mid-aggregation. */
   def saltedCountByKey(df: DataFrame, keyCol: String, salt: Int): DataFrame = {
     df
-      .withColumn("__salt", pmod(hash(col(keyCol), monotonically_increasing_id()),
-        lit(salt)))
+      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))

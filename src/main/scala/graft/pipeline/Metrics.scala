@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Job metrics via SparkListener (north-rule "per-partition lineage and
@@ -13,21 +13,39 @@ import org.apache.spark.sql.SparkSession
   * driver-side data movement. */
 final class StageMetricsListener extends SparkListener {
   private val stages = new ConcurrentLinkedQueue[String]()
-  private val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
+  // marker-job barrier state: the marker is identified EXPLICITLY by its
+  // spark.jobGroup.id (counting job-ends would be racy — a late-delivered
+  // end event from the body itself could satisfy the wait before the body's
+  // last stage events arrive)
+  private val markerJobIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  @volatile private var markerGroup: String = null
+  @volatile private var markerEnded = false
 
-  override def onJobEnd(e: SparkListenerJobEnd): Unit = jobsEnded.incrementAndGet()
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    val grp =
+      if (e.properties == null) null
+      else e.properties.getProperty("spark.jobGroup.id")
+    if (grp != null && grp == markerGroup) markerJobIds.add(e.jobId)
+  }
 
-  def jobsSeen: Int = jobsEnded.get()
+  override def onJobEnd(e: SparkListenerJobEnd): Unit =
+    if (markerJobIds.contains(e.jobId)) markerEnded = true
 
-  /** Block until this listener has observed at least `atLeast` job-end
-    * events (bounded by `timeoutMs`). Events are delivered FIFO per
-    * listener, so seeing job N's end implies all earlier stage events have
-    * been delivered too. */
-  def awaitJobs(atLeast: Int, timeoutMs: Long): Boolean = {
+  /** Arm the barrier for a marker job tagged with job group `group`. */
+  def armMarker(group: String): Unit = {
+    markerGroup = group
+    markerEnded = false
+  }
+
+  /** Block until the armed marker job's end event has been delivered
+    * (bounded by `timeoutMs`). Events are delivered FIFO per listener, so
+    * the marker's job-end implies every earlier stage event has arrived. */
+  def awaitMarker(timeoutMs: Long): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (jobsEnded.get() < atLeast && System.nanoTime() < deadline)
+    while (!markerEnded && System.nanoTime() < deadline)
       Thread.sleep(2)
-    jobsEnded.get() >= atLeast
+    markerEnded
   }
 
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -73,12 +91,19 @@ object Metrics {
     try {
       val r = body
       // stage-completed events are delivered asynchronously on the listener
-      // bus; run a marker job and wait for its job-end — FIFO delivery then
-      // guarantees every stage event from `body` has arrived (deterministic,
-      // unlike a fixed sleep)
-      val before = listener.jobsSeen
-      spark.sparkContext.parallelize(Seq(0), 1).count()
-      listener.awaitJobs(before + 1, 15000)
+      // bus; run a marker job — identified by a unique job group, so a
+      // late-delivered end event from `body` can never satisfy the wait —
+      // and block on ITS end: FIFO delivery then guarantees every stage
+      // event from `body` has arrived (deterministic, unlike a fixed sleep)
+      val group = s"graft-metrics-marker-${System.nanoTime()}"
+      listener.armMarker(group)
+      val sc = spark.sparkContext
+      val (prevGroup, prevDesc) = (sc.getLocalProperty("spark.jobGroup.id"),
+        sc.getLocalProperty("spark.job.description"))
+      sc.setJobGroup(group, "metrics barrier")
+      try sc.parallelize(Seq(0), 1).count()
+      finally sc.setJobGroup(prevGroup, prevDesc)
+      listener.awaitMarker(15000)
       (r, listener.drainTo(s"$tableDir/metrics.jsonl"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -53,13 +53,18 @@ object Pipeline {
         data.repartition(col("bucket"),
           pmod(hash(data.columns.map(col): _*), lit(filesPerBucket)))
       else data.repartition(col("bucket"))
+    // snapshot_id leads the partition spec so each snapshot owns its own
+    // directory subtree: the manifest read-back below and `readSnapshot`
+    // prune at the directory level (PartitionFilters) instead of opening
+    // every file in table history — manifesting snapshot N must stay O(N's
+    // output), not O(table history).
     parted
-      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .write.mode(SaveMode.Append).partitionBy("snapshot_id", "bucket")
       .parquet(s"$tableDir/data")
     val written = spark.read.parquet(s"$tableDir/data")
       .filter(col("snapshot_id") === snapshotId)
-      // partition-column type is inferred from directory names (int vs
-      // long depends on the values present) — pin it so manifests from
+      // partition-column types are inferred from directory names (int vs
+      // long depends on the values present) — pin them so manifests from
       // different snapshots always share one schema
       .withColumn("bucket", col("bucket").cast("long"))
     val bytesAgg =
@@ -121,10 +126,21 @@ object Pipeline {
   def readBox(spark: SparkSession, tableDir: String, minLon: Double,
               minLat: Double, maxLon: Double, maxLat: Double): DataFrame = {
     Geo.register(spark)
-    val env = call_function("st_tileenvelope", col("bucket").cast("long"))
+    val b = col("bucket").cast("long")
+    val env = call_function("st_tileenvelope", b)
+    // edge rows absorb the Web-Mercator lat clamp: points with |lat| beyond
+    // ±85.05 are stored (clamped) in the edge tiles, whose envelope tops out
+    // at ±85.05 — extend those rows' test box to the poles so a polar query
+    // box still matches the partition that actually holds its rows (the same
+    // clamp absorption Tiles.coverGeom.hit applies).
+    val n = expr("shiftleft(1L, st_tilez(CAST(bucket AS LONG)))")
+    val ymax = when(call_function("st_tiley", b) === 0, lit(90.0))
+      .otherwise(env.getField("ymax"))
+    val ymin = when(call_function("st_tiley", b).cast("long") === n - 1, lit(-90.0))
+      .otherwise(env.getField("ymin"))
     spark.read.parquet(s"$tableDir/data")
       .filter(env.getField("xmin") <= maxLon && env.getField("xmax") >= minLon &&
-        env.getField("ymin") <= maxLat && env.getField("ymax") >= minLat)
+        ymin <= maxLat && ymax >= minLat)
       .filter(col("lon") >= minLon && col("lon") <= maxLon &&
         col("lat") >= minLat && col("lat") <= maxLat)
   }

@@ -1,18 +1,24 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sql.{Geo, GeoSchema}
 
-/** GeoParquet-style interchange (SURVEY.md §2B "scan/source"): geometry
-  * serialized as a WKB `binary` column, with file-level geo metadata in a
-  * `_geo_metadata.json` sidecar (Spark's public writer cannot set custom
-  * parquet footer key-values; the sidecar carries the same payload:
-  * version, primary column, encoding, crs, bbox). Reading re-decodes WKB
-  * into the native struct and re-attaches the column metadata.
+/** GeoParquet interchange (SURVEY.md §2B "scan/source"): geometry
+  * serialized as a WKB `binary` column, with the file-level metadata JSON
+  * written where the GeoParquet spec puts it — the parquet footer
+  * key-value entry `"geo"` (what GDAL/geopandas/sf emit and look for) —
+  * plus the `_geo_metadata.json` sidecar for directory-level tooling.
+  * Spark's public writer can't set custom footer key-values, so the `geo`
+  * entry is added by an in-place footer rewrite after the write (the
+  * footer thrift blob + length + magic are the file's last bytes; the
+  * rewrite touches only the tail, never row-group data). Reading looks at
+  * the footer first, sidecar second.
   *
   * The WKB round-trip preserves the reference's encode/decode semantics
   * exactly (R2/W2), so foreign readers see standard ISO WKB. */
@@ -36,6 +42,7 @@ object GeoParquet {
       s"""{"version":"1.1.0","primary_column":"$colJson","columns":{"$colJson":
          |{"encoding":"WKB","geometry_types":[],"crs":$crsJson,"bbox":$bbox}}}"""
         .stripMargin.replace("\n", "")
+    stampGeoFooters(path, meta)
     Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
   }
 
@@ -43,16 +50,111 @@ object GeoParquet {
     Geo.register(spark)
     val df = spark.read.parquet(path)
       .withColumn(geomCol, call_function("st_geomfromwkb", col(geomCol)))
-    val metaPath = Paths.get(path, "_geo_metadata.json")
-    if (Files.exists(metaPath)) {
-      val json = Files.readString(metaPath)
-      val crs = extractCrs(json)
-      val inferred = GeoSchema.inferGeoType(df, geomCol)
-      if (!inferred.isWkbFallback)
-        GeoSchema.withGeoMetadata(df, geomCol, inferred.geometryType,
-          inferred.dims, crs)
-      else df
-    } else df
+    geoMetadataJson(path) match {
+      case Some(json) =>
+        val crs = extractCrs(json)
+        val inferred = GeoSchema.inferGeoType(df, geomCol)
+        if (!inferred.isWkbFallback)
+          GeoSchema.withGeoMetadata(df, geomCol, inferred.geometryType,
+            inferred.dims, crs)
+        else df
+      case None => df
+    }
+  }
+
+  // ------------------------------------------------- footer geo metadata
+
+  /** The table's GeoParquet metadata JSON: the standard footer `geo`
+    * key-value of the first data file if present (spec-compliant files
+    * from GDAL/geopandas/sf land here), else the sidecar. */
+  def geoMetadataJson(path: String): Option[String] = {
+    val fromFooter = firstDataFile(path).flatMap(footerKeyValue(_, "geo"))
+    fromFooter.orElse {
+      val metaPath = Paths.get(path, "_geo_metadata.json")
+      if (Files.exists(metaPath)) Some(Files.readString(metaPath)) else None
+    }
+  }
+
+  /** Adds the `geo` footer entry to every data file of a just-written
+    * table. Driver-side, but O(files) footer-tail IO only — the same cost
+    * class as the write's own commit protocol. */
+  def stampGeoFooters(path: String, geoJson: String): Unit =
+    dataFiles(path).foreach(setFooterKeyValue(_, "geo", geoJson))
+
+  private def dataFiles(path: String): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Seq(dir)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  private def firstDataFile(path: String): Option[Path] =
+    dataFiles(path).headOption
+
+  /** Reads one parquet footer's key-value entry. */
+  def footerKeyValue(file: Path, key: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val raf = new RandomAccessFile(file.toFile, "r")
+    try {
+      val md = readFooter(raf)
+      val kvs = md.getKey_value_metadata
+      if (kvs == null) None
+      else kvs.asScala.find(_.getKey == key).map(_.getValue)
+    } finally raf.close()
+  }
+
+  private def readFooter(raf: RandomAccessFile): org.apache.parquet.format.FileMetaData = {
+    val len = raf.length()
+    require(len > 12, "not a parquet file (too short)")
+    raf.seek(len - 8)
+    val tail = new Array[Byte](8)
+    raf.readFully(tail)
+    require(new String(tail, 4, 4, "US-ASCII") == "PAR1",
+      "not a parquet file (bad magic)")
+    val footerLen = ByteBuffer.wrap(tail, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    raf.seek(len - 8 - footerLen)
+    val fbytes = new Array[Byte](footerLen)
+    raf.readFully(fbytes)
+    org.apache.parquet.format.Util.readFileMetaData(new ByteArrayInputStream(fbytes))
+  }
+
+  /** Sets (replacing any existing) a footer key-value entry in-place:
+    * re-serializes the footer thrift and rewrites the file tail. */
+  def setFooterKeyValue(file: Path, key: String, value: String): Unit = {
+    val raf = new RandomAccessFile(file.toFile, "rw")
+    try {
+      val len = raf.length()
+      raf.seek(len - 8)
+      val tail = new Array[Byte](8)
+      raf.readFully(tail)
+      val footerLen = ByteBuffer.wrap(tail, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      val footerStart = len - 8 - footerLen
+      val md = { raf.seek(0); readFooter(raf) }
+      if (md.getKey_value_metadata == null)
+        md.setKey_value_metadata(new java.util.ArrayList[org.apache.parquet.format.KeyValue]())
+      md.getKey_value_metadata.removeIf(kv => kv.getKey == key)
+      val kv = new org.apache.parquet.format.KeyValue(key)
+      kv.setValue(value)
+      md.getKey_value_metadata.add(kv)
+      val bos = new ByteArrayOutputStream(footerLen + value.length + 64)
+      org.apache.parquet.format.Util.writeFileMetaData(md, bos)
+      val out = bos.toByteArray
+      raf.seek(footerStart)
+      raf.write(out)
+      raf.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(out.length).array())
+      raf.write("PAR1".getBytes("US-ASCII"))
+      raf.setLength(footerStart + out.length + 8)
+    } finally raf.close()
+    // the rewrite invalidates Hadoop LocalFileSystem's sidecar checksum;
+    // drop it so reads don't fail (object stores / HDFS have no such file)
+    val crc = file.resolveSibling("." + file.getFileName.toString + ".crc")
+    Files.deleteIfExists(crc)
   }
 
   /** Native GeoArrow-layout emit: the geometry column is written in the
@@ -79,6 +181,7 @@ object GeoParquet {
          |{"encoding":"geoarrow.${geometryType.toLowerCase}","dims":"${dims.toLowerCase}",
          |"coord_type":"${coordType.toLowerCase}","crs":$crsJson}}}"""
         .stripMargin.replace("\n", "")
+    stampGeoFooters(path, meta)
     Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
   }
 
@@ -88,7 +191,8 @@ object GeoParquet {
     * crs metadata. */
   def readNative(spark: SparkSession, path: String, geomCol: String): DataFrame = {
     Geo.register(spark)
-    val json = Files.readString(Paths.get(path, "_geo_metadata.json"))
+    val json = geoMetadataJson(path).getOrElse(
+      throw new IllegalArgumentException(s"no geo metadata (footer or sidecar) at $path"))
     val enc = extractString(json, "encoding").getOrElse(
       throw new IllegalArgumentException(s"no geoarrow encoding in sidecar at $path"))
     require(enc.startsWith("geoarrow."), s"not a native geoarrow encoding: $enc")

@@ -155,6 +155,8 @@ object Geo {
     // --- cell index
     "st_cellid" -> (a => geo(LongType, "cellId", a,
       Seq(DoubleType, DoubleType, IntegerType))),
+    "st_cellidxyz" -> (a => geo(LongType, "cellIdXyz", a,
+      Seq(DoubleType, DoubleType, DoubleType, IntegerType))),
     "st_cellidofgeom" -> (a => geo(LongType, "cellIdOfGeom", a, Seq(G, IntegerType))),
     "st_celllevel" -> (a => geo(IntegerType, "cellLevel", a, Seq(LongType))),
     "st_cellparent" -> (a => geo(LongType, "cellParent", a, Seq(LongType, IntegerType))),
@@ -209,6 +211,14 @@ object Geo {
       "imageMeta", a.map(e => if (e.dataType == BinaryType) e else Cast(e, BinaryType)),
       inputTypes = Seq(BinaryType), propagateNull = false,
       returnNullable = false)),
+    // real PNG/JPEG pixel decode (javax.imageio) + grid-pooled luminance
+    // means; undecodable bytes -> null
+    "img_features" -> (a => inv(MediaOps.getClass,
+      ArrayType(FloatType, containsNull = false), "imgFeatures", a,
+      Seq(BinaryType, IntegerType), nullable = true)),
+    // deterministic two-band PNG synthesis (oracle-checkable test images)
+    "make_png" -> (a => inv(MediaOps.getClass, BinaryType, "makePng", a,
+      Seq.fill(8)(IntegerType))),
     // --- vector kernels
     "vec_dot" -> (a => vec(DoubleType, "dot", a, Seq(floatArray, floatArray))),
     "vec_norm" -> (a => vec(DoubleType, "norm", a, Seq(floatArray))),

@@ -213,6 +213,17 @@ object GeoOps {
   def cellId(lon: Double, lat: Double, level: Int): Long =
     Cells.cellId(lon, lat, level)
 
+  /** Cell id straight from a unit-sphere-direction vector (S2's
+    * `S2CellId(S2Point)` entry): skips the lon/lat trig, so the whole
+    * pipeline (face selection, quadratic projection, Hilbert fold, parent)
+    * is exact rational/sqrt arithmetic — bit-replicable in the DuckDB
+    * oracle. The vector need not be normalized (only direction matters). */
+  def cellIdXyz(x: Double, y: Double, z: Double, level: Int): Long = {
+    val (face, u, v) = Cells.xyzToFaceUv(x, y, z)
+    Cells.parent(Cells.fromFaceIj(face,
+      Cells.stToIj(Cells.uvToSt(u)), Cells.stToIj(Cells.uvToSt(v))), level)
+  }
+
   def cellIdOfGeom(g: InternalRow, level: Int): Long =
     Cells.cellId(pointX(g), pointY(g), level)
 

@@ -24,7 +24,22 @@ object GeoSchema {
 
   // serialized type ids (`/root/reference/R/type.R:393-401`)
   val WkbId = 100001
+  val LargeWkbId = 100002
   val WktId = 100003
+  val LargeWktId = 100004
+  val WkbViewId = 100005
+  val WktViewId = 100006
+
+  /** Normalizes a serialized type id to the engine's storage: Spark's
+    * binary/string columns are already unbounded with no view buffers, so
+    * the LARGE_* and *_VIEW variants (`/root/reference/R/type.R:393-401`,
+    * `src/geoarrow.c:117-129`) are physically identical here — they parse
+    * and collapse onto WKB/WKT rather than erroring on ingest. */
+  def normalizeSerializedId(id: Int): Int = id match {
+    case WkbId | LargeWkbId | WkbViewId => WkbId
+    case WktId | LargeWktId | WktViewId => WktId
+    case other => other
+  }
 
   /** Native type id: `dims*1000 + geometry_type (+10000 interleaved)` —
     * `/root/reference/src/geoarrow.h:1767`, SURVEY.md §1.2. We standardize
@@ -205,7 +220,7 @@ object GeoSchema {
   def parseField(f: StructField): Parsed = {
     require(isGeoField(f), s"column ${f.name} carries no geoarrow metadata")
     val ext = f.metadata.getString("geoarrow.extension")
-    val id = f.metadata.getLong("geoarrow.type_id").toInt
+    val id = normalizeSerializedId(f.metadata.getLong("geoarrow.type_id").toInt)
     val (crs, edges) =
       if (f.metadata.contains("geoarrow.metadata"))
         parseMetadata(f.metadata.getString("geoarrow.metadata"))

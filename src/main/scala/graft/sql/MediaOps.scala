@@ -1,7 +1,12 @@
 package graft.sql
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,5 +57,79 @@ object MediaOps {
       return (None, None, "jpeg")
     }
     (None, None, "unknown")
+  }
+
+  /** Pooled-pixel image features — a REAL decoder for the two formats the
+    * JDK ships (PNG and JPEG via javax.imageio), not a stub. The image is
+    * decoded, each pixel reduced to the integer luminance
+    * `299*r + 587*g + 114*b` (the BT.601 weights scaled by 1000 so cell
+    * sums stay exact integers), pooled over a `gw x gh` grid
+    * (`gw = ceil(sqrt(dim))`, `gh = ceil(dim/gw)`, row-major), and each
+    * cell's mean normalized to [0,1]: `sum / (255000.0 * count)`. The
+    * integer-sum-then-one-division shape makes the result bit-reproducible
+    * (IEEE division is correctly rounded, so the value depends only on the
+    * exact rational mean) — which is what lets the DuckDB oracle replicate
+    * it analytically. Undecodable bytes -> null. */
+  def imgFeatures(bytes: Array[Byte], dim: Int): ArrayData = {
+    if (bytes == null || dim <= 0) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gh = math.ceil(dim.toDouble / gw).toInt
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val cy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val lum = ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114
+        val cell = cy * gw + math.min(gw - 1, x * gw / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      out(j) =
+        if (j < gw * gh && counts(j) > 0)
+          (sums(j).toDouble / (255000.0 * counts(j))).toFloat
+        else 0f
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Deterministic two-band RGB PNG: rows [0, h/2) are (r1,g1,b1), rows
+    * [h/2, h) are (r2,g2,b2). Real javax.imageio PNG encode — used to
+    * synthesize oracle-checkable images in SQL (PNG is lossless, so the
+    * encoder's byte choices never affect decoded pixels). */
+  def makePng(w: Int, h: Int, r1: Int, g1: Int, b1: Int,
+              r2: Int, g2: Int, b2: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad png size ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val top = ((r1 & 0xff) << 16) | ((g1 & 0xff) << 8) | (b1 & 0xff)
+    val bot = ((r2 & 0xff) << 16) | ((g2 & 0xff) << 8) | (b2 & 0xff)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      java.util.Arrays.fill(row, if (y < h / 2) top else bot)
+      img.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(128 + w * h / 8)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }

@@ -90,10 +90,13 @@ object NativeOps {
         } else coordOf(g.coords, 0, stride, coordType)
       case GeomTypes.LineString | GeomTypes.MultiPoint =>
         coordSeq(g.coords, 0, g.numCoords, stride, coordType)
+      // nOf clamps: data persisted before offset normalization can carry
+      // EMPTY geometries with zero-length offset arrays — `length - 1`
+      // would go negative (same clamp Wkb.write applies)
       case GeomTypes.Polygon | GeomTypes.MultiLineString =>
-        ringSeq(g.coords, g.o0, 0, g.o0.length - 1, stride, coordType)
+        ringSeq(g.coords, g.o0, 0, math.max(0, g.o0.length - 1), stride, coordType)
       case GeomTypes.MultiPolygon =>
-        val polys = new Array[Any](g.o0.length - 1)
+        val polys = new Array[Any](math.max(0, g.o0.length - 1))
         var p = 0
         while (p < polys.length) {
           polys(p) = ringSeq(g.coords, g.o1, g.o0(p), g.o0(p + 1), stride, coordType)

@@ -40,14 +40,42 @@ class MultimodalSpec extends AnyFunSuite {
       s"img_meta must not sever codegen with an object boundary:\n$plan")
   }
 
-  test("feature extraction stub: deterministic, right shape") {
-    val df = ImagesTable.generate(spark, 10L)
-    val a = Multimodal.extractFeaturesStub(df, "bytes", 16)
-      .select("image_id", "features").as[(String, Seq[Float])].collect().toMap
-    val b = Multimodal.extractFeaturesStub(df, "bytes", 16)
+  test("img_features: real decode, grid-pooled means match analytic values") {
+    // two-band 8x8 PNG: top half (10,20,30), bottom half (200,100,50);
+    // 4x4 grid -> cells j<8 pool only top pixels, j>=8 only bottom pixels
+    val png = graft.sql.MediaOps.makePng(8, 8, 10, 20, 30, 200, 100, 50)
+    val feats = graft.sql.MediaOps.imgFeatures(png, 16).toFloatArray()
+    val top = ((10 * 299 + 20 * 587 + 30 * 114).toDouble / 255000.0).toFloat
+    val bot = ((200 * 299 + 100 * 587 + 50 * 114).toDouble / 255000.0).toFloat
+    assert(feats.length == 16)
+    assert(feats.take(8).forall(_ == top), feats.mkString(","))
+    assert(feats.drop(8).forall(_ == bot), feats.mkString(","))
+    // JPEG decodes too (lossy — only sanity-bound the values)
+    val jpgImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jpgImg, "jpg", bos)
+    val jf = graft.sql.MediaOps.imgFeatures(bos.toByteArray, 16).toFloatArray()
+    assert(jf.length == 16 && jf.forall(v => v >= 0f && v <= 1f))
+    // undecodable bytes -> null
+    assert(graft.sql.MediaOps.imgFeatures("nope".getBytes, 16) == null)
+  }
+
+  test("withImageFeatures: deterministic, right shape, codegen'd kernel") {
+    val df = ImagesTable.generate(spark, 10L, png = true)
+    val out = Multimodal.withImageFeatures(df, "bytes", 16)
+    val a = out.select("image_id", "features")
+      .as[(String, Seq[Float])].collect().toMap
+    val b = Multimodal.withImageFeatures(df, "bytes", 16)
       .select("image_id", "features").as[(String, Seq[Float])].collect().toMap
     assert(a == b)
     assert(a.values.forall(_.length == 16))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("imgfeatures") ||
+      plan.contains("static_invoke"),
+      s"img_features must bind as a StaticInvoke kernel:\n$plan")
+    assert(!plan.contains("MapPartitions") && !plan.contains("SerializeFromObject"),
+      s"img_features must not sever codegen with an object boundary:\n$plan")
   }
 
   test("frame sampling stub: explode shape") {

@@ -53,6 +53,42 @@ class PipelineSpec extends AnyFunSuite {
       formatted.contains("bucket#"), formatted)
   }
 
+  test("snapshots are partition directories: manifest/time-travel reads prune") {
+    val dir = freshDir("snapdir")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 1000L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images.filter(pmod(col("bucket"), lit(2)) === 0), dir, 1L)
+    Pipeline.writeSnapshot(images.filter(pmod(col("bucket"), lit(2)) === 1), dir, 2L)
+    // layout: data/snapshot_id=N/bucket=M — snapshot N's manifest build and
+    // time travel prune at the directory level, never opening other
+    // snapshots' files (O(snapshot), not O(table history))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "data", "snapshot_id=1")))
+    val scan = spark.read.parquet(s"$dir/data")
+      .filter(col("snapshot_id") === 2L)
+    val formatted = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters") &&
+      formatted.contains("snapshot_id#"), formatted)
+  }
+
+  test("readBox polar query boxes reach the clamped edge-tile rows") {
+    // points beyond the Web-Mercator clamp (|lat| > 85.05) store in edge
+    // tiles whose envelope tops out at +-85.05; the partition predicate
+    // must extend edge rows to the poles or such rows become unreachable
+    val dir = freshDir("polar")
+    import spark.implicits._
+    val pts = Seq((1L, 10.0, 89.0), (2L, 10.0, 50.0), (3L, -170.0, -89.5))
+      .toDF("image_id", "lon", "lat")
+    Pipeline.writeSnapshot(
+      Pipeline.withBucket(pts, "lon", "lat", zoom = 3), dir, 1L,
+      bytesCol = "nope")
+    val north = Pipeline.readBox(spark, dir, 0.0, 88.0, 20.0, 90.0)
+    assert(north.select("image_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val south = Pipeline.readBox(spark, dir, -180.0, -90.0, 0.0, -86.0)
+    assert(south.select("image_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("writeSnapshot bounds file counts; filesPerBucket salts hot buckets") {
     val dir = freshDir("files")
     val images = Pipeline.withBucket(

@@ -57,6 +57,38 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(pts.forall { case (id, x, y) => x == id / 4.0 && y == id - 50.0 })
   }
 
+  test("standard GeoParquet footer metadata: read works with no sidecar") {
+    Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet_footer").toString
+    val df = spark.sql(
+      """SELECT id, st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE) * 2) AS geom
+        |FROM range(50)""".stripMargin)
+    GeoParquet.write(df, "geom", dir)
+    // the spec location: footer key-value "geo" in every data file
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    var found = 0
+    while (files.hasNext) {
+      val p = files.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val kv = GeoParquet.footerKeyValue(p, "geo")
+        assert(kv.isDefined, s"no geo footer entry in $p")
+        assert(kv.get.contains("\"encoding\":\"WKB\""))
+        found += 1
+      }
+    }
+    assert(found > 0)
+    // a spec-compliant file from the ecosystem carries ONLY the footer
+    // entry — delete the sidecar and the read must still see metadata
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_geo_metadata.json"))
+    val back = GeoParquet.read(spark, dir, "geom")
+    val parsed = GeoSchema.parseField(back.schema(back.schema.fieldIndex("geom")))
+    assert(parsed.geometryType == 1 && parsed.dims == 1)
+    assert(parsed.crsType == GeoSchema.CrsType.Projjson)
+    // and the footer rewrite didn't corrupt the data pages
+    assert(spark.read.parquet(dir).count() == 50)
+  }
+
   test("sidecar metadata survives quotes/backslashes in crs strings") {
     Geo.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("geoparquet_esc").toString

@@ -76,6 +76,24 @@ class GeoSchemaSpec extends AnyFunSuite {
     assert(parsed.edges == "spherical")
   }
 
+  test("all six serialized type ids parse; large/view normalize (type.R:393-401)") {
+    import GeoSchema._
+    import org.apache.spark.sql.types._
+    for ((raw, norm) <- Seq(WkbId -> WkbId, LargeWkbId -> WkbId,
+        WkbViewId -> WkbId, WktId -> WktId, LargeWktId -> WktId,
+        WktViewId -> WktId)) {
+      val md = new MetadataBuilder()
+        .putString("geoarrow.extension",
+          if (norm == WkbId) "geoarrow.wkb" else "geoarrow.wkt")
+        .putLong("geoarrow.type_id", raw.toLong)
+        .build()
+      val dt = if (norm == WkbId) BinaryType else StringType
+      val p = parseField(StructField("g", dt, nullable = true, md))
+      assert(p.typeId == norm, s"raw id $raw must normalize to $norm")
+      assert(p.geometryType == 0 && p.dims == 0) // serialized: type unknown
+    }
+  }
+
   test("crs/edges propagate through casts (test-array.R:21-30)") {
     // kernel-output schema copies input crs/edges (geoarrow.c:1599-1606)
     val df = GeoSchema.withGeoMetadata(geoms("POINT (1 2)"), "g",

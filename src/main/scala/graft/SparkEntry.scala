@@ -579,6 +579,31 @@ object SparkEntry {
       Pipeline.readBox(s, dir, -20.0, -10.0, 40.0, 35.0)
         .agg(count(lit(1)).as("n_in_box"))
     },
+    // oracled bbox-covering scan (GeoParquet 1.1): triangles written with
+    // the covering column + spatial sort, box-read back through the
+    // pushed-down bbox predicate; ids and envelopes check against the
+    // analytic envelope filter in DuckDB
+    "q54_covering_box" -> { (s, d) =>
+      prep(s, d)
+      val dir = pipelineDir("q54")
+      val tris = s.sql("""SELECT l_orderkey, l_linenumber,
+        |  st_geomfromwkt(concat('POLYGON ((',
+        |    CAST(ax AS STRING), ' ', CAST(ay AS STRING), ', ',
+        |    CAST(ax + 2.0 AS STRING), ' ', CAST(ay + 1.0 AS STRING), ', ',
+        |    CAST(ax + 1.0 AS STRING), ' ', CAST(ay + 2.0 AS STRING), ', ',
+        |    CAST(ax AS STRING), ' ', CAST(ay AS STRING), '))')) AS geom
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |    CAST((l_orderkey * 131 + l_linenumber) % 340 AS DOUBLE) - 170.0 AS ax,
+        |    CAST((l_orderkey * 37 + l_linenumber) % 160 AS DOUBLE) - 80.0 AS ay
+        |  FROM lineitem_par)""".stripMargin)
+      graft.sources.GeoParquet.writeCovering(tris, "geom", dir)
+      graft.sources.GeoParquet.readCoveringBox(s, dir, "geom",
+          10.0, 5.0, 60.0, 40.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("geom_bbox")("xmin").as("bx0"), col("geom_bbox")("ymin").as("by0"),
+          col("geom_bbox")("xmax").as("bx1"), col("geom_bbox")("ymax").as("by1"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
     // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
@@ -1076,6 +1101,18 @@ object SparkEntry {
         |    END AS FLOAT) AS feat
         |FROM documents d CROSS JOIN range(0, 16) g
         |ORDER BY doc_id, idx""".stripMargin,
+    // covering-column box read: the expected set is the analytic envelope
+    // filter (triangle envelope = [ax, ax+2] x [ay, ay+2], exact ints)
+    "q54_covering_box" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST((l_orderkey * 131 + l_linenumber) % 340 AS DOUBLE) - 170.0 AS ax,
+        |  CAST((l_orderkey * 37 + l_linenumber) % 160 AS DOUBLE) - 80.0 AS ay
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, ax AS bx0, ay AS by0,
+        |  ax + 2.0 AS bx1, ay + 2.0 AS by1
+        |FROM t
+        |WHERE ax <= 60.0 AND ax + 2.0 >= 10.0 AND ay <= 40.0 AND ay + 2.0 >= 5.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // splitmix64 replicated exactly in SQL: 64-bit wraparound adds/muls via
     // HUGEINT with 32-bit split multiplication, xor/shifts on UBIGINT,
     // then signed pmod like Spark's

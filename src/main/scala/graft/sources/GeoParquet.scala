@@ -62,6 +62,65 @@ object GeoParquet {
     }
   }
 
+  // --------------------------------------- bbox covering (GeoParquet 1.1)
+
+  /** Writes WKB GeoParquet with the spec's bbox covering column
+    * (`<geomCol>_bbox` struct<xmin,ymin,xmax,ymax> + `"covering"` metadata):
+    * per-row envelopes materialize parquet min/max column statistics, so a
+    * spatial box predicate prunes whole row groups at scan time — the
+    * GeoParquet scale path for non-point geometries, where no single
+    * (lon, lat) pair exists to partition on. Rows are range-partitioned and
+    * sorted by a space-filling key (z12 tile of the envelope center) first:
+    * statistics only prune when spatially-near rows share row groups. */
+  def writeCovering(df: DataFrame, geomCol: String, path: String,
+                    crs: Option[String] = Some(GeoSchema.Crs84Projjson),
+                    sortZoom: Int = 12): Unit = {
+    val spark = df.sparkSession
+    Geo.register(spark)
+    val bboxCol = s"${geomCol}_bbox"
+    val env = call_function("st_envelope", col(geomCol))
+    val keyed = df
+      .withColumn(bboxCol, env)
+      .withColumn("__sort", call_function("st_tilezxy",
+        (col(bboxCol)("xmin") + col(bboxCol)("xmax")) / 2,
+        (col(bboxCol)("ymin") + col(bboxCol)("ymax")) / 2, lit(sortZoom)))
+      .withColumn(geomCol, call_function("st_aswkb", col(geomCol)))
+    keyed
+      .repartitionByRange(col("__sort"))
+      .sortWithinPartitions(col("__sort"))
+      .drop("__sort")
+      .write.mode("overwrite").parquet(path)
+    val crsJson = crs.map(c =>
+      if (c.trim.startsWith("{")) c
+      else "\"" + GeoSchema.jsonEscape(c) + "\"").getOrElse("null")
+    val colJson = GeoSchema.jsonEscape(geomCol)
+    val bJson = GeoSchema.jsonEscape(bboxCol)
+    val meta =
+      s"""{"version":"1.1.0","primary_column":"$colJson","columns":{"$colJson":
+         |{"encoding":"WKB","geometry_types":[],"crs":$crsJson,
+         |"covering":{"bbox":{"xmin":["$bJson","xmin"],"ymin":["$bJson","ymin"],
+         |"xmax":["$bJson","xmax"],"ymax":["$bJson","ymax"]}}}}}"""
+        .stripMargin.replace("\n", "")
+    stampGeoFooters(path, meta)
+    Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
+  }
+
+  /** Box query over a covering-column table: the bbox-intersection
+    * predicate is expressed on the covering struct's leaves, so it pushes
+    * into the parquet scan (`PushedFilters`) and row groups whose bbox
+    * statistics miss the query box are never decompressed. The exact
+    * geometry refine (if any) composes downstream. */
+  def readCoveringBox(spark: SparkSession, path: String, geomCol: String,
+                      minLon: Double, minLat: Double, maxLon: Double,
+                      maxLat: Double): DataFrame = {
+    Geo.register(spark)
+    val bboxCol = s"${geomCol}_bbox"
+    spark.read.parquet(path)
+      .filter(col(bboxCol)("xmin") <= maxLon && col(bboxCol)("xmax") >= minLon &&
+        col(bboxCol)("ymin") <= maxLat && col(bboxCol)("ymax") >= minLat)
+      .withColumn(geomCol, call_function("st_geomfromwkb", col(geomCol)))
+  }
+
   // ------------------------------------------------- footer geo metadata
 
   /** The table's GeoParquet metadata JSON: the standard footer `geo`

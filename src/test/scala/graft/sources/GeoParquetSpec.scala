@@ -89,6 +89,42 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 50)
   }
 
+  test("bbox covering column: box predicate pushes to the parquet scan") {
+    Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet_cov").toString
+    // triangles spread over the world; no lon/lat point column exists
+    val df = spark.sql(
+      """SELECT id, st_geomfromwkt(concat('POLYGON ((',
+        |  CAST(CAST(id % 340 AS DOUBLE) - 170.0 AS STRING), ' ',
+        |  CAST(CAST(id % 160 AS DOUBLE) - 80.0 AS STRING), ', ',
+        |  CAST(CAST(id % 340 AS DOUBLE) - 168.0 AS STRING), ' ',
+        |  CAST(CAST(id % 160 AS DOUBLE) - 80.0 AS STRING), ', ',
+        |  CAST(CAST(id % 340 AS DOUBLE) - 169.0 AS STRING), ' ',
+        |  CAST(CAST(id % 160 AS DOUBLE) - 78.0 AS STRING), ', ',
+        |  CAST(CAST(id % 340 AS DOUBLE) - 170.0 AS STRING), ' ',
+        |  CAST(CAST(id % 160 AS DOUBLE) - 80.0 AS STRING), '))')) AS geom
+        |FROM range(2000)""".stripMargin)
+    GeoParquet.writeCovering(df, "geom", dir)
+    // covering metadata present in the footer
+    val meta = GeoParquet.geoMetadataJson(dir).get
+    assert(meta.contains("\"covering\"") && meta.contains("geom_bbox"))
+    // box query: bbox predicate reaches the scan as PushedFilters
+    val got = GeoParquet.readCoveringBox(spark, dir, "geom",
+      10.0, 10.0, 30.0, 30.0)
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("geom_bbox"), plan)
+    // results match the brute-force envelope filter
+    val expected = df.filter(
+      call_function("st_envelope", col("geom"))("xmin") <= 30.0 &&
+      call_function("st_envelope", col("geom"))("xmax") >= 10.0 &&
+      call_function("st_envelope", col("geom"))("ymin") <= 30.0 &&
+      call_function("st_envelope", col("geom"))("ymax") >= 10.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.select("id").collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("sidecar metadata survives quotes/backslashes in crs strings") {
     Geo.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("geoparquet_esc").toString

@@ -263,6 +263,23 @@ object SparkEntry {
         |  element_at(st_cellchildren(c), 4) AS ch3
         |FROM cells ORDER BY c""".stripMargin)
     },
+    "q29_cell_neighbors" -> { (s, d) =>
+      prep(s, d)
+      // edge-neighbor arithmetic oracled for face-interior cells (all four
+      // neighbors share the cell's face — exactly the cells whose neighbor
+      // ids need no cube-edge wrap); the wrap leg stays property-tested in
+      // CellSpec. The oracle recomputes neighbors from scratch: inverse
+      // Hilbert fold to (i, j), +-size steps, forward fold back.
+      s.sql(s"""WITH pts AS (${xyzCteOn("lineitem_par")}),
+        |cells AS (SELECT DISTINCT st_cellidxyz(x, y, z, 8) AS c FROM pts),
+        |interior AS (SELECT c FROM cells
+        |  WHERE forall(st_cellneighbors(c),
+        |        n -> shiftrightunsigned(n, 61) = shiftrightunsigned(c, 61)))
+        |SELECT c, CAST(t.pos AS INT) AS idx, t.nbr
+        |FROM interior
+        |LATERAL VIEW posexplode(st_cellneighbors(c)) t AS pos, nbr
+        |ORDER BY c, idx""".stripMargin)
+    },
     "q22_tile_assign" -> { (s, d) =>
       prep(s, d)
       s.sql(s"""WITH pts AS ($PtsCte)
@@ -695,19 +712,48 @@ object SparkEntry {
     s"((($e) - (($e) & CAST(${lsb - 1} AS UBIGINT))) | CAST($lsb AS UBIGINT))"
   }
 
+  /** Forward Hilbert fold as lateral-alias SELECT items: computes
+    * `<p>n0` (the 60-bit curve position + face, UBIGINT) from integer
+    * columns (`faceE`, `iE`, `jE`); the lut list column `l` must be in
+    * scope. Alias names are prefixed with `p` so two folds can coexist. */
+  private def cellFoldSteps(faceE: String, iE: String, jE: String,
+                            p: String): String = {
+    val head = s"  ($faceE & 1) AS ${p}b8,\n" +
+      s"  CAST($faceE AS UBIGINT) * CAST(1152921504606846976 AS UBIGINT) AS ${p}n8,\n"
+    head + (7 to 0 by -1).map { k =>
+      val sh = 4 * k
+      val iN = if (sh == 0) iE else s"($iE >> $sh)"
+      val jN = if (sh == 0) jE else s"($jE >> $sh)"
+      s"  l[CAST(${p}b${k + 1} + ($iN & 15) * 64 + ($jN & 15) * 4 AS INT) + 1] AS ${p}k$k," +
+        s" ${p}n${k + 1} + (CAST(${p}k$k >> 2 AS UBIGINT) << ${8 * k}) AS ${p}n$k, ${p}k$k & 3 AS ${p}b$k"
+    }.mkString(",\n")
+  }
+
+  /** Inverse Hilbert fold (toFaceIj) as lateral-alias SELECT items:
+    * computes `i0`/`j0` (BIGINT leaf ij) from the UBIGINT id column `cu`;
+    * the lutij list column `lij` must be in scope. */
+  private def cellInvSteps: String = {
+    val head = "  CAST(cu >> 61 AS INT) AS face2,\n" +
+      "  (face2 & 1) AS ib8, CAST(0 AS BIGINT) AS i8, CAST(0 AS BIGINT) AS j8,\n"
+    head + (7 to 0 by -1).map { k =>
+      val mask = if (k == 7) 15 else 255 // top step carries 30-28=2 quads
+      s"  lij[CAST(ib${k + 1} + CAST((cu >> ${k * 8 + 1}) & CAST($mask AS UBIGINT) AS INT) * 4 AS INT) + 1] AS q$k," +
+        s" i${k + 1} + (CAST(q$k >> 6 AS BIGINT) << ${4 * k}) AS i$k," +
+        s" j${k + 1} + (CAST((q$k >> 2) & 15 AS BIGINT) << ${4 * k}) AS j$k, q$k & 3 AS ib$k"
+    }.mkString(",\n")
+  }
+
+  private def lutCte: String =
+    s"lut AS (SELECT ${graft.core.Cells.hilbertLookupPos.mkString("[", ", ", "]")} AS l)"
+  private def lutIjCte: String =
+    s"lutij AS (SELECT ${graft.core.Cells.hilbertLookupIj.mkString("[", ", ", "]")} AS lij)"
+
   /** CTE chain `lut, fc, fold` computing `cu` — the unsigned cell id at
     * `level` — for each row of a preceding `pts` CTE carrying exact
     * (x, y, z) columns. Built at runtime (the lookup-table list literal). */
   private def cellPipelineSql(level: Int): String = {
-    val lut = graft.core.Cells.hilbertLookupPos.mkString("[", ", ", "]")
-    val steps = (7 to 0 by -1).map { k =>
-      val sh = 4 * k
-      val iN = if (sh == 0) "i" else s"(i >> $sh)"
-      val jN = if (sh == 0) "j" else s"(j >> $sh)"
-      s"  l[CAST(b${k + 1} + ($iN & 15) * 64 + ($jN & 15) * 4 AS INT) + 1] AS k$k," +
-        s" n${k + 1} + (CAST(k$k >> 2 AS UBIGINT) << ${8 * k}) AS n$k, k$k & 3 AS b$k"
-    }.mkString(",\n")
-    s"""lut AS (SELECT $lut AS l),
+    val steps = cellFoldSteps("face", "i", "j", "")
+    s"""$lutCte,
        |fc AS (SELECT p.*,
        |  CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
        |       ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS f0,
@@ -723,12 +769,40 @@ object SparkEntry {
        |  GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 * tt) AS BIGINT))) AS j
        | FROM pts p),
        |fold AS (SELECT q.*,
-       |  (face & 1) AS b8,
-       |  CAST(face AS UBIGINT) * CAST(1152921504606846976 AS UBIGINT) AS n8,
        |$steps,
        |  n0 * CAST(2 AS UBIGINT) + CAST(1 AS UBIGINT) AS leafu,
        |  ${cellParentU("n0 * CAST(2 AS UBIGINT) + CAST(1 AS UBIGINT)", level)} AS cu
        | FROM fc q CROSS JOIN lut)""".stripMargin
+  }
+
+  /** q29 oracle: independent neighbor recomputation — inverse Hilbert fold
+    * to the cell's (i, j), one-cell-size steps in the four directions,
+    * forward fold back to ids — for face-interior cells (no cube-edge
+    * wrap; the Spark side selects exactly those via the same-face test). */
+  private lazy val Q29Oracle: String = {
+    val size = 1 << 22 // level-8 cell span in leaf ij units
+    s"""WITH pts AS (${XyzCte.replace("\n", " ")}),
+       |${cellPipelineSql(8)},
+       |$lutIjCte,
+       |cells AS (SELECT DISTINCT cu FROM fold),
+       |inv AS (SELECT cu,
+       |$cellInvSteps,
+       |  (i0 // $size) * $size AS ia, (j0 // $size) * $size AS ja
+       | FROM cells CROSS JOIN lutij),
+       |intr AS (SELECT cu, face2, ia, ja FROM inv
+       |  WHERE ia - $size >= 0 AND ia + $size < 1073741824
+       |    AND ja - $size >= 0 AND ja + $size < 1073741824),
+       |nbrs AS (SELECT cu, face2, t.idx,
+       |  CASE t.idx WHEN 1 THEN ia + $size WHEN 3 THEN ia - $size ELSE ia END AS ni,
+       |  CASE t.idx WHEN 0 THEN ja - $size WHEN 2 THEN ja + $size ELSE ja END AS nj
+       | FROM intr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS idx) t),
+       |nfold AS (SELECT w.*,
+       |${cellFoldSteps("face2", "ni", "nj", "m")},
+       |  ${cellParentU("mn0 * CAST(2 AS UBIGINT) + CAST(1 AS UBIGINT)", 8)} AS ncu
+       | FROM nbrs w CROSS JOIN lut)
+       |SELECT ${cellSgn("cu")} AS c, CAST(idx AS INTEGER) AS idx,
+       |  ${cellSgn("ncu")} AS nbr
+       |FROM nfold ORDER BY c, idx""".stripMargin
   }
 
   private lazy val Q20Oracle: String =
@@ -917,6 +991,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q20_cellid" -> Q20Oracle,
     "q21_cell_nav" -> Q21Oracle,
+    "q29_cell_neighbors" -> Q29Oracle,
     "q31_minhash_neardup" -> MinhashOracle,
     "q32_simhash_neardup" -> SimhashOracle,
     "q37_fingerprint" -> FingerprintOracle,

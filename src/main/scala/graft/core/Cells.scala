@@ -337,4 +337,8 @@ object Cells {
     * so the DuckDB oracle can be generated from the same 1,024 constants the
     * engine folds with (SparkEntry's cell-index replica). */
   def hilbertLookupPos: Array[Int] = lookupPos.clone()
+
+  /** The inverse (pos,orientation) -> (ij,orientation) table (same purpose,
+    * for the oracle's neighbor replica). */
+  def hilbertLookupIj: Array[Int] = lookupIj.clone()
 }

@@ -222,6 +222,25 @@ class CellSpec extends AnyFunSuite {
     }
   }
 
+  test("cellIdXyz agrees with the lon/lat trig path") {
+    // the oracle-able xyz entry and st_cellid must be the same index: for
+    // any lon/lat, feeding the corresponding unit vector through
+    // cellIdXyz yields the identical cell id at every level
+    val rr = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val lon = rr.nextDouble() * 360 - 180
+      val lat = rr.nextDouble() * 180 - 90
+      val (x, y, z) = Cells.lonLatToXyz(lon, lat)
+      for (lvl <- Seq(0, 5, 12, 30)) {
+        assert(graft.sql.GeoOps.cellIdXyz(x, y, z, lvl) ==
+          Cells.cellId(lon, lat, lvl), s"($lon, $lat) level $lvl")
+      }
+    }
+    // scale invariance: only the direction matters
+    assert(graft.sql.GeoOps.cellIdXyz(0.2, 0.4, 0.6, 12) ==
+      graft.sql.GeoOps.cellIdXyz(0.1, 0.2, 0.3, 12))
+  }
+
   test("polygon with hole") {
     val outer = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
     val g = Wkt.parse(outer)

@@ -621,6 +621,25 @@ object SparkEntry {
           col("geom_bbox")("xmax").as("bx1"), col("geom_bbox")("ymax").as("by1"))
         .orderBy("l_orderkey", "l_linenumber")
     },
+    // oracled dedup-cluster resolution: connected components over a
+    // deterministic edge list (chains of 5 merged by sparse long-range
+    // edges — multi-round propagation), checked against a DuckDB
+    // recursive-CTE reachability computation
+    "q55_dedup_clusters" -> { (s, d) =>
+      prep(s, d)
+      val edges = s.sql(
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id % 5 != 4
+          |UNION ALL
+          |SELECT a.doc_id, b.doc_id
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 7
+          |WHERE a.doc_id % 97 = 0""".stripMargin)
+      Dedup.withClusters(s.table("documents").select(col("doc_id")),
+          "doc_id", edges)
+        .select(col("doc_id"), col("cluster"), col("is_rep"))
+        .orderBy("doc_id")
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
     // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
@@ -1188,6 +1207,27 @@ object SparkEntry {
         |FROM t
         |WHERE ax <= 60.0 AND ax + 2.0 >= 10.0 AND ay <= 40.0 AND ay + 2.0 >= 5.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // dedup clusters: ground-truth reachability via a recursive CTE
+    "q55_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.doc_id AS s, b.doc_id AS d
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 5 != 4
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 7
+        |  WHERE a.doc_id % 97 = 0),
+        |sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |reach(n, m) AS (
+        |  SELECT DISTINCT s, s FROM sym
+        |  UNION
+        |  SELECT sym.d, reach.m FROM reach JOIN sym ON sym.s = reach.n),
+        |comp AS (SELECT n, min(m) AS cluster FROM reach GROUP BY n)
+        |SELECT dd.doc_id, COALESCE(c.cluster, dd.doc_id) AS cluster,
+        |  CAST(CASE WHEN COALESCE(c.cluster, dd.doc_id) = dd.doc_id
+        |       THEN 1 ELSE 0 END AS INT) AS is_rep
+        |FROM documents dd LEFT JOIN comp c ON c.n = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
     // splitmix64 replicated exactly in SQL: 64-bit wraparound adds/muls via
     // HUGEINT with 32-bit split multiplication, xor/shifts on UBIGINT,
     // then signed pmod like Spark's

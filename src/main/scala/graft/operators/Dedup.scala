@@ -121,6 +121,68 @@ object Dedup {
       .drop("__cleaned")
   }
 
+  /** Connected components over near-dup pairs: every node labeled with the
+    * minimum id reachable in its component — the cluster representative.
+    * This is the step that turns pair-finding (MinHash/SimHash/embedding
+    * candidates) into an actual keep/drop dedup decision: keep exactly the
+    * rows whose id equals their cluster label.
+    *
+    * Min-label propagation: each round joins the (id, label) frontier with
+    * the symmetrized edge list and takes the per-node minimum — only
+    * id-sized pairs ever shuffle; the edge list persists across rounds
+    * (re-derivation would re-execute the candidate pipeline per round);
+    * each round's labels are checkpointed so one job runs per round.
+    * Convergence = the label sum stops decreasing (min-label updates are
+    * strictly decreasing, so the decimal sum is a monotone potential —
+    * one scalar action per round, no extra change-count join). Rounds =
+    * component diameter; near-dup clusters are dense (diameter 1-2), and
+    * `maxIter` bounds adversarial chains.
+    *
+    * @param pairs edge list, any orientation, self-loops/dups fine
+    * @return ("id", "cluster") for every id present in `pairs` */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+                  idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(eager = true)
+    var potential = BigDecimal(labels.agg(
+      sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(eager = true)
+      val p = BigDecimal(next.agg(
+        sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+      converged = p == potential
+      potential = p
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged, s"dupClusters did not converge within $maxIter rounds")
+    labels
+  }
+
+  /** Dedup decision over a table given near-dup pairs: every row labeled
+    * with its cluster and an `is_rep` flag (1 = keep). Rows in no pair are
+    * their own singleton cluster. */
+  def withClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                   idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comps = dupClusters(pairs, idA, idB)
+      .withColumnRenamed("id", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("is_rep", (col("cluster") === col(idCol)).cast("int"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket candidates (random
     * hyperplane signs), exact cosine refine.
     *

@@ -118,6 +118,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("sha2"), s"expected hashed shuffle key:\n$plan")
   }
 
+  test("dupClusters: min-label components match union-find ground truth") {
+    // random sparse graph; verify against a driver-side union-find
+    val rnd = new scala.util.Random(11)
+    val n = 500
+    val edges = (1 to 400).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    // ground-truth rep = min id in component, which union-by-min preserves
+    val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet)
+    // same partition: two nodes share a cluster iff union-find agrees
+    for ((id, c) <- got) assert(c == expected(id), s"node $id")
+  }
+
+  test("withClusters keeps exactly one representative per component") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.withClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.forall { case (c, rows) => rows.count(_._3 == 1) == 1 })
+    assert(out.find(_._1 == 0L).get._2 == 0L)
+    assert(out.find(_._1 == 2L).get._2 == 0L) // via the 1-2 edge
+    assert(out.find(_._1 == 7L).get._2 == 7L) // singleton keeps itself
+    assert(out.count(_._3 == 1) == 20 - 3)    // 3 dropped non-reps
+  }
+
   test("minhash LSH finds planted near-dups with high recall, jaccard-refined") {
     val docs = (0 until 100).map { i =>
       val words = (0 until 40).map(j =>

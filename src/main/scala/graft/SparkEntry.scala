@@ -231,6 +231,32 @@ object SparkEntry {
         |      = st_aswkb(st_point(lon, lat))
         |""".stripMargin)
     },
+    "q19_measures" -> { (s, d) =>
+      prep(s, d)
+      // planar measures over 3-4-5 right triangles with integer coords:
+      // every sum is exact (the hypotenuse sqrt(25m^2) = 5m exactly), so
+      // area/perimeter/length/centroid hash-match the analytic oracle
+      s.sql("""WITH tri AS (SELECT l_orderkey, l_linenumber,
+        |  CAST((l_orderkey * 7 + l_linenumber) % 1000 AS DOUBLE) AS bx,
+        |  CAST((l_orderkey * 11 + l_linenumber * 3) % 1000 AS DOUBLE) AS by,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m
+        | FROM lineitem_par),
+        |g AS (SELECT l_orderkey, l_linenumber,
+        |  st_geomfromwkt(concat('POLYGON ((',
+        |    CAST(bx AS STRING), ' ', CAST(by AS STRING), ', ',
+        |    CAST(bx + 3 * m AS STRING), ' ', CAST(by AS STRING), ', ',
+        |    CAST(bx AS STRING), ' ', CAST(by + 4 * m AS STRING), ', ',
+        |    CAST(bx AS STRING), ' ', CAST(by AS STRING), '))')) AS poly,
+        |  st_geomfromwkt(concat('LINESTRING (',
+        |    CAST(bx AS STRING), ' ', CAST(by AS STRING), ', ',
+        |    CAST(bx + 3 * m AS STRING), ' ', CAST(by + 4 * m AS STRING), ')')) AS line
+        | FROM tri)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_area(poly) AS area, st_perimeter(poly) AS perim,
+        |  st_length(line) AS len,
+        |  st_x(st_centroid(poly)) AS cx, st_y(st_centroid(poly)) AS cy
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
     // ---- 2C cell index / tiles / joins -----------------------------
     // q20/q21 drive the cell index through st_cellidxyz (exact rational
     // sphere-direction inputs): every step — face selection, quadratic
@@ -1207,6 +1233,17 @@ object SparkEntry {
         |FROM t
         |WHERE ax <= 60.0 AND ax + 2.0 >= 10.0 AND ay <= 40.0 AND ay + 2.0 >= 5.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // planar measures: analytic values of the 3-4-5 triangles (all exact)
+    "q19_measures" ->
+      """WITH tri AS (SELECT l_orderkey, l_linenumber,
+        |  CAST((l_orderkey * 7 + l_linenumber) % 1000 AS DOUBLE) AS bx,
+        |  CAST((l_orderkey * 11 + l_linenumber * 3) % 1000 AS DOUBLE) AS by,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  6 * m * m AS area, 12 * m AS perim, 5 * m AS len,
+        |  (3 * bx + 3 * m) / 3.0 AS cx, (3 * by + 4 * m) / 3.0 AS cy
+        |FROM tri ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // dedup clusters: ground-truth reachability via a recursive CTE
     "q55_dedup_clusters" ->
       """WITH RECURSIVE e AS (

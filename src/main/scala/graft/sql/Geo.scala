@@ -146,6 +146,11 @@ object Geo {
     "st_y" -> (a => geo(DoubleType, "pointY", a, Seq(G))),
     "st_srid" -> (a => geo(IntegerType, "srid", a, Seq(G))),
     "st_setsrid" -> (a => geo(G, "setSrid", a, Seq(G, IntegerType))),
+    // --- planar measurements (PostGIS semantics; reference is codec-only)
+    "st_area" -> (a => geo(DoubleType, "area", a, Seq(G))),
+    "st_perimeter" -> (a => geo(DoubleType, "perimeter", a, Seq(G))),
+    "st_length" -> (a => geo(DoubleType, "lengthOf", a, Seq(G))),
+    "st_centroid" -> (a => geo(G, "centroid", a, Seq(G))),
     // --- predicates
     "st_contains" -> (a => geo(BooleanType, "contains", a, Seq(G, G))),
     "st_containsxy" -> (a =>

@@ -208,6 +208,20 @@ object GeoOps {
   def distanceSq(x1: Double, y1: Double, x2: Double, y2: Double): Double =
     Pip.dist2(x1, y1, x2, y2)
 
+  // ---------------------------------------------------------- measurements
+
+  def area(g: InternalRow): Double = Measure.area(GeoStruct.decode(g))
+  def perimeter(g: InternalRow): Double = Measure.perimeter(GeoStruct.decode(g))
+  def lengthOf(g: InternalRow): Double = Measure.length(GeoStruct.decode(g))
+
+  /** Area-weighted centroid as a POINT geometry (POINT EMPTY for EMPTY). */
+  def centroid(g: InternalRow): InternalRow = {
+    val (cx, cy) = Measure.centroid(GeoStruct.decode(g))
+    if (cx.isNaN && cy.isNaN)
+      GeoStruct.encode(Geom(GeomTypes.Point, Dims.XY, Geom.emptyDoubles))
+    else GeoStruct.encode(Geom(GeomTypes.Point, Dims.XY, Array(cx, cy)))
+  }
+
   // ------------------------------------------------------------ cell index
 
   def cellId(lon: Double, lat: Double, level: Int): Long =

@@ -184,4 +184,39 @@ class CoreGeomSpec extends AnyFunSuite {
     assert(g.coords(0).isNaN && g.coords(1).isPosInfinity)
     assert(Wkt.write(g) == "POINT (nan Infinity)")
   }
+
+  test("planar measures: area/perimeter/length/centroid") {
+    val sq = Wkt.parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(Measure.area(sq) == 100.0)
+    assert(Measure.perimeter(sq) == 40.0)
+    assert(Measure.length(sq) == 0.0)
+    assert(Measure.centroid(sq) == ((5.0, 5.0)))
+    // hole subtracts area, adds perimeter, shifts nothing (symmetric)
+    val holed = Wkt.parse(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(Measure.area(holed) == 96.0)
+    assert(Measure.perimeter(holed) == 48.0)
+    assert(Measure.centroid(holed) == ((5.0, 5.0)))
+    // winding-agnostic: CW shell, CCW hole — same values
+    val cw = Wkt.parse(
+      "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))")
+    assert(Measure.area(cw) == 96.0)
+    assert(Measure.centroid(cw) == ((5.0, 5.0)))
+    // multipolygon sums; asymmetric parts move the centroid
+    val mp = Wkt.parse(
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 0, 14 0, 14 4, 10 4, 10 0)))")
+    assert(Measure.area(mp) == 4.0 + 16.0)
+    assert(Measure.perimeter(mp) == 8.0 + 16.0)
+    val (cx, cy) = Measure.centroid(mp)
+    assert(cx == (1.0 * 4 + 12.0 * 16) / 20 && cy == (1.0 * 4 + 2.0 * 16) / 20)
+    // linestring arc length; 3-4-5 exact
+    val ls = Wkt.parse("LINESTRING (0 0, 3 4, 3 0)")
+    assert(Measure.length(ls) == 9.0)
+    assert(Measure.area(ls) == 0.0)
+    // degenerate/EMPTY
+    assert(Measure.area(Wkt.parse("POLYGON EMPTY")) == 0.0)
+    val (ex, ey) = Measure.centroid(Wkt.parse("POINT EMPTY"))
+    assert(ex.isNaN && ey.isNaN)
+    assert(Measure.centroid(Wkt.parse("POINT (3 4)")) == ((3.0, 4.0)))
+  }
 }

@@ -494,6 +494,29 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id, idx""".stripMargin)
     },
+    "q49_audio" -> { (s, d) =>
+      prep(s, d)
+      // REAL RIFF/WAVE decode: per-row PCM16 WAVs synthesized by make_wav
+      // (sample i = ((a*i+b) mod 65536) - 32768), then wav_meta chunk-walk
+      // + audio_features windowed mean-amplitude — integer-sum-then-one-
+      // division arithmetic, so the oracle replicates it exactly
+      s.sql("""WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 50 + 40 AS INT) AS n,
+        |  CAST(8000 + doc_id % 100 AS INT) AS rate,
+        |  CAST(doc_id % 3 + 1 AS INT) AS ch,
+        |  CAST(doc_id % 1000 + 1 AS INT) AS a,
+        |  CAST(doc_id % 7777 AS INT) AS b
+        | FROM documents),
+        |w AS (SELECT doc_id,
+        |  wav_meta(make_wav(n, rate, ch, a, b)) AS m,
+        |  audio_features(make_wav(n, rate, ch, a, b), 8) AS f
+        | FROM p)
+        |SELECT doc_id, m.channels AS channels, m.sample_rate AS sample_rate,
+        |  m.bits AS bits, m.n_frames AS n_frames, m.detected_fmt AS fmt,
+        |  CAST(pos AS INT) AS idx, feat
+        |FROM w LATERAL VIEW posexplode(f) AS pos, feat
+        |ORDER BY doc_id, idx""".stripMargin)
+    },
     "q46_det_sample" -> { (s, d) =>
       prep(s, d)
       val sampled = graft.operators.Sampling.deterministicSample(
@@ -665,6 +688,32 @@ object SparkEntry {
           "doc_id", edges)
         .select(col("doc_id"), col("cluster"), col("is_rep"))
         .orderBy("doc_id")
+    },
+    "q56_video_frames" -> { (s, d) =>
+      prep(s, d)
+      // REAL uncompressed-video decode: per-row Y4M streams synthesized by
+      // make_y4m (two-band luma per frame), video_meta header+frame-count
+      // parse, frame_features samples every 2nd frame and pools the luma
+      // plane — band boundaries align with the 2x2 pooling grid, so every
+      // feature is an analytic constant the oracle recomputes
+      s.sql("""WITH p AS (SELECT doc_id,
+        |  CAST((doc_id % 5 + 1) * 2 AS INT) AS w,
+        |  CAST((doc_id % 4 + 1) * 4 AS INT) AS h,
+        |  CAST(doc_id % 6 + 2 AS INT) AS nf,
+        |  CAST(doc_id % 200 + 3 AS INT) AS seed
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        |  video_meta(make_y4m(w, h, nf, seed)) AS m,
+        |  frame_features(make_y4m(w, h, nf, seed), 2, 4) AS fr
+        | FROM p)
+        |SELECT doc_id, m.width AS width, m.height AS height,
+        |  m.fps_num AS fps_num, m.fps_den AS fps_den,
+        |  m.n_frames AS n_frames, m.detected_fmt AS fmt,
+        |  f.frame_idx AS frame_idx, CAST(pos AS INT) AS idx, feat
+        |FROM v
+        |LATERAL VIEW explode(fr) AS f
+        |LATERAL VIEW posexplode(f.features) AS pos, feat
+        |ORDER BY doc_id, frame_idx, idx""".stripMargin)
     },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
@@ -1244,6 +1293,48 @@ object SparkEntry {
         |  6 * m * m AS area, 12 * m AS perim, 5 * m AS len,
         |  (3 * bx + 3 * m) / 3.0 AS cx, (3 * by + 4 * m) / 3.0 AS cy
         |FROM tri ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // audio features over synthetic PCM16: the sample generator and the
+    // windowed mean-amplitude are plain modular-integer arithmetic — the
+    // oracle regenerates every sample and reduces it the same way (one
+    // correctly-rounded division per window, then double->float)
+    "q49_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 50 + 40 AS n, 8000 + doc_id % 100 AS rate,
+        |  doc_id % 3 + 1 AS ch, doc_id % 1000 + 1 AS a, doc_id % 7777 AS b
+        | FROM documents),
+        |s AS (SELECT doc_id, n, rate, ch, a, b,
+        |  unnest(generate_series(0, n - 1)) AS i FROM p),
+        |amp AS (SELECT doc_id, n, rate, ch,
+        |  abs(((a * i + b) % 65536) - 32768) AS amp,
+        |  LEAST(7, i * 8 // n) AS w
+        | FROM s)
+        |SELECT doc_id, CAST(ch AS INTEGER) AS channels,
+        |  CAST(rate AS INTEGER) AS sample_rate, CAST(16 AS INTEGER) AS bits,
+        |  CAST(n AS INTEGER) AS n_frames, 'wav' AS fmt,
+        |  CAST(w AS INTEGER) AS idx,
+        |  CAST(CAST(sum(amp) AS DOUBLE) / (32768.0 * count(*)) AS FLOAT) AS feat
+        |FROM amp GROUP BY doc_id, ch, rate, n, w
+        |ORDER BY doc_id, idx""".stripMargin,
+    // video frame features over two-band Y4M: every 2x2 pooling cell is a
+    // single luma constant, so each feature is band/255 exactly
+    "q56_video_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |  (doc_id % 5 + 1) * 2 AS w, (doc_id % 4 + 1) * 4 AS h,
+        |  doc_id % 6 + 2 AS nf, doc_id % 200 + 3 AS seed
+        | FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, seed,
+        |  unnest(generate_series(0, nf - 1)) AS fi FROM p),
+        |x AS (SELECT doc_id, w, h, nf, seed, fi,
+        |  unnest([0, 1, 2, 3]) AS idx FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(30 AS INTEGER) AS fps_num,
+        |  CAST(1 AS INTEGER) AS fps_den, CAST(nf AS INTEGER) AS n_frames,
+        |  'y4m' AS fmt, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(idx AS INTEGER) AS idx,
+        |  CAST(CAST(CASE WHEN idx < 2 THEN (seed + 7 * fi) % 256
+        |            ELSE (seed + 13 * fi) % 256 END AS DOUBLE) / 255.0
+        |    AS FLOAT) AS feat
+        |FROM x ORDER BY doc_id, frame_idx, idx""".stripMargin,
     // dedup clusters: ground-truth reachability via a recursive CTE
     "q55_dedup_clusters" ->
       """WITH RECURSIVE e AS (

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * PNG/JPEG paths are REAL: header parsing (`img_meta`) and pixel decode +
-  * grid-pooled features (`img_features`, javax.imageio) are codegen'd
-  * kernels. Only video frame decode — for which the JVM ships no codec —
-  * remains a clearly-marked deterministic stub with the real schema/batch
-  * contract.
+  * The decode paths the JVM can serve are REAL, all codegen'd kernels:
+  * image header parse (`img_meta`) and pixel features (`img_features`,
+  * javax.imageio PNG/JPEG); audio metadata + windowed amplitude features
+  * (`wav_meta`/`audio_features`, RIFF/WAVE PCM16); video metadata + frame
+  * sampling with pooled luma features (`video_meta`/`frame_features`,
+  * uncompressed YUV4MPEG2). Only COMPRESSED-codec frame decode — for which
+  * the JVM ships no decoder — remains a clearly-marked deterministic stub
+  * with the real schema/batch contract.
   *
   * At 100 TB these run pipelined with the scan (kernels) or as
   * per-partition batch transforms (`mapPartitions`, the Scala analog of
@@ -51,9 +54,44 @@ object Multimodal {
       call_function("img_features", col(bytesCol), lit(dim)))
   }
 
-  /** STUB — video frame sampling: emits `everyN`-th "frame" reference with
+  /** Adds WAV metadata (channels/sample_rate/bits/n_frames/detected_fmt)
+    * from real RIFF chunk-walking via the codegen'd `wav_meta` kernel. */
+  def withAudioMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    graft.sql.Geo.register(df.sparkSession)
+    df.withColumn("audio_meta", call_function("wav_meta", col(bytesCol)))
+  }
+
+  /** REAL audio feature extraction (PCM16 WAV): windowed mean-amplitude
+    * features via the codegen'd `audio_features` kernel — pipelined with
+    * the scan like `img_features`; non-PCM16 payloads yield null. */
+  def withAudioFeatures(df: DataFrame, bytesCol: String, dim: Int): DataFrame = {
+    graft.sql.Geo.register(df.sparkSession)
+    df.withColumn("features",
+      call_function("audio_features", col(bytesCol), lit(dim)))
+  }
+
+  /** REAL video frame sampling for uncompressed (YUV4MPEG2) payloads: the
+    * `frame_features` kernel decodes every `everyN`-th frame's luma plane
+    * and pools it to a `dim`-float feature vector in one pass; the result
+    * explodes to one row per sampled frame (`frame_idx`, `features`). All
+    * codegen — no `mapPartitions`, pruning/pushdown flow through. For
+    * compressed codecs (no JVM decoder) see [[sampleFramesStub]]. */
+  def sampleFrames(df: DataFrame, bytesCol: String, everyN: Int,
+                   dim: Int): DataFrame = {
+    graft.sql.Geo.register(df.sparkSession)
+    df.withColumn("__frames",
+        explode(call_function("frame_features", col(bytesCol), lit(everyN),
+          lit(dim))))
+      .withColumn("frame_idx", col("__frames.frame_idx"))
+      .withColumn("features", col("__frames.features"))
+      .drop("__frames")
+  }
+
+  /** STUB — frame sampling for COMPRESSED video (MP4/H.264…), for which
+    * the JVM ships no decoder: emits `everyN`-th "frame" reference with
     * correct explode semantics (one output row per sampled frame, frame_idx
-    * column). Real frame decode would slot into the marked line. */
+    * column). Real frame decode would slot into the marked line; for
+    * uncompressed Y4M payloads use the real [[sampleFrames]]. */
   def sampleFramesStub(df: DataFrame, bytesCol: String, frameCount: Int,
                        everyN: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(

@@ -224,6 +224,24 @@ object Geo {
     // deterministic two-band PNG synthesis (oracle-checkable test images)
     "make_png" -> (a => inv(MediaOps.getClass, BinaryType, "makePng", a,
       Seq.fill(8)(IntegerType))),
+    // --- audio/video kernels (real decoders: RIFF/WAVE PCM, YUV4MPEG2;
+    // propagateNull=false on the metas: null payload yields "unknown")
+    "wav_meta" -> (a => StaticInvoke(AvOps.getClass, AvOps.wavMetaType,
+      "wavMeta", a.map(castTo(_, BinaryType)), inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = false)),
+    "audio_features" -> (a => inv(AvOps.getClass,
+      ArrayType(FloatType, containsNull = false), "audioFeatures", a,
+      Seq(BinaryType, IntegerType), nullable = true)),
+    "make_wav" -> (a => inv(AvOps.getClass, BinaryType, "makeWav", a,
+      Seq.fill(5)(IntegerType))),
+    "video_meta" -> (a => StaticInvoke(AvOps.getClass, AvOps.videoMetaType,
+      "videoMeta", a.map(castTo(_, BinaryType)), inputTypes = Seq(BinaryType),
+      propagateNull = false, returnNullable = false)),
+    "frame_features" -> (a => inv(AvOps.getClass, AvOps.frameFeaturesType,
+      "frameFeatures", a, Seq(BinaryType, IntegerType, IntegerType),
+      nullable = true)),
+    "make_y4m" -> (a => inv(AvOps.getClass, BinaryType, "makeY4m", a,
+      Seq.fill(4)(IntegerType))),
     // --- vector kernels
     "vec_dot" -> (a => vec(DoubleType, "dot", a, Seq(floatArray, floatArray))),
     "vec_norm" -> (a => vec(DoubleType, "norm", a, Seq(floatArray))),

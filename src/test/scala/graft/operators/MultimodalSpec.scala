@@ -85,6 +85,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.groupBy("image_id").count().collect().forall(_.getLong(1) == 4))
   }
 
+  test("wav_meta/audio_features: real RIFF decode, analytic windowed means") {
+    import graft.sql.AvOps
+    // constant-amplitude square: a=0 -> every sample (40000 mod 65536)-32768
+    val wav = AvOps.makeWav(64, 8000, 2, 0, 40000)
+    val m = AvOps.wavMeta(wav)
+    assert(m.getInt(0) == 2 && m.getInt(1) == 8000 && m.getInt(2) == 16 &&
+      m.getInt(3) == 64 && m.getUTF8String(4).toString == "wav")
+    val feats = AvOps.audioFeatures(wav, 8).toFloatArray()
+    assert(feats.length == 8 && feats.forall(_ == (7232.0 / 32768.0).toFloat),
+      feats.mkString(","))
+    // varying samples cross-checked against a direct reduction
+    val wav2 = AvOps.makeWav(100, 16000, 1, 31, 7)
+    val samples = (0 until 100).map(i => math.abs(((31L * i + 7) % 65536) - 32768))
+    val expect = (0 until 8).map { w =>
+      val in = (0 until 100).filter(i => math.min(7, i * 8 / 100) == w)
+      (in.map(samples).sum.toDouble / (32768.0 * in.size)).toFloat
+    }
+    assert(AvOps.audioFeatures(wav2, 8).toFloatArray().toSeq == expect)
+    // garbage and truncated payloads degrade, never throw
+    assert(AvOps.wavMeta("not audio".getBytes).getUTF8String(4).toString == "unknown")
+    assert(AvOps.wavMeta(null).getUTF8String(4).toString == "unknown")
+    assert(AvOps.audioFeatures(wav.take(30), 8) == null)
+  }
+
+  test("video_meta/frame_features: real Y4M decode, banded pooled means") {
+    import graft.sql.AvOps
+    val y4m = AvOps.makeY4m(4, 4, 3, 100)
+    val m = AvOps.videoMeta(y4m)
+    assert(m.getInt(0) == 4 && m.getInt(1) == 4 && m.getInt(2) == 30 &&
+      m.getInt(3) == 1 && m.getInt(4) == 3 &&
+      m.getUTF8String(5).toString == "y4m")
+    // everyN=2 samples frames 0 and 2; top band (seed+7f), bottom (seed+13f)
+    val fr = AvOps.frameFeatures(y4m, 2, 4)
+    assert(fr.numElements() == 2)
+    val f0 = fr.getStruct(0, 2)
+    val f2 = fr.getStruct(1, 2)
+    assert(f0.getInt(0) == 0 && f2.getInt(0) == 2)
+    assert(f0.getArray(1).toFloatArray().toSeq ==
+      Seq.fill(4)((100.0 / 255.0).toFloat))
+    assert(f2.getArray(1).toFloatArray().toSeq ==
+      Seq((114.0 / 255.0).toFloat, (114.0 / 255.0).toFloat,
+        (126.0 / 255.0).toFloat, (126.0 / 255.0).toFloat))
+    assert(AvOps.videoMeta("MPEG4".getBytes).getUTF8String(5).toString == "unknown")
+    assert(AvOps.frameFeatures("MPEG4".getBytes, 2, 4) == null)
+  }
+
+  test("sampleFrames (Y4M): explode shape, codegen'd kernel") {
+    graft.sql.Geo.register(spark)
+    val df = spark.range(6).selectExpr("id",
+      "make_y4m(4, 8, CAST(id % 3 + 2 AS INT), CAST(id AS INT)) AS bytes")
+    val out = Multimodal.sampleFrames(df, "bytes", everyN = 2, dim = 4)
+    // nf 2->1 frame sampled, 3->2, 4->2
+    val perId = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert((0L until 6L).forall(id => perId(id) == (id % 3 + 2 + 1) / 2))
+    assert(out.columns.contains("frame_idx") && out.columns.contains("features"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("framefeatures") ||
+      plan.contains("static_invoke"),
+      s"frame_features must bind as a StaticInvoke kernel:\n$plan")
+    assert(!plan.contains("MapPartitions"),
+      s"real frame sampling must not use an object boundary:\n$plan")
+  }
+
   test("cast-elision rule folds idempotent cast chains") {
     graft.sql.Geo.register(spark)
     val df = spark.sql(

@@ -578,6 +578,20 @@ object SparkEntry {
           col("vec_id"), col("cos"))
         .orderBy("qid", "rank")
     },
+    "q57_ann_sq8" -> { (s, d) =>
+      prep(s, d)
+      // SQ8 compression path: int8-quantized candidate scan + exact float
+      // rerank; the oracle replicates the quantize/dequantize arithmetic
+      // per element, so candidate sets and final ranks match bit-for-bit
+      val corpus = s.table("embeddings")
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.sq8TopK(corpus, queries, "embedding", "vec_id", "qid", "qvec",
+          k = 3, rerank = 4)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
     "q42_embed_neardup" -> { (s, d) =>
       prep(s, d)
       val base = s.table("embeddings")
@@ -1645,5 +1659,50 @@ object SparkEntry {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
         |  SELECT qid, vec_id, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-        |  FROM cand) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+        |  FROM cand) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // SQ8 replica: per-vector (vmin, vmax) range, int8 quantize/dequantize
+    // per element (the same fixed sequence of correctly-rounded double ops
+    // as VecOps.sq8/sq8Cosine), asymmetric candidate scan, exact rerank
+    "q57_ann_sq8" ->
+      """WITH cq AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vmax > vmin THEN
+        |      list_transform(embedding, x -> vmin +
+        |        (LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+        |          floor(((CAST(x AS DOUBLE) - vmin) * 255.0) / (vmax - vmin)
+        |            + 0.5))) * (vmax - vmin)) / 255.0)
+        |    ELSE list_transform(embedding, x -> vmin) END AS d
+        |  FROM cq),
+        |asim AS (
+        |  SELECT q.vec_id AS qid, q.embedding AS qvec, c.vec_id AS id,
+        |    (SELECT sum(x * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(c.d) AS x, unnest(q.embedding) AS y) z)
+        |    / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(c.d) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |        (SELECT unnest(q.embedding) AS y) z))) AS asim
+        |  FROM embeddings q CROSS JOIN dq c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |cand AS (
+        |  SELECT qid, qvec, id FROM (
+        |    SELECT qid, qvec, id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY asim DESC, id) AS r
+        |    FROM asim) WHERE r <= 12),
+        |rer AS (
+        |  SELECT cand.qid, e.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(e.embedding) AS x, unnest(cand.qvec) AS y) z)
+        |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |        (SELECT unnest(e.embedding) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |        (SELECT unnest(cand.qvec) AS y) z))) AS cos
+        |  FROM cand JOIN embeddings e ON e.vec_id = cand.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM rer) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
 }

@@ -73,6 +73,45 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Scalar-quantized (SQ8) approximate top-k: the corpus compressed to
+    * one byte per dimension (+ per-vector range), candidates selected by
+    * asymmetric dequantized cosine over the codes, then the top
+    * `k * rerank` exactly reranked against the float vectors.
+    *
+    * 100-TB scale shape: the quantized corpus is 4× smaller than float32 —
+    * the approximate scan reads a quarter of the bytes (in practice the
+    * codes are what gets persisted/cached; compose with [[ivfTopK]]'s
+    * inverted lists to also cut the row count). Full float vectors are
+    * touched only for the candidate set (|queries|·k·rerank rows), fetched
+    * via a broadcast join by id — the big side never shuffles. The
+    * candidate window prunes map-side (`WindowGroupLimit`), same as the
+    * brute-force baseline. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, qidCol: String, qvecCol: String, k: Int,
+              rerank: Int = 4): DataFrame = {
+    Geo.register(corpus.sparkSession)
+    val codes = corpus
+      .withColumn("__sq", call_function("vec_sq8", col(vecCol)))
+      .select(col(idCol), col("__sq.codes").as("__codes"),
+        col("__sq.vmin").as("__vmin"), col("__sq.vmax").as("__vmax"))
+    val wa = Window.partitionBy(col(qidCol))
+      .orderBy(col("asim").desc, col(idCol))
+    val cand = codes.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("asim", call_function("vec_sq8_cosine", col("__codes"),
+        col("__vmin"), col("__vmax"), col(qvecCol)))
+      .withColumn("__arank", row_number().over(wa))
+      .filter(col("__arank") <= k * rerank)
+      .select(col(qidCol), col(qvecCol), col(idCol))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol))
+    corpus.select(col(idCol), col(vecCol)).join(broadcast(cand), idCol)
+      .withColumn("cos", call_function("vec_cosine", col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (optionally 1-bit multiprobe), exact cosine rerank within bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,

@@ -1,6 +1,9 @@
 package graft.sql
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
 
 /** Embedding-vector kernels (`Array[Float]` columns) for similarity search.
   * Double accumulation in index order — deterministic and matching the
@@ -105,6 +108,63 @@ object VecOps {
       i += 1
     }
     if (nv == 0 || nc == 0) 0.0 else dot / (nv * math.sqrt(nc))
+  }
+
+  val sq8Type: StructType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("vmin", FloatType, nullable = false),
+    StructField("vmax", FloatType, nullable = false)))
+
+  /** Scalar (int8) quantization — the ANN memory/bandwidth scale path: a
+    * float vector compressed to one byte per dimension plus its (vmin,
+    * vmax) range, 4× smaller than float32. Quantization arithmetic is a
+    * fixed sequence of correctly-rounded double ops
+    * (`floor(((v - vmin) * 255) / (vmax - vmin) + 0.5)`, clamped), so
+    * codes are bit-reproducible and the DuckDB oracle replicates them. */
+  def sq8(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var vmin = Float.PositiveInfinity
+    var vmax = Float.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i)
+      if (x < vmin) vmin = x
+      if (x > vmax) vmax = x
+      i += 1
+    }
+    if (n == 0) { vmin = 0f; vmax = 0f }
+    val scale = vmax.toDouble - vmin.toDouble
+    val codes = new Array[Byte](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        val t = ((v.getFloat(i).toDouble - vmin.toDouble) * 255.0) / scale
+        val q = math.floor(t + 0.5)
+        codes(i) = math.max(0.0, math.min(255.0, q)).toInt.toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](codes, vmin, vmax))
+  }
+
+  /** Asymmetric SQ8 cosine: the corpus side dequantized on the fly
+    * (`vmin + (code * scale) / 255`), the query side exact float — double
+    * accumulation in index order, same discipline as [[cosine]]. */
+  def sq8Cosine(codes: Array[Byte], vmin: Float, vmax: Float,
+                q: ArrayData): Double = {
+    val n = math.min(codes.length, q.numElements())
+    val scale = vmax.toDouble - vmin.toDouble
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val d = vmin.toDouble + ((codes(i) & 0xff).toDouble * scale) / 255.0
+      val qv = q.getFloat(i).toDouble
+      dot += d * qv
+      na += d * d
+      nb += qv * qv
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Random-hyperplane LSH bucket: sign bits of `bits` seeded pseudo-random

@@ -99,4 +99,38 @@ class IvfBucketSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("SQ8 ANN: quantization round-trip and high recall vs brute force") {
+    // kernel-level: codes/range reproduce the fixed arithmetic
+    val v = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(-1.0f, 0.0f, 0.5f, 1.0f))
+    val sq = graft.sql.VecOps.sq8(v)
+    assert(sq.getFloat(1) == -1.0f && sq.getFloat(2) == 1.0f)
+    assert(sq.getBinary(0).toSeq == Seq(0, 128, 191, 255).map(_.toByte))
+    // dequantized self-cosine is ~1 (quantization noise only)
+    val selfCos = graft.sql.VecOps.sq8Cosine(sq.getBinary(0),
+      sq.getFloat(1), sq.getFloat(2), v)
+    assert(selfCos > 0.999, s"self-cosine $selfCos")
+    // operator-level: rerank recovers the exact top-k order
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((GeoOps.splitmix64(i * 16L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Ann.bruteForceTopK(df, queries, "embedding", "vec_id",
+        "qid", "qvec", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val sq8 = Ann.sq8TopK(df, queries, "embedding", "vec_id", "qid", "qvec",
+        k = 10, rerank = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      sq8.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall")
+  }
 }

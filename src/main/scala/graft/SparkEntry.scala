@@ -372,6 +372,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_within"), min("dist2").as("min_d2"))
         .orderBy("qid")
     },
+    "q58_dwithin_rewrite" -> { (s, d) =>
+      prep(s, d)
+      // the naive formulation a user would write — just the st_dwithinxy
+      // predicate, no join keys. DWithinJoinRewrite turns it into the grid
+      // equi-join (same plan as q28's hand-built path); the oracle is the
+      // brute-force distance filter
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      val queries = pts.filter(col("l_linenumber") === 1)
+        .orderBy("l_orderkey").limit(25)
+        .select(col("l_orderkey").cast("long").as("qid"),
+          (col("lon") + 0.125).as("qlon"), (col("lat") - 0.25).as("qlat"))
+      pts.join(queries, call_function("st_dwithinxy",
+          col("lon"), col("lat"), col("qlon"), col("qlat"), lit(2.0)))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_within"),
+          min((col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+            (col("lat") - col("qlat")) * (col("lat") - col("qlat"))).as("min_d2"))
+        .orderBy("qid")
+    },
     "q26_salted_agg" -> { (s, d) =>
       prep(s, d)
       // skew-safe two-phase count by tile (salt -> partial -> final);
@@ -1206,6 +1225,17 @@ object SparkEntry {
         |    PARTITION BY qid ORDER BY dist2, l_orderkey, l_linenumber) AS rank
         |  FROM dists) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q28_distance_join" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |q AS (SELECT CAST(l_orderkey AS BIGINT) AS qid,
+        |  lon + 0.125 AS qlon, lat - 0.25 AS qlat
+        |  FROM pts WHERE l_linenumber = 1 ORDER BY l_orderkey LIMIT 25)
+        |SELECT qid, count(*) AS n_within, min(d2) AS min_d2 FROM (
+        |  SELECT qid, (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS d2
+        |  FROM q CROSS JOIN pts)
+        |WHERE d2 <= 2.0 * 2.0
+        |GROUP BY qid ORDER BY qid""".stripMargin,
+    // same ground truth as q28: the rewrite must not change results
+    "q58_dwithin_rewrite" ->
       s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
         |q AS (SELECT CAST(l_orderkey AS BIGINT) AS qid,
         |  lon + 0.125 AS qlon, lat - 0.25 AS qlat

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => ElideRedundantGeoCasts)
     ext.injectOptimizerRule(_ => ContainsJoinRewrite)
+    ext.injectOptimizerRule(_ => DWithinJoinRewrite)
     // analysis-time check: aliases (and their column metadata) are intact
     // here — the optimizer's CollapseProject would inline them away
     ext.injectCheckRule(_ => plan => PlanarEdgesGuard.check(plan))

@@ -153,6 +153,8 @@ object Geo {
     "st_centroid" -> (a => geo(G, "centroid", a, Seq(G))),
     // --- predicates
     "st_contains" -> (a => geo(BooleanType, "contains", a, Seq(G, G))),
+    "st_dwithinxy" -> (a => geo(BooleanType, "dwithinXY", a,
+      Seq.fill(5)(DoubleType))),
     "st_containsxy" -> (a =>
       geo(BooleanType, "containsXY", a, Seq(G, DoubleType, DoubleType))),
     "st_distancesq" -> (a => geo(DoubleType, "distanceSq", a,
@@ -282,8 +284,8 @@ object Geo {
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.ContainsJoinRewrite)) {
         spark.experimental.extraOptimizations ++=
-          Seq(graft.plans.ContainsJoinRewrite, graft.plans.ElideRedundantGeoCasts,
-            graft.plans.PlanarEdgesGuard)
+          Seq(graft.plans.ContainsJoinRewrite, graft.plans.DWithinJoinRewrite,
+            graft.plans.ElideRedundantGeoCasts, graft.plans.PlanarEdgesGuard)
       }
       registered.add(key)
     }

@@ -208,6 +208,13 @@ object GeoOps {
   def distanceSq(x1: Double, y1: Double, x2: Double, y2: Double): Double =
     Pip.dist2(x1, y1, x2, y2)
 
+  /** Within-distance predicate (ordinate form). Joins on it are
+    * auto-rewritten to grid-cell equi-joins by
+    * [[graft.plans.DWithinJoinRewrite]]. */
+  def dwithinXY(x1: Double, y1: Double, x2: Double, y2: Double,
+                r: Double): Boolean =
+    Pip.dist2(x1, y1, x2, y2) <= r * r
+
   // ---------------------------------------------------------- measurements
 
   def area(g: InternalRow): Double = Measure.area(GeoStruct.decode(g))

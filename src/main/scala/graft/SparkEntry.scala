@@ -670,6 +670,34 @@ object SparkEntry {
     },
     // oracled spatial data skipping: tile-envelope partition pruning must
     // return exactly the rows a plain box predicate returns
+    "q59_compaction" -> { (s, d) =>
+      prep(s, d)
+      // two appended snapshots (even/odd orderkeys), then the maintenance
+      // pass squashes them into one base snapshot: file count drops to one
+      // per bucket (asserted — a wrong compaction that loses/duplicates
+      // rows fails the oracle; one that doesn't shrink files fails here)
+      val dir = pipelineDir("q59")
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("key", concat(lit("k"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+        .withColumn("payload", col("key").cast("binary"))
+      val b = Pipeline.withBucket(pts, "lon", "lat", 3)
+      Pipeline.writeSnapshot(b.filter(col("l_orderkey") % 2 === 0), dir, 1L,
+        keyCol = "key", bytesCol = "payload")
+      Pipeline.writeSnapshot(b.filter(col("l_orderkey") % 2 === 1), dir, 2L,
+        keyCol = "key", bytesCol = "payload")
+      val before = Pipeline.dataFileCount(dir)
+      val manifest = Pipeline.compactSnapshots(s, dir, 2L)
+      val after = Pipeline.dataFileCount(dir)
+      val nBuckets = manifest.count()
+      require(after < before && after == nBuckets,
+        s"compaction must leave one file per bucket: $before -> $after ($nBuckets buckets)")
+      manifest
+        .select(call_function("st_tilex", col("bucket")).as("tx"),
+          call_function("st_tiley", col("bucket")).as("ty"),
+          col("rows"), col("bytes"), col("min_key"), col("max_key"))
+        .orderBy("tx", "ty")
+    },
     "q53_readbox" -> { (s, d) =>
       prep(s, d)
       val dir = pipelineDir("q53")
@@ -1400,6 +1428,19 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS INT) AS is_rep
         |FROM documents dd LEFT JOIN comp c ON c.n = dd.doc_id
         |ORDER BY dd.doc_id""".stripMargin,
+    // compacted manifest == the q52 aggregation over the full point set
+    // (two appended snapshots squashed must equal one snapshot of all rows)
+    "q59_compaction" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |k AS (SELECT lon, lat,
+        |  'k' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS key
+        |  FROM pts)
+        |SELECT CAST(floor((lon + 180.0) / 360.0 * 8) AS INTEGER) AS tx,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS INTEGER) AS ty,
+        |  count(*) AS "rows",
+        |  CAST(sum(length(key)) AS BIGINT) AS bytes,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM k GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
     // splitmix64 replicated exactly in SQL: 64-bit wraparound adds/muls via
     // HUGEINT with 32-bit split multiplication, xor/shifts on UBIGINT,
     // then signed pmod like Spark's

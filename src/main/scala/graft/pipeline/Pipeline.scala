@@ -145,6 +145,94 @@ object Pipeline {
         col("lat") >= minLat && col("lat") <= maxLat)
   }
 
+  /** Small-files compaction + snapshot expiry (the Iceberg
+    * `rewrite_data_files` + `expire_snapshots` maintenance pass): squashes
+    * every snapshot `<= upToSnapshotId` into one base snapshot, rewriting
+    * each bucket's accumulated per-snapshot files as one file (or
+    * `filesPerBucket` for hot buckets). At 100 TB an hourly-append table
+    * grows O(snapshots x buckets) files — scan planning, footer reads, and
+    * shuffle-fetch counts all degrade linearly with file count, so
+    * periodic compaction is what keeps the table readable; reads at or
+    * after the base snapshot are byte-identical before/after, while
+    * history below it is expired (exactly Iceberg's retention contract).
+    *
+    * Commit is write-to-temp then directory swap — the same two-phase
+    * shape a real catalog commit provides; on an object store the swap
+    * becomes the catalog's atomic metadata pointer flip. Returns the
+    * compacted manifest (one row per bucket). */
+  def compactSnapshots(spark: SparkSession, tableDir: String,
+                       upToSnapshotId: Long,
+                       filesPerBucket: Int = 1): DataFrame = {
+    import java.nio.file.{Files => F}
+    val dataDir = Paths.get(tableDir, "data")
+    // 1. rewrite the squashed range, partitioned by bucket only, to a temp
+    // subtree (reads prune to snapshot_id<=N directories — PartitionFilters)
+    val base = spark.read.parquet(dataDir.toString)
+      .filter(col("snapshot_id") <= upToSnapshotId)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .drop("snapshot_id")
+    val tmp = Paths.get(tableDir, s"compact_tmp_$upToSnapshotId")
+    val parted =
+      if (filesPerBucket > 1)
+        base.repartition(col("bucket"),
+          pmod(hash(base.columns.map(col): _*), lit(filesPerBucket)))
+      else base.repartition(col("bucket"))
+    parted.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(tmp.toString)
+    // 2. swap: drop the expired snapshot directories, move the compacted
+    // subtree in as the new base snapshot
+    val expired = F.list(dataDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("snapshot_id=") &&
+          (try n.stripPrefix("snapshot_id=").toLong <= upToSnapshotId
+           catch { case _: NumberFormatException => false })
+      }
+    expired.foreach(deleteRecursively)
+    val target = dataDir.resolve(s"snapshot_id=$upToSnapshotId")
+    F.createDirectories(dataDir)
+    F.move(tmp, target)
+    // 3. rewrite manifests: squashed range aggregated to one row per
+    // bucket, later snapshots kept verbatim (same temp+swap discipline)
+    val manifestsDir = Paths.get(tableDir, "manifests")
+    val m = spark.read.parquet(manifestsDir.toString)
+    val squashed = m.filter(col("snapshot_id") <= upToSnapshotId)
+      .groupBy(col("bucket"))
+      .agg(sum("rows").as("rows"), sum("bytes").as("bytes"),
+        min("min_key").as("min_key"), max("max_key").as("max_key"))
+      .withColumn("snapshot_id", lit(upToSnapshotId))
+      .select(m.columns.map(col): _*)
+    val newManifest = squashed.unionByName(
+      m.filter(col("snapshot_id") > upToSnapshotId))
+    val mTmp = Paths.get(tableDir, s"manifests_tmp_$upToSnapshotId")
+    newManifest.write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
+    deleteRecursively(manifestsDir)
+    F.move(mTmp, manifestsDir)
+    Files.writeString(Paths.get(tableDir).resolve("snapshots.jsonl"),
+      s"""{"compacted_to":$upToSnapshotId,"ts":${System.currentTimeMillis()}}""" + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    spark.read.parquet(manifestsDir.toString)
+      .filter(col("snapshot_id") === upToSnapshotId)
+  }
+
+  /** Data-file count of the table (compaction's before/after metric). */
+  def dataFileCount(tableDir: String): Int = {
+    val root = Paths.get(tableDir, "data")
+    if (!Files.exists(root)) return 0
+    val s = Files.walk(root)
+    try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+  }
+
   /** Full checkpointed run: bucket the input, skip processed buckets,
     * apply `transform`, write a new snapshot. Returns (manifest, #rows). */
   def runResumable(input: DataFrame, lonCol: String, latCol: String,

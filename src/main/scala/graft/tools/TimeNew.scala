@@ -1,0 +1,21 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object TimeNew {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    // warmup pass (codegen + JIT), then measure
+    for (pass <- 0 to 1; q <- Seq("q19_measures", "q29_cell_neighbors", "q48_img_features",
+        "q49_audio", "q54_covering_box", "q55_dedup_clusters",
+        "q56_video_frames", "q57_ann_sq8", "q58_dwithin_rewrite")) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, sf).count()
+      if (pass == 1)
+        println(f"$q%-22s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -123,6 +123,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir2/data").count() == 2000L)
   }
 
+  test("compaction squashes snapshots: reads identical, files per bucket = 1") {
+    val dir = freshDir("compact")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 3000L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images.filter(col("image_id") < "img000001000"), dir, 1L)
+    Pipeline.writeSnapshot(images.filter(col("image_id") >= "img000001000" &&
+      col("image_id") < "img000002000"), dir, 2L)
+    Pipeline.writeSnapshot(images.filter(col("image_id") >= "img000002000"), dir, 3L)
+
+    val beforeRows = Pipeline.readSnapshot(spark, dir, 3L)
+      .select("image_id", "phash").collect().map(_.toString).sorted
+    val beforeFiles = Pipeline.dataFileCount(dir)
+    val beforeManifestRows = spark.read.parquet(s"$dir/manifests")
+      .agg(sum("rows")).collect()(0).getLong(0)
+
+    val manifest = Pipeline.compactSnapshots(spark, dir, 3L)
+    val nBuckets = manifest.count()
+
+    // byte-identical read at the base snapshot, one file per bucket
+    val afterRows = Pipeline.readSnapshot(spark, dir, 3L)
+      .select("image_id", "phash").collect().map(_.toString).sorted
+    assert(afterRows.toSeq == beforeRows.toSeq)
+    val afterFiles = Pipeline.dataFileCount(dir)
+    assert(afterFiles == nBuckets && afterFiles < beforeFiles,
+      s"files $beforeFiles -> $afterFiles, buckets $nBuckets")
+    // manifest totals preserved; squashed range now one row per bucket
+    val m = spark.read.parquet(s"$dir/manifests")
+    assert(m.agg(sum("rows")).collect()(0).getLong(0) == beforeManifestRows)
+    assert(m.count() == nBuckets)
+    // resume keeps working against the compacted manifest
+    assert(Pipeline.remainingInput(images, dir).count() == 0)
+    // a later append lands on top and time travel still separates it
+    Pipeline.writeSnapshot(images.limit(10), dir, 4L)
+    assert(Pipeline.readSnapshot(spark, dir, 3L).count() == 3000L)
+    assert(Pipeline.readSnapshot(spark, dir, 4L).count() == 3010L)
+  }
+
   test("stage metrics listener records pipeline stage volumes") {
     val dir = freshDir("metrics")
     val images = Pipeline.withBucket(

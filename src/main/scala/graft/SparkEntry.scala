@@ -257,6 +257,38 @@ object SparkEntry {
         |  st_x(st_centroid(poly)) AS cx, st_y(st_centroid(poly)) AS cy
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q62_hull_simplify" -> { (s, d) =>
+      prep(s, d)
+      // convex hull over rect corners + strict-interior points (hull = the
+      // rect: analytic area/perimeter/vertex count) and Douglas-Peucker on
+      // 3-point zigzags whose deviation is 4m (kept, > eps=2m) on even
+      // rows and m (dropped) on odd rows — all integer-coord-exact
+      s.sql("""WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m,
+        |  CAST((l_orderkey * 7 + l_linenumber) % 500 AS DOUBLE) AS bx,
+        |  CAST((l_orderkey * 11 + l_linenumber) % 500 AS DOUBLE) AS by,
+        |  CAST(l_orderkey % 7 + 4 AS DOUBLE) AS w,
+        |  CAST(l_orderkey % 9 + 4 AS DOUBLE) AS h
+        | FROM lineitem_par),
+        |g AS (SELECT l_orderkey, l_linenumber, m,
+        |  st_geomfromwkt(concat('MULTIPOINT (',
+        |    bx, ' ', by, ', ', bx + w, ' ', by, ', ',
+        |    bx + w, ' ', by + h, ', ', bx, ' ', by + h, ', ',
+        |    bx + 1, ' ', by + 1, ', ', bx + 2, ' ', by + 1, ', ',
+        |    bx + 1, ' ', by + 2, ')')) AS pts,
+        |  st_geomfromwkt(concat('LINESTRING (', bx, ' ', by, ', ',
+        |    bx + 3 * m, ' ',
+        |    by + CASE WHEN l_linenumber % 2 = 0 THEN 4 * m ELSE m END, ', ',
+        |    bx + 6 * m, ' ', by, ')')) AS line
+        | FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_area(st_convexhull(pts)) AS hull_area,
+        |  st_perimeter(st_convexhull(pts)) AS hull_perim,
+        |  st_npoints(st_convexhull(pts)) AS hull_np,
+        |  st_npoints(st_simplify(line, 2 * m)) AS simp_np,
+        |  st_length(st_simplify(line, 2 * m)) AS simp_len
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
     // ---- 2C cell index / tiles / joins -----------------------------
     // q20/q21 drive the cell index through st_cellidxyz (exact rational
     // sphere-direction inputs): every step — face selection, quadratic
@@ -1407,6 +1439,20 @@ object SparkEntry {
         |            ELSE (seed + 13 * fi) % 256 END AS DOUBLE) / 255.0
         |    AS FLOAT) AS feat
         |FROM x ORDER BY doc_id, frame_idx, idx""".stripMargin,
+    // hull/simplify: analytic values (hull = the rect; DP keeps the bend
+    // iff deviation 4m/m exceeds eps 2m; 3-4-5 lengths stay exact)
+    "q62_hull_simplify" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m,
+        |  CAST(l_orderkey % 7 + 4 AS DOUBLE) AS w,
+        |  CAST(l_orderkey % 9 + 4 AS DOUBLE) AS h
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  w * h AS hull_area, 2 * (w + h) AS hull_perim,
+        |  CAST(5 AS INTEGER) AS hull_np,
+        |  CAST(CASE WHEN l_linenumber % 2 = 0 THEN 3 ELSE 2 END AS INTEGER) AS simp_np,
+        |  CASE WHEN l_linenumber % 2 = 0 THEN 10 * m ELSE 6 * m END AS simp_len
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // dedup clusters: ground-truth reachability via a recursive CTE
     "q55_dedup_clusters" ->
       """WITH RECURSIVE e AS (

@@ -151,6 +151,9 @@ object Geo {
     "st_perimeter" -> (a => geo(DoubleType, "perimeter", a, Seq(G))),
     "st_length" -> (a => geo(DoubleType, "lengthOf", a, Seq(G))),
     "st_centroid" -> (a => geo(G, "centroid", a, Seq(G))),
+    "st_convexhull" -> (a => geo(G, "convexHull", a, Seq(G))),
+    "st_simplify" -> (a => geo(G, "simplifyGeom", a, Seq(G, DoubleType))),
+    "st_npoints" -> (a => geo(IntegerType, "nPoints", a, Seq(G))),
     // --- predicates
     "st_contains" -> (a => geo(BooleanType, "contains", a, Seq(G, G))),
     "st_dwithinxy" -> (a => geo(BooleanType, "dwithinXY", a,

@@ -229,6 +229,23 @@ object GeoOps {
     else GeoStruct.encode(Geom(GeomTypes.Point, Dims.XY, Array(cx, cy)))
   }
 
+  /** Convex hull (monotone chain; PostGIS degenerate-case semantics). */
+  def convexHull(g: InternalRow): InternalRow =
+    GeoStruct.encode(Hull.convexHull(GeoStruct.decode(g)))
+
+  /** Douglas-Peucker simplification (endpoints pinned, rings kept valid). */
+  def simplifyGeom(g: InternalRow, eps: Double): InternalRow =
+    GeoStruct.encode(Simplify.simplify(GeoStruct.decode(g), eps))
+
+  /** Total vertex count (ring closure points included, PostGIS ST_NPoints). */
+  def nPoints(g: InternalRow): Int = {
+    def count(geom: graft.core.Geom): Int =
+      if (geom.geomType == graft.core.GeomTypes.Collection) {
+        if (geom.parts == null) 0 else geom.parts.map(count).sum
+      } else geom.numCoords
+    count(GeoStruct.decode(g))
+  }
+
   // ------------------------------------------------------------ cell index
 
   def cellId(lon: Double, lat: Double, level: Int): Long =

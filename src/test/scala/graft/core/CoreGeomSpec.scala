@@ -185,6 +185,55 @@ class CoreGeomSpec extends AnyFunSuite {
     assert(Wkt.write(g) == "POINT (nan Infinity)")
   }
 
+  test("convex hull: monotone chain, deterministic ring, degenerate cases") {
+    // rect corners + strict-interior points -> the rect, CCW from lex min
+    val mp = Wkt.parse(
+      "MULTIPOINT (10 0, 0 10, 3 3, 0 0, 10 10, 7 2, 2 7)")
+    val hull = Hull.convexHull(mp)
+    assert(Wkt.write(hull) == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(Measure.area(hull) == 100.0 && Measure.perimeter(hull) == 40.0)
+    // collinear boundary points dropped
+    assert(Wkt.write(Hull.convexHull(Wkt.parse(
+      "MULTIPOINT (0 0, 5 0, 10 0, 10 10, 0 10)"))) ==
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // all collinear -> LINESTRING of the extremes
+    assert(Wkt.write(Hull.convexHull(Wkt.parse(
+      "MULTIPOINT (1 1, 3 3, 2 2, 5 5)"))) == "LINESTRING (1 1, 5 5)")
+    // single point, empty, duplicates
+    assert(Wkt.write(Hull.convexHull(Wkt.parse("MULTIPOINT (4 5, 4 5)"))) ==
+      "POINT (4 5)")
+    assert(Wkt.write(Hull.convexHull(Wkt.parse("MULTIPOINT EMPTY"))) ==
+      "POLYGON EMPTY")
+    // any geometry kind: hull of a polygon's vertices
+    assert(Measure.area(Hull.convexHull(Wkt.parse(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"))) == 100.0)
+  }
+
+  test("simplify: Douglas-Peucker keep/drop, rings stay valid") {
+    // mid deviation 4 > eps 2 -> kept; deviation 1 <= 2 -> dropped
+    assert(Wkt.write(Simplify.simplify(
+      Wkt.parse("LINESTRING (0 0, 3 4, 6 0)"), 2.0)) ==
+      "LINESTRING (0 0, 3 4, 6 0)")
+    assert(Wkt.write(Simplify.simplify(
+      Wkt.parse("LINESTRING (0 0, 3 1, 6 0)"), 2.0)) == "LINESTRING (0 0, 6 0)")
+    // recursive split: both big bends survive, small wiggle between goes
+    assert(Wkt.write(Simplify.simplify(Wkt.parse(
+      "LINESTRING (0 0, 10 10, 20 9, 30 10, 40 0)"), 3.0)) ==
+      "LINESTRING (0 0, 10 10, 30 10, 40 0)")
+    // polygon ring: wiggly edge flattens, ring stays closed
+    assert(Wkt.write(Simplify.simplify(Wkt.parse(
+      "POLYGON ((0 0, 5 1, 10 0, 10 10, 0 10, 0 0))"), 2.0)) ==
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // a ring that would collapse below 4 points is kept unsimplified
+    assert(Wkt.write(Simplify.simplify(Wkt.parse(
+      "POLYGON ((0 0, 10 1, 20 0, 0 0))"), 5.0)) ==
+      "POLYGON ((0 0, 10 1, 20 0, 0 0))")
+    // multilinestring simplifies per part
+    assert(Wkt.write(Simplify.simplify(Wkt.parse(
+      "MULTILINESTRING ((0 0, 3 1, 6 0), (0 0, 3 4, 6 0))"), 2.0)) ==
+      "MULTILINESTRING ((0 0, 6 0), (0 0, 3 4, 6 0))")
+  }
+
   test("planar measures: area/perimeter/length/centroid") {
     val sq = Wkt.parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
     assert(Measure.area(sq) == 100.0)

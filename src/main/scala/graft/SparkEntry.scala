@@ -578,6 +578,25 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     },
+    "q63_per_key_sample" -> { (s, d) =>
+      prep(s, d)
+      // stratified sampling: 15 docs per (lang, source) by md5(id) order —
+      // md5 is engine-identical, so the oracle reproduces the exact subset
+      val df = s.table("documents")
+        .withColumn("stratum", concat(col("lang"), lit("/"), col("source")))
+      graft.operators.Sampling.perKeySample(df, "stratum", "doc_id", k = 15)
+        .select(col("stratum"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy("stratum", "sample_rank")
+    },
+    "q64_sessionize" -> { (s, d) =>
+      prep(s, d)
+      // gap-based sessionization of the event stream (30-min gap): exact
+      // integer-microsecond boundaries, replicated by the oracle
+      graft.operators.Sessions.sessionStats(s.table("events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .orderBy("user_id", "session_id")
+    },
     "q45_scrub" -> { (s, d) =>
       prep(s, d)
       // plant URLs/emails deterministically on both engines, then scrub
@@ -1439,6 +1458,30 @@ object SparkEntry {
         |            ELSE (seed + 13 * fi) % 256 END AS DOUBLE) / 255.0
         |    AS FLOAT) AS feat
         |FROM x ORDER BY doc_id, frame_idx, idx""".stripMargin,
+    // stratified sample: md5 hex is identical across engines, so the
+    // per-stratum rank order (and thus the chosen subset) matches exactly
+    "q63_per_key_sample" ->
+      """SELECT stratum, sample_rank, doc_id FROM (
+        |  SELECT lang || '/' || source AS stratum, doc_id,
+        |    row_number() OVER (PARTITION BY lang || '/' || source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 15 ORDER BY stratum, sample_rank""".stripMargin,
+    // sessionization ground truth: same lag/cumsum over exact microseconds
+    "q64_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts, event_id,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  min(event_id) AS first_event
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
     // hull/simplify: analytic values (hull = the rect; DP keeps the bend
     // iff deviation 4m/m exceeds eps 2m; 3-4-5 lengths stay exact)
     "q62_hull_simplify" ->

@@ -26,6 +26,22 @@ object Sampling {
     df.filter(bucket(col(idCol), seed, denominator.toLong) < numerator)
   }
 
+  /** Stratified (per-key) deterministic sample: the k rows per key whose
+    * md5(id) sorts lowest — a uniform, reproducible, engine-auditable
+    * choice (md5 is identical everywhere, so the q63 DuckDB oracle
+    * reproduces the exact subset). One shuffle on the key; the per-key
+    * top-k window prunes map-side (`WindowGroupLimit`) so only ~k rows per
+    * key per partition reach the exchange — balanced class subsets
+    * (per-language, per-source) at 100 TB without a full sort. */
+  def perKeySample(df: DataFrame, keyCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Adds a `split` label (train/val/test style) by hash bucket: weights
     * are integer parts of `denominator = weights.sum`; a row's label is
     * the bucket its hash falls in. Disjoint, exhaustive, reproducible. */

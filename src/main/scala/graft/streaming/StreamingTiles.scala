@@ -56,6 +56,18 @@ object StreamingTiles {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Watermarked streaming sessionization: Spark's built-in
+    * `session_window` (gap-based, merging as late events arrive) keyed per
+    * user — the streaming twin of [[graft.operators.Sessions.sessionize]].
+    * State is one open session per active key, evicted when the watermark
+    * passes the session close. */
+  def sessionCounts(stream: DataFrame, keyCol: String, tsCol: String,
+                    gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Bounded-state streaming dedup — the 100-TB ingest path: duplicates
     * are dropped within the watermark horizon and per-key state is evicted
     * once the event-time watermark passes, so state size is bounded by the

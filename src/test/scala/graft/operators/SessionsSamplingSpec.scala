@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionsSamplingSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+  import spark.implicits._
+
+  test("sessionize: gap boundaries, per-key ordinals, one shuffle") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2026-01-01 00:00:00"), 1L),
+      (2L, t("2026-01-01 00:10:00"), 1L),
+      (3L, t("2026-01-01 00:40:00"), 1L), // 30:00 gap exactly -> same session
+      (4L, t("2026-01-01 01:10:01"), 1L), // 30:01 -> new session
+      (5L, t("2026-01-01 00:05:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Sessions.sessionize(events, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+    // both window operators share one (key, time) sort: a single Exchange
+    val plan = Sessions.sessionStats(events, "user_id", "ts", "event_id", 1800L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"sessionize must pay one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("perKeySample: deterministic, exactly k per key, map-side pruning") {
+    val docs = (0 until 500).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
+    val a = Sampling.perKeySample(docs, "key", "id", k = 7)
+    val rows = a.select("key", "id").as[(String, Long)].collect()
+    assert(rows.length == 21 && rows.groupBy(_._1).forall(_._2.length == 7))
+    // reproducible
+    val b = Sampling.perKeySample(docs, "key", "id", k = 7)
+      .select("key", "id").as[(String, Long)].collect()
+    assert(rows.sorted.toSeq == b.sorted.toSeq)
+    // rank filter prunes per-partition before the exchange
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-key sample should prune map-side:\n$plan")
+  }
+}

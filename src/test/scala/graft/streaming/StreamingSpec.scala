@@ -28,6 +28,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap-based session_window per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val sessions = StreamingTiles.sessionCounts(df, "user_id", "ts",
+      gap = "30 minutes", watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+      // user 1: events at 0,10,20 (one session), then 60 (new session);
+      // user 2: one event
+      input.addData((t(0), 1L), (t(10), 1L), (t(20), 1L), (t(60), 1L), (t(5), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .selectExpr("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows(1L) == Seq(1L, 3L), rows.toString) // two sessions: 3 + 1
+      assert(rows(2L) == Seq(1L))
+    } finally q.stop()
+  }
+
   test("stream-static PIP join enriches a point stream against polygons") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

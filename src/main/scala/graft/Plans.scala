@@ -64,6 +64,24 @@ object Plans {
           spark.range(100).select(col("id").as("doc_id"),
             concat(lit("text of doc "), col("id")).as("text")),
           "text", "doc_id")),
+      "DWithinJoinRewrite: naive st_dwithinxy join auto-indexed (grid " +
+        "cell equi-join + 3x3 ring explode on the small side)" ->
+        fmt(imagesPq.join(
+          spark.range(20).select(col("id").as("qid"),
+            (rand(1) * 100).as("qlon"), (rand(2) * 50).as("qlat")),
+          call_function("st_dwithinxy", col("lon"), col("lat"),
+            col("qlon"), col("qlat"), lit(1.5)))
+          .groupBy(col("qid")).count()),
+      "SQ8 ANN (int8 candidate scan 4x smaller, broadcast id-join rerank " +
+        "touches floats only for k*rerank candidates)" ->
+        fmt(Ann.sq8TopK(
+          spark.range(100).select(col("id").as("vec_id"),
+            array((0 until 4).map(i => (rand(42 + i) * 2 - 1).cast("float")): _*)
+              .as("embedding")),
+          spark.range(3).select(col("id").as("qid"),
+            array((0 until 4).map(i => (rand(7 + i) * 2 - 1).cast("float")): _*)
+              .as("qvec")),
+          "embedding", "vec_id", "qid", "qvec", 5)),
       "ANN brute-force top-k (broadcast query side + window)" ->
         fmt(Ann.bruteForceTopK(
           spark.range(100).select(col("id").as("vec_id"),

@@ -589,6 +589,16 @@ object SparkEntry {
           col("doc_id"))
         .orderBy("stratum", "sample_rank")
     },
+    "q65_vocab" -> { (s, d) =>
+      prep(s, d)
+      // vocabulary building: top-50 tokens by (count desc, token asc) with
+      // term + document frequencies — exact integer counts
+      graft.operators.Vocab.topTokens(s.table("documents"), "text",
+          "doc_id", k = 50)
+        .select(col("rank").cast("long").as("rank"), col("token"),
+          col("tf"), col("df"))
+        .orderBy("rank")
+    },
     "q64_sessionize" -> { (s, d) =>
       prep(s, d)
       // gap-based sessionization of the event stream (30-min gap): exact
@@ -1467,6 +1477,17 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 15 ORDER BY stratum, sample_rank""".stripMargin,
+    // vocab: identical whitespace split + counts + total-order cut
+    "q65_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM tok WHERE token != '' GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+        |  token, tf, df
+        |FROM counts ORDER BY rank LIMIT 50""".stripMargin,
     // sessionization ground truth: same lag/cumsum over exact microseconds
     "q64_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,

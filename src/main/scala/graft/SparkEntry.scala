@@ -589,6 +589,23 @@ object SparkEntry {
           col("doc_id"))
         .orderBy("stratum", "sample_rank")
     },
+    "q66_asof_join" -> { (s, d) =>
+      prep(s, d)
+      // as-of join: each non-error event picks up the latest prior (or
+      // simultaneous) error of the same user — oracled against DuckDB's
+      // NATIVE ASOF JOIN, so the union-window composition must reproduce
+      // the reference semantics exactly (inclusive match, left rows with
+      // no prior error -> null)
+      val events = s.table("events")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("err_event_id"))
+      val lft = events.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOf.asofJoin(lft, errors, "user_id", "ts",
+          "err_event_id")
+        .orderBy("event_id")
+    },
     "q65_vocab" -> { (s, d) =>
       prep(s, d)
       // vocabulary building: top-50 tokens by (count desc, token asc) with
@@ -1477,6 +1494,20 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 15 ORDER BY stratum, sample_rank""".stripMargin,
+    // as-of ground truth: DuckDB's native ASOF JOIN (inclusive >=)
+    "q66_asof_join" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, event_id AS err_event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'error'),
+        |e1 AS (SELECT user_id, ts, err_event_id FROM err WHERE rn = 1),
+        |lft AS (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type != 'error')
+        |SELECT l.event_id, l.user_id, l.ts AS ts, e.err_event_id
+        |FROM lft l ASOF LEFT JOIN e1 e
+        |  ON l.user_id = e.user_id AND l.ts >= e.ts
+        |ORDER BY l.event_id""".stripMargin,
     // vocab: identical whitespace split + counts + total-order cut
     "q65_vocab" ->
       """WITH tok AS (

@@ -26,6 +26,35 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"sessionize must pay one shuffle, got $exchanges:\n$plan")
   }
 
+  test("asofJoin: matches brute force, inclusive ties, one shuffle") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2026-01-01 00:05:00")),
+      (2L, 1L, t("2026-01-01 00:10:00")), // == quote ts -> inclusive match
+      (3L, 1L, t("2026-01-01 00:00:30")), // before any quote -> null
+      (4L, 2L, t("2026-01-01 00:20:00")),
+      (5L, 3L, t("2026-01-01 00:20:00"))  // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, t("2026-01-01 00:01:00"), 100L),
+      (1L, t("2026-01-01 00:10:00"), 101L),
+      (1L, t("2026-01-01 00:10:00"), 102L), // dup ts -> max tie wins
+      (2L, t("2026-01-01 00:02:00"), 200L)
+    ).toDF("user_id", "ts", "quote_id")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "quote_id")
+      .select("event_id", "quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(102L), 3L -> None,
+      4L -> Some(200L), 5L -> None))
+    // one shuffle for the as-of itself (the dedup window keys differently,
+    // so <= 2 exchanges total; no range/nested-loop join anywhere)
+    val plan = AsOf.asofJoin(left, right, "user_id", "ts", "quote_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"as-of must stay union-window shaped:\n$plan")
+  }
+
   test("perKeySample: deterministic, exactly k per key, map-side pruning") {
     val docs = (0 until 500).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
     val a = Sampling.perKeySample(docs, "key", "id", k = 7)

@@ -589,6 +589,16 @@ object SparkEntry {
           col("doc_id"))
         .orderBy("stratum", "sample_rank")
     },
+    "q67_hll_sketch" -> { (s, d) =>
+      prep(s, d)
+      // custom HLL aggregate: the oracle rebuilds every register from the
+      // splitmix64 replica and folds the harmonic sum in the same fixed
+      // order — estimate, register checksum, and zero count all bit-exact
+      s.sql("""SELECT s.estimate AS est, s.reg_checksum AS reg_checksum,
+        |  s.zero_regs AS zero_regs, n_exact
+        |FROM (SELECT hll_sketch(event_id, 8) AS s,
+        |  count(DISTINCT event_id) AS n_exact FROM events)""".stripMargin)
+    },
     "q66_asof_join" -> { (s, d) =>
       prep(s, d)
       // as-of join: each non-error event picks up the latest prior (or
@@ -925,6 +935,37 @@ object SparkEntry {
     * hash replicas. */
   private lazy val SmxLambda = smxExpr("xor(a, c)")
 
+  /** HLL register-exact replica (q67, p=8): rebuild every register from
+    * the splitmix64 hash (bucket = top 8 bits, rho = leading-zero rank of
+    * the low-56-bit frame via a min-k bit probe), then fold the harmonic
+    * sum in bucket order — the same fixed op sequence HllSketchAgg.eval
+    * runs, so even the double estimate matches bit-for-bit. */
+  private lazy val HllOracle: String =
+    s"""WITH h AS (SELECT ${smxExpr("event_id")} AS hs FROM events),
+       |hu AS (SELECT CAST(CAST(hs AS HUGEINT)
+       |  + CASE WHEN hs < 0 THEN CAST(18446744073709551616 AS HUGEINT)
+       |         ELSE CAST(0 AS HUGEINT) END AS UBIGINT) AS u FROM h),
+       |bw AS (SELECT CAST(u >> 56 AS INTEGER) AS bucket,
+       |  CAST(u % 72057594037927936 AS UBIGINT) AS w0 FROM hu),
+       |rho AS (SELECT bucket,
+       |  COALESCE((SELECT min(k) FROM range(1, 58) r(k)
+       |    WHERE ((w0 >> (56 - CAST(k AS INTEGER))) % 2) = 1), 57) AS rho
+       |  FROM bw),
+       |regs AS (SELECT bucket, max(rho) AS mr FROM rho GROUP BY bucket),
+       |fullr AS (SELECT CAST(g.range AS INTEGER) AS bucket,
+       |    COALESCE(r.mr, 0) AS mr
+       |  FROM range(0, 256) g LEFT JOIN regs r ON r.bucket = g.range),
+       |agg AS (SELECT
+       |  list_reduce(list(1.0 / CAST(CAST(1 AS BIGINT) << mr AS DOUBLE)
+       |    ORDER BY bucket), (a, x) -> a + x) AS s,
+       |  CAST(sum((bucket + 1) * mr) AS BIGINT) AS reg_checksum,
+       |  CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS INTEGER) AS zero_regs
+       |  FROM fullr)
+       |SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s AS est,
+       |  reg_checksum, zero_regs,
+       |  (SELECT count(DISTINCT event_id) FROM events) AS n_exact
+       |FROM agg""".stripMargin
+
   // --- DuckDB S2 cell-index replica (SQL text generator) ----------------
   // Replicates Cells.xyzToFaceUv / uvToSt / stToIj / fromFaceIj / parent
   // bit-for-bit: every step is IEEE-exact (divisions, sqrt, dyadic
@@ -1228,6 +1269,7 @@ object SparkEntry {
     "q31_minhash_neardup" -> MinhashOracle,
     "q32_simhash_neardup" -> SimhashOracle,
     "q37_fingerprint" -> FingerprintOracle,
+    "q67_hll_sketch" -> HllOracle,
     // NOTE sum(BIGINT) is HUGEINT in DuckDB, which the driver's Arrow fetch
     // coerces to float64 and the hash compare then diverges from Spark's
     // int64 — CAST the aggregate back to BIGINT so both sides emit int64.

@@ -263,7 +263,14 @@ object Geo {
       "topCentroids", a, Seq(floatArray, floatArray, IntegerType))),
     // --- aggregates (kernels K6/K8)
     "st_box_agg" -> (a => StBoxAgg(a.head).toAggregateExpression()),
-    "st_uniquetypes_agg" -> (a => StUniqueTypesAgg(a.head).toAggregateExpression()))
+    "st_uniquetypes_agg" -> (a => StUniqueTypesAgg(a.head).toAggregateExpression()),
+    // HLL distinct sketch: hll_sketch(id, p) — p must be an int literal
+    "hll_sketch" -> (a => HllSketchAgg(castTo(a.head, LongType),
+      a(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"hll_sketch precision must be an int literal, got $other")
+      }).toAggregateExpression()))
 
   // weak identity set: sessions come and go (bench spins several up);
   // hashCode-keyed sets could collide after GC address reuse

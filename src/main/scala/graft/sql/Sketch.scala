@@ -1,0 +1,107 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch as a custom Catalyst aggregate (the
+  * "novel sketch" operator class) — single-pass, mergeable, groupBy-able.
+  *
+  * Deliberately bit-reproducible where stock HLL implementations are not:
+  * the hash is the engine's splitmix64, registers merge by max (commutative
+  * and idempotent, so the result is independent of partitioning, merge
+  * order, and retries), and the final harmonic sum runs in fixed register
+  * order over exact powers of two — which lets the q67 DuckDB oracle
+  * rebuild every register and the estimate itself exactly (vs
+  * `approx_count_distinct`, whose HLL++ registers no other engine can
+  * replicate). Raw Flajolet et al. estimator, no empirical bias table
+  * (both engines compute the same formula; accuracy is the standard
+  * ~1.04/sqrt(m)).
+  *
+  * Returns struct(estimate, reg_checksum, zero_regs): the checksum
+  * `sum((b+1) * M_b)` pins every register, so a single wrong register
+  * fails the oracle even if the estimate happens to coincide.
+  *
+  * At 100 TB: the buffer is 2^p bytes (256 B at p=8) regardless of input
+  * size; partial aggregation reduces each partition to one buffer before
+  * the exchange. */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"precision p=$p out of [4,16]")
+  private val m = 1 << p
+
+  override def prettyName: String = "hll_sketch"
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("reg_checksum", LongType, nullable = false),
+    StructField("zero_regs", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = GeoOps.splitmix64(v.asInstanceOf[Long])
+      val bucket = (h >>> (64 - p)).toInt
+      val w0 = h & ((1L << (64 - p)) - 1)
+      val rho =
+        if (w0 == 0) 64 - p + 1
+        else java.lang.Long.numberOfLeadingZeros(w0) - p + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    // harmonic sum in fixed register order; 2^-M terms are exact dyadics
+    var sum = 0.0
+    var zeros = 0
+    var checksum = 0L
+    var b = 0
+    while (b < m) {
+      val reg = buf(b).toInt
+      sum += 1.0 / (1L << reg)
+      if (reg == 0) zeros += 1
+      checksum += (b + 1).toLong * reg
+      b += 1
+    }
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    // m^2 as one exact double literal so the op sequence (one multiply,
+    // one divide) matches the oracle's exactly
+    val raw = alpha * (1L << (2 * p)).toDouble / sum
+    // small-range correction (linear counting) uses ln: JVM vs libm ulps
+    // differ, so the q67 oracle sizes its input to stay out of this branch
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    new GenericInternalRow(Array[Any](est, checksum, zeros))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}

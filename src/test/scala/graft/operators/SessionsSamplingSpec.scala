@@ -55,6 +55,33 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"as-of must stay union-window shaped:\n$plan")
   }
 
+  test("hll_sketch: partition-invariant, accurate, groupBy-able") {
+    graft.sql.Geo.register(spark)
+    val n = 20000
+    def run(parts: Int) = spark.range(n).repartition(parts)
+      .selectExpr("hll_sketch(id, 8) AS s")
+      .selectExpr("s.estimate", "s.reg_checksum", "s.zero_regs")
+      .collect()(0)
+    // max-merge registers: identical result under any partitioning
+    val a = run(1); val b = run(7); val c = run(32)
+    assert(a == b && b == c, s"$a vs $b vs $c")
+    // standard HLL accuracy: ~1.04/sqrt(256) ≈ 6.5% — allow 3 sigma
+    val est = a.getDouble(0)
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est for $n distinct")
+    // duplicates don't move the registers (idempotent update)
+    val dup = spark.range(n).union(spark.range(n)).repartition(5)
+      .selectExpr("hll_sketch(id, 8) AS s")
+      .selectExpr("s.estimate", "s.reg_checksum", "s.zero_regs").collect()(0)
+    assert(dup == a)
+    // per-group sketches in one pass
+    val grouped = spark.range(n).selectExpr("id % 4 AS g", "id")
+      .groupBy("g").agg(expr("hll_sketch(id, 8).estimate AS est"))
+      .collect().map(r => r.getDouble(1))
+    assert(grouped.length == 4 &&
+      grouped.forall(e => math.abs(e - n / 4.0) / (n / 4.0) < 0.25),
+      grouped.mkString(","))
+  }
+
   test("perKeySample: deterministic, exactly k per key, map-side pruning") {
     val docs = (0 until 500).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
     val a = Sampling.perKeySample(docs, "key", "id", k = 7)

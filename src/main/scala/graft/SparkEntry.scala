@@ -589,6 +589,18 @@ object SparkEntry {
           col("doc_id"))
         .orderBy("stratum", "sample_rank")
     },
+    "q68_cms_sketch" -> { (s, d) =>
+      prep(s, d)
+      // count-min per-user frequency estimates vs exact counts: integer
+      // counters, so the oracle rebuilds the whole sketch exactly
+      s.sql("""WITH s AS (SELECT cms_sketch(user_id, 4, 1024) AS sk FROM events),
+        |exact AS (SELECT user_id, count(*) AS exact_n FROM events
+        |          GROUP BY user_id)
+        |SELECT e.user_id, cms_query(s.sk, e.user_id, 4, 1024) AS est,
+        |  e.exact_n
+        |FROM exact e CROSS JOIN s
+        |ORDER BY e.user_id""".stripMargin)
+    },
     "q67_hll_sketch" -> { (s, d) =>
       prep(s, d)
       // custom HLL aggregate: the oracle rebuilds every register from the
@@ -935,6 +947,26 @@ object SparkEntry {
     * hash replicas. */
   private lazy val SmxLambda = smxExpr("xor(a, c)")
 
+  /** Count-min counter-exact replica (q68, depth 4, width 1024): rebuild
+    * every counter from the splitmix64 bucket map, then take the min over
+    * rows per probe — all integer arithmetic. */
+  private lazy val CmsOracle: String =
+    s"""WITH idx AS (SELECT user_id, r,
+       |    (${smxExpr("xor(user_id, r)")} & 1023) AS b
+       |  FROM events CROSS JOIN range(0, 4) t(r)),
+       |counters AS (SELECT r, b, count(*) AS cnt FROM idx GROUP BY r, b),
+       |probes AS (SELECT user_id, count(*) AS exact_n FROM events
+       |           GROUP BY user_id),
+       |pidx AS (SELECT p.user_id, t.r,
+       |    (${smxExpr("xor(p.user_id, t.r)")} & 1023) AS b
+       |  FROM probes p CROSS JOIN range(0, 4) t(r)),
+       |est AS (SELECT user_id, min(COALESCE(c.cnt, 0)) AS est
+       |  FROM pidx LEFT JOIN counters c ON c.r = pidx.r AND c.b = pidx.b
+       |  GROUP BY user_id)
+       |SELECT e.user_id, CAST(e.est AS BIGINT) AS est, p.exact_n
+       |FROM est e JOIN probes p ON p.user_id = e.user_id
+       |ORDER BY e.user_id""".stripMargin
+
   /** HLL register-exact replica (q67, p=8): rebuild every register from
     * the splitmix64 hash (bucket = top 8 bits, rho = leading-zero rank of
     * the low-56-bit frame via a min-k bit probe), then fold the harmonic
@@ -1270,6 +1302,7 @@ object SparkEntry {
     "q32_simhash_neardup" -> SimhashOracle,
     "q37_fingerprint" -> FingerprintOracle,
     "q67_hll_sketch" -> HllOracle,
+    "q68_cms_sketch" -> CmsOracle,
     // NOTE sum(BIGINT) is HUGEINT in DuckDB, which the driver's Arrow fetch
     // coerces to float64 and the hash compare then diverges from Spark's
     // int64 — CAST the aggregate back to BIGINT so both sides emit int64.

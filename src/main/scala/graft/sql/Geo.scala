@@ -50,6 +50,12 @@ object Geo {
   private def castTo(e: Expression, t: DataType): Expression =
     if (e.dataType == t) e else Cast(e, t)
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   private def litStr(e: Expression, what: String): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
       s.toString.toLowerCase
@@ -266,11 +272,14 @@ object Geo {
     "st_uniquetypes_agg" -> (a => StUniqueTypesAgg(a.head).toAggregateExpression()),
     // HLL distinct sketch: hll_sketch(id, p) — p must be an int literal
     "hll_sketch" -> (a => HllSketchAgg(castTo(a.head, LongType),
-      a(1) match {
-        case Literal(i: Int, IntegerType) => i
-        case other => throw new IllegalArgumentException(
-          s"hll_sketch precision must be an int literal, got $other")
-      }).toAggregateExpression()))
+      intLit(a(1), "hll_sketch precision")).toAggregateExpression()),
+    // count-min frequency sketch: cms_sketch(id, depth, width)
+    "cms_sketch" -> (a => CmsSketchAgg(castTo(a.head, LongType),
+      intLit(a(1), "cms_sketch depth"),
+      intLit(a(2), "cms_sketch width")).toAggregateExpression()),
+    "cms_query" -> (a => geo(LongType, "cmsQuery", a,
+      Seq(ArrayType(LongType, containsNull = false), LongType,
+        IntegerType, IntegerType))))
 
   // weak identity set: sessions come and go (bench spins several up);
   // hashCode-keyed sets could collide after GC address reuse

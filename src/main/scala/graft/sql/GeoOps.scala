@@ -381,6 +381,20 @@ object GeoOps {
     GeoStruct.intArray(out.toArray)
   }
 
+  /** Count-min point query: the min counter across rows for `item` —
+    * the classic upper-bound frequency estimate (see
+    * [[graft.sql.CmsSketchAgg]]). */
+  def cmsQuery(sketch: ArrayData, item: Long, depth: Int, width: Int): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sketch.getLong(r * width + (splitmix64(item ^ r) & (width - 1)).toInt)
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
   /** splitmix64 — deterministic row hashing for synthetic data (seed per
     * FIXTURES.md §4) and salting. */
   def splitmix64(x: Long): Long = {

@@ -27,6 +27,77 @@ import org.apache.spark.sql.types._
   * At 100 TB: the buffer is 2^p bytes (256 B at p=8) regardless of input
   * size; partial aggregation reduces each partition to one buffer before
   * the exchange. */
+/** Count-min sketch aggregate — frequency estimation over keys too
+  * numerous to count exactly. `depth × width` long counters; update adds 1
+  * to one counter per row (`bucket_r = splitmix64(item ^ r) & (width-1)`),
+  * merge is element-wise addition — integer, commutative, and associative,
+  * so the sketch is invariant to partitioning/merge order/retries and the
+  * q68 DuckDB oracle rebuilds every counter exactly. Query with
+  * `cms_query` (min over rows — the classic upper-bound estimate).
+  * Buffer is `depth*width*8` bytes regardless of input size; partial
+  * aggregation collapses each partition to one sketch before the
+  * exchange. */
+case class CmsSketchAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 16, s"depth $depth out of [1,16]")
+  require(width >= 16 && (width & (width - 1)) == 0,
+    s"width $width must be a power of two >= 16")
+
+  override def prettyName: String = "cms_sketch"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[Long]
+      var r = 0
+      while (r < depth) {
+        buf(r * width + (GeoOps.splitmix64(item ^ r) & (width - 1)).toInt) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+    copy(child = newChild)
+}
+
 case class HllSketchAgg(
     child: Expression,
     p: Int,

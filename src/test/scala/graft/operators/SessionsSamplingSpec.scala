@@ -82,6 +82,27 @@ class SessionsSamplingSpec extends AnyFunSuite {
       grouped.mkString(","))
   }
 
+  test("cms_sketch: partition-invariant counters, upper-bound estimates") {
+    graft.sql.Geo.register(spark)
+    // skewed frequencies: id i appears (i % 10 + 1) times
+    val rows = (0 until 500).flatMap(i => Seq.fill(i % 10 + 1)(i.toLong))
+    def run(parts: Int) = rows.toDF("id").repartition(parts)
+      .selectExpr("cms_sketch(id, 4, 1024) AS sk")
+      .selectExpr((0 until 500 by 37).map(i =>
+        s"cms_query(sk, ${i}L, 4, 1024) AS e$i"): _*)
+      .collect()(0)
+    val a = run(1); val b = run(13)
+    assert(a == b, "sketch must be partition-invariant")
+    // estimates are upper bounds on the true counts; with 500 keys over
+    // 4x1024 counters most probes are exact
+    val probes = (0 until 500 by 37)
+    val exactCnt = probes.map(i => i % 10 + 1)
+    val ests = probes.indices.map(j => a.getLong(j))
+    assert(probes.indices.forall(j => ests(j) >= exactCnt(j)),
+      s"$ests vs $exactCnt")
+    assert(probes.indices.count(j => ests(j) == exactCnt(j)) >= probes.size / 2)
+  }
+
   test("perKeySample: deterministic, exactly k per key, map-side pruning") {
     val docs = (0 until 500).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
     val a = Sampling.perKeySample(docs, "key", "id", k = 7)

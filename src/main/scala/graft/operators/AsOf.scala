@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) join — an operator Spark lacks natively: each
   * left row picks up the latest right row with `right.ts <= left.ts` on
@@ -37,22 +38,28 @@ object AsOf {
       .orderBy(col(tieCol).desc)
     val r1 = right.withColumn("__rn", row_number().over(dw))
       .filter(col("__rn") === 1).drop("__rn")
+    // the carried value is ONE struct of the whole right payload — never
+    // per-column: last(_, ignoreNulls) per column would skip a newer right
+    // row's null field and mix fields from different right rows; the
+    // struct is non-null exactly when a right row exists, so null payload
+    // FIELDS inside the latest matching row are preserved as-is
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = StructType(payload.map(c => r1.schema(c)))
     val leftTagged = left.withColumn("__side", lit(1))
-      .select((left.columns.map(col) :+ col("__side")) ++
-        payload.map(c => lit(null).cast(r1.schema(c).dataType).as(c)): _*)
+      .select((left.columns.map(col) :+ col("__side")) :+
+        lit(null).cast(payloadType).as("__payload"): _*)
     val rightTagged = r1.withColumn("__side", lit(0))
       .select((left.columns.map(c =>
         if (c == keyCol || c == tsCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) ++
-        payload.map(col): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) :+
+        payloadStruct.as("__payload"): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = leftTagged.unionByName(rightTagged)
-      .select(col("*") +: payload.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        payload.map(c => col(s"__asof_$c").as(c)): _*)
+        payload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

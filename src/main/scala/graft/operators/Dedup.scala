@@ -149,8 +149,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(eager = true)
-    var potential = BigDecimal(labels.agg(
-      sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+    // sum() over zero rows is null — an empty pair set (no near-dups
+    // found) must yield zero, not an NPE; every row then becomes its own
+    // singleton cluster downstream
+    def labelSum(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    var potential = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -159,8 +164,7 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint(eager = true)
-      val p = BigDecimal(next.agg(
-        sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+      val p = labelSum(next)
       converged = p == potential
       potential = p
       labels = next

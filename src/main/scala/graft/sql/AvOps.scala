@@ -81,10 +81,15 @@ object AvOps {
     val meta = wavMeta(bytes)
     if (meta.isNullAt(0) || meta.getInt(2) != 16) return null
     val channels = meta.getInt(0)
-    val n = meta.getInt(3)
-    if (n <= 0) return null
     val dataOff = findDataOffset(bytes)
     if (dataOff < 0) return null
+    // clamp the frame count to what the buffer can actually serve at the
+    // channels*2 read stride: wavMeta derives n_frames from blockAlign,
+    // and a malformed header (blockAlign inconsistent with channels/bits)
+    // must degrade to fewer frames, never read past the payload
+    val n = math.min(meta.getInt(3).toLong,
+      (bytes.length - dataOff).toLong / (channels * 2)).toInt
+    if (n <= 0) return null
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
@@ -268,8 +273,18 @@ object AvOps {
     val nFrames = countFrames(bytes, y4m)
     val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
     val gh = math.ceil(dim.toDouble / gw).toInt
+    // one incremental walk: carry the marker cursor across sampled frames
+    // instead of re-scanning from the header per frame (O(F), not O(F^2))
+    var cursor = 0
+    var cursorOff = framePlaneOffset(bytes, y4m, 0)
     val rows = Range(0, nFrames, everyN).map { f =>
-      val off = framePlaneOffset(bytes, y4m, f)
+      while (cursor < f && cursorOff >= 0) {
+        var e = cursorOff + y4m.frameBytes + FrameMagic.length
+        while (e < bytes.length && bytes(e) != '\n') e += 1
+        cursorOff = if (e + 1 + y4m.frameBytes <= bytes.length) e + 1 else -1
+        cursor += 1
+      }
+      val off = cursorOff
       val sums = new Array[Long](gw * gh)
       val counts = new Array[Long](gw * gh)
       var y = 0

@@ -6,27 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 
-/** HyperLogLog distinct-count sketch as a custom Catalyst aggregate (the
-  * "novel sketch" operator class) — single-pass, mergeable, groupBy-able.
-  *
-  * Deliberately bit-reproducible where stock HLL implementations are not:
-  * the hash is the engine's splitmix64, registers merge by max (commutative
-  * and idempotent, so the result is independent of partitioning, merge
-  * order, and retries), and the final harmonic sum runs in fixed register
-  * order over exact powers of two — which lets the q67 DuckDB oracle
-  * rebuild every register and the estimate itself exactly (vs
-  * `approx_count_distinct`, whose HLL++ registers no other engine can
-  * replicate). Raw Flajolet et al. estimator, no empirical bias table
-  * (both engines compute the same formula; accuracy is the standard
-  * ~1.04/sqrt(m)).
-  *
-  * Returns struct(estimate, reg_checksum, zero_regs): the checksum
-  * `sum((b+1) * M_b)` pins every register, so a single wrong register
-  * fails the oracle even if the estimate happens to coincide.
-  *
-  * At 100 TB: the buffer is 2^p bytes (256 B at p=8) regardless of input
-  * size; partial aggregation reduces each partition to one buffer before
-  * the exchange. */
 /** Count-min sketch aggregate — frequency estimation over keys too
   * numerous to count exactly. `depth × width` long counters; update adds 1
   * to one counter per row (`bucket_r = splitmix64(item ^ r) & (width-1)`),
@@ -98,6 +77,27 @@ case class CmsSketchAgg(
     copy(child = newChild)
 }
 
+/** HyperLogLog distinct-count sketch as a custom Catalyst aggregate (the
+  * "novel sketch" operator class) — single-pass, mergeable, groupBy-able.
+  *
+  * Deliberately bit-reproducible where stock HLL implementations are not:
+  * the hash is the engine's splitmix64, registers merge by max (commutative
+  * and idempotent, so the result is independent of partitioning, merge
+  * order, and retries), and the final harmonic sum runs in fixed register
+  * order over exact powers of two — which lets the q67 DuckDB oracle
+  * rebuild every register and the estimate itself exactly (vs
+  * `approx_count_distinct`, whose HLL++ registers no other engine can
+  * replicate). Raw Flajolet et al. estimator, no empirical bias table
+  * (both engines compute the same formula; accuracy is the standard
+  * ~1.04/sqrt(m)).
+  *
+  * Returns struct(estimate, reg_checksum, zero_regs): the checksum
+  * `sum((b+1) * M_b)` pins every register, so a single wrong register
+  * fails the oracle even if the estimate happens to coincide.
+  *
+  * At 100 TB: the buffer is 2^p bytes (256 B at p=8) regardless of input
+  * size; partial aggregation reduces each partition to one buffer before
+  * the exchange. */
 case class HllSketchAgg(
     child: Expression,
     p: Int,

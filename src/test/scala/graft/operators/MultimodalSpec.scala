@@ -107,6 +107,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AvOps.wavMeta("not audio".getBytes).getUTF8String(4).toString == "unknown")
     assert(AvOps.wavMeta(null).getUTF8String(4).toString == "unknown")
     assert(AvOps.audioFeatures(wav.take(30), 8) == null)
+    // malformed header: blockAlign inconsistent with channels*2 must clamp
+    // the frame count to the payload, never read past the buffer
+    val bad = AvOps.makeWav(64, 8000, 2, 0, 40000)
+    bad(32) = 1; bad(33) = 0 // blockAlign = 1 -> meta claims 4x the frames
+    assert(AvOps.wavMeta(bad).getInt(3) == 256)
+    val bf = AvOps.audioFeatures(bad, 8)
+    assert(bf != null && bf.numElements() == 8)
   }
 
   test("video_meta/frame_features: real Y4M decode, banded pooled means") {

@@ -55,6 +55,29 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"as-of must stay union-window shaped:\n$plan")
   }
 
+  test("asofJoin: latest row wins atomically — null payload fields carried") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 1L, t("2026-01-01 00:30:00"))).toDF("event_id", "user_id", "ts")
+    // newer right row has a NULL x: the match must return (x=null, y=8)
+    // from ts=2, never mix in the older row's x=5
+    val right = Seq(
+      (1L, t("2026-01-01 00:01:00"), Some(5L), 7L),
+      (1L, t("2026-01-01 00:02:00"), None, 8L)
+    ).toDF("user_id", "ts", "x", "y")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "y")
+      .select("x", "y").collect()(0)
+    assert(out.isNullAt(0) && out.getLong(1) == 8L, out.toString)
+  }
+
+  test("dupClusters: empty pair set yields singletons, no crash") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.withClusters(docs, "doc_id", noPairs)
+      .select("doc_id", "cluster", "is_rep")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 1), (2L, 2L, 1), (3L, 3L, 1)))
+  }
+
   test("hll_sketch: partition-invariant, accurate, groupBy-able") {
     graft.sql.Geo.register(spark)
     val n = 20000

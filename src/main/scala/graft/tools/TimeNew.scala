@@ -8,9 +8,9 @@ object TimeNew {
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.1"
     // warmup pass (codegen + JIT), then measure
-    for (pass <- 0 to 1; q <- Seq("q19_measures", "q29_cell_neighbors", "q48_img_features",
-        "q49_audio", "q54_covering_box", "q55_dedup_clusters",
-        "q56_video_frames", "q57_ann_sq8", "q58_dwithin_rewrite")) {
+    for (pass <- 0 to 1; q <- Seq("q59_compaction", "q62_hull_simplify",
+        "q63_per_key_sample", "q64_sessionize", "q65_vocab", "q66_asof_join",
+        "q67_hll_sketch", "q68_cms_sketch")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, sf).count()
       if (pass == 1)

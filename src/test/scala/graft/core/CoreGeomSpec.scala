@@ -209,6 +209,40 @@ class CoreGeomSpec extends AnyFunSuite {
       "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"))) == 100.0)
   }
 
+  test("convex hull properties over seeded random point sets") {
+    def cross(ox: Double, oy: Double, ax: Double, ay: Double,
+              bx: Double, by: Double): Double =
+      (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+    for (trial <- 0 until 50) {
+      val n = 3 + (trial % 20)
+      val pts = (0 until n).map { i =>
+        val h = graft.sql.GeoOps.splitmix64(trial * 1000L + i)
+        ((h % 1000L).toDouble / 10.0, ((h >> 20) % 1000L).toDouble / 10.0)
+      }
+      val wkt = pts.map { case (x, y) => s"$x $y" }.mkString("MULTIPOINT (", ", ", ")")
+      val hull = Hull.convexHull(Wkt.parse(wkt))
+      if (hull.geomType == GeomTypes.Polygon) {
+        val ring = (0 until hull.numCoords - 1).map(i =>
+          (hull.coords(2 * i), hull.coords(2 * i + 1)))
+        // hull vertices are input points
+        assert(ring.forall(pts.contains), s"trial $trial")
+        // strictly convex (CCW, no collinear triples)
+        val m = ring.length
+        assert((0 until m).forall { i =>
+          cross(ring(i)._1, ring(i)._2, ring((i + 1) % m)._1, ring((i + 1) % m)._2,
+            ring((i + 2) % m)._1, ring((i + 2) % m)._2) > 0
+        }, s"trial $trial not strictly convex: $ring")
+        // every input point is inside or on the hull (left of every edge)
+        assert(pts.forall { case (px, py) =>
+          (0 until m).forall { i =>
+            cross(ring(i)._1, ring(i)._2, ring((i + 1) % m)._1,
+              ring((i + 1) % m)._2, px, py) >= 0
+          }
+        }, s"trial $trial point outside hull")
+      }
+    }
+  }
+
   test("simplify: Douglas-Peucker keep/drop, rings stay valid") {
     // mid deviation 4 > eps 2 -> kept; deviation 1 <= 2 -> dropped
     assert(Wkt.write(Simplify.simplify(

@@ -289,6 +289,41 @@ object SparkEntry {
         |  st_length(st_simplify(line, 2 * m)) AS simp_len
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q69_distance" -> { (s, d) =>
+      prep(s, d)
+      // general geometry-geometry distance: rect pairs with pure-horizontal
+      // (3m) and corner 3-4-5 (5m) gaps, a crossing line (0), and a point
+      // at an exact vertical gap — all integer-coord analytic
+      s.sql("""WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m,
+        |  CAST((l_orderkey * 13 + l_linenumber) % 400 AS DOUBLE) AS bx,
+        |  CAST((l_orderkey * 17 + l_linenumber) % 400 AS DOUBLE) AS by
+        | FROM lineitem_par),
+        |g AS (SELECT l_orderkey, l_linenumber, m,
+        |  st_geomfromwkt(concat('POLYGON ((', bx, ' ', by, ', ',
+        |    bx + 2 * m, ' ', by, ', ', bx + 2 * m, ' ', by + 2 * m, ', ',
+        |    bx, ' ', by + 2 * m, ', ', bx, ' ', by, '))')) AS ra,
+        |  st_geomfromwkt(concat('POLYGON ((', bx + 5 * m, ' ',
+        |    CAST(by + CASE WHEN l_linenumber % 2 = 0 THEN 0 ELSE 6 * m END AS STRING),
+        |    ', ', bx + 7 * m, ' ',
+        |    CAST(by + CASE WHEN l_linenumber % 2 = 0 THEN 0 ELSE 6 * m END AS STRING),
+        |    ', ', bx + 7 * m, ' ',
+        |    CAST(by + CASE WHEN l_linenumber % 2 = 0 THEN 2 * m ELSE 8 * m END AS STRING),
+        |    ', ', bx + 5 * m, ' ',
+        |    CAST(by + CASE WHEN l_linenumber % 2 = 0 THEN 2 * m ELSE 8 * m END AS STRING),
+        |    ', ', bx + 5 * m, ' ',
+        |    CAST(by + CASE WHEN l_linenumber % 2 = 0 THEN 0 ELSE 6 * m END AS STRING),
+        |    '))')) AS rb,
+        |  st_geomfromwkt(concat('LINESTRING (', bx - m, ' ', by - m, ', ',
+        |    bx + 3 * m, ' ', by + 3 * m, ')')) AS ln,
+        |  st_geomfromwkt(concat('POINT (', bx + m, ' ', by + 5 * m, ')')) AS pt
+        | FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_distance(ra, rb) AS d_rect,
+        |  st_distance(ra, ln) AS d_line,
+        |  st_distance(ra, pt) AS d_pt
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
     // ---- 2C cell index / tiles / joins -----------------------------
     // q20/q21 drive the cell index through st_cellidxyz (exact rational
     // sphere-direction inputs): every step — face selection, quadratic
@@ -1622,6 +1657,18 @@ object SparkEntry {
         |  CAST(5 AS INTEGER) AS hull_np,
         |  CAST(CASE WHEN l_linenumber % 2 = 0 THEN 3 ELSE 2 END AS INTEGER) AS simp_np,
         |  CASE WHEN l_linenumber % 2 = 0 THEN 10 * m ELSE 6 * m END AS simp_len
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // distance fixtures: horizontal gap 3m on even rows, 3-4-5 corner gap
+    // 5m on odd rows; the diagonal line crosses rect A; the point sits 3m
+    // above A's top edge
+    "q69_distance" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber % 2 = 0 THEN 3 * m ELSE 5 * m END AS d_rect,
+        |  CAST(0.0 AS DOUBLE) AS d_line,
+        |  3 * m AS d_pt
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // dedup clusters: ground-truth reachability via a recursive CTE
     "q55_dedup_clusters" ->

@@ -160,6 +160,147 @@ object Measure {
     }
   }
 
+  // ------------------------------------------------------- distance
+
+  private def d2PointSeg(px: Double, py: Double, ax: Double, ay: Double,
+                         bx: Double, by: Double): Double = {
+    val abx = bx - ax; val aby = by - ay
+    val apx = px - ax; val apy = py - ay
+    val len2 = abx * abx + aby * aby
+    val dot = apx * abx + apy * aby
+    if (len2 == 0 || dot <= 0) return apx * apx + apy * apy
+    if (dot >= len2) {
+      val dx = px - bx; val dy = py - by
+      return dx * dx + dy * dy
+    }
+    val cr = apx * aby - apy * abx
+    (cr * cr) / len2
+  }
+
+  private def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                            cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double,
+               qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    // strict straddle test; collinear-touch cases fall through to the
+    // endpoint distances, which are then 0 anyway
+    (o1 * o2 < 0 && o3 * o4 < 0)
+  }
+
+  private def d2SegSeg(ax: Double, ay: Double, bx: Double, by: Double,
+                       cx: Double, cy: Double, dx: Double, dy: Double): Double = {
+    if (segsIntersect(ax, ay, bx, by, cx, cy, dx, dy)) return 0.0
+    math.min(
+      math.min(d2PointSeg(ax, ay, cx, cy, dx, dy), d2PointSeg(bx, by, cx, cy, dx, dy)),
+      math.min(d2PointSeg(cx, cy, ax, ay, bx, by), d2PointSeg(dx, dy, ax, ay, bx, by)))
+  }
+
+  /** Flattened element view: segments (x1,y1,x2,y2 quads) + lone points. */
+  private def elements(g: Geom, segs: scala.collection.mutable.ArrayBuffer[Double],
+                       pts: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
+    val s = g.stride
+    def path(from: Int, until: Int): Unit = {
+      if (until - from == 1) {
+        pts += g.coords(from * s); pts += g.coords(from * s + 1)
+      } else {
+        var i = from
+        while (i < until - 1) {
+          segs += g.coords(i * s); segs += g.coords(i * s + 1)
+          segs += g.coords((i + 1) * s); segs += g.coords((i + 1) * s + 1)
+          i += 1
+        }
+      }
+    }
+    g.geomType match {
+      case GeomTypes.Point | GeomTypes.MultiPoint =>
+        var i = 0
+        while (i < g.numCoords) {
+          pts += g.coords(i * s); pts += g.coords(i * s + 1); i += 1
+        }
+      case GeomTypes.LineString => path(0, g.numCoords)
+      case GeomTypes.MultiLineString | GeomTypes.Polygon =>
+        var p = 0
+        while (p < g.o0.length - 1) { path(g.o0(p), g.o0(p + 1)); p += 1 }
+      case GeomTypes.MultiPolygon =>
+        var r = 0
+        while (r < g.o1.length - 1) { path(g.o1(r), g.o1(r + 1)); r += 1 }
+      case GeomTypes.Collection =>
+        if (g.parts != null) g.parts.foreach(elements(_, segs, pts))
+      case _ =>
+    }
+  }
+
+  private def anyPointInside(poly: Geom, other: Geom): Boolean = {
+    if (poly.geomType != GeomTypes.Polygon &&
+      poly.geomType != GeomTypes.MultiPolygon) return false
+    val s = other.stride
+    if (other.geomType == GeomTypes.Collection) {
+      if (other.parts == null) return false
+      return other.parts.exists(anyPointInside(poly, _))
+    }
+    var i = 0
+    while (i < other.numCoords) {
+      if (Pip.containsPoint(poly, other.coords(i * s), other.coords(i * s + 1)))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** Planar min distance between geometries (PostGIS ST_Distance): 0 when
+    * they intersect (boundary crossing or polygon containment), else the
+    * min over all segment/point element pairs. O(|a|·|b|) element pairs —
+    * for joins, cull first with the cell/tile index (`st_dwithinxy` +
+    * `DWithinJoinRewrite`); this kernel is the exact refine. NaN for
+    * EMPTY inputs. */
+  def distance(a: Geom, b: Geom): Double = {
+    if (a.isEmpty || b.isEmpty) return Double.NaN
+    if (anyPointInside(a, b) || anyPointInside(b, a)) return 0.0
+    val sa = new scala.collection.mutable.ArrayBuffer[Double]()
+    val pa = new scala.collection.mutable.ArrayBuffer[Double]()
+    val sb = new scala.collection.mutable.ArrayBuffer[Double]()
+    val pb = new scala.collection.mutable.ArrayBuffer[Double]()
+    elements(a, sa, pa)
+    elements(b, sb, pb)
+    var best = Double.PositiveInfinity
+    var i = 0
+    while (i < sa.length) {
+      var j = 0
+      while (j < sb.length) {
+        best = math.min(best, d2SegSeg(sa(i), sa(i + 1), sa(i + 2), sa(i + 3),
+          sb(j), sb(j + 1), sb(j + 2), sb(j + 3)))
+        j += 4
+      }
+      j = 0
+      while (j < pb.length) {
+        best = math.min(best,
+          d2PointSeg(pb(j), pb(j + 1), sa(i), sa(i + 1), sa(i + 2), sa(i + 3)))
+        j += 2
+      }
+      i += 4
+    }
+    i = 0
+    while (i < pa.length) {
+      var j = 0
+      while (j < sb.length) {
+        best = math.min(best,
+          d2PointSeg(pa(i), pa(i + 1), sb(j), sb(j + 1), sb(j + 2), sb(j + 3)))
+        j += 4
+      }
+      j = 0
+      while (j < pb.length) {
+        best = math.min(best, Pip.dist2(pa(i), pa(i + 1), pb(j), pb(j + 1)))
+        j += 2
+      }
+      i += 2
+    }
+    math.sqrt(best)
+  }
+
   private def vertexMean(g: Geom): (Double, Double) = {
     val s = g.stride
     val n = g.numCoords

@@ -229,6 +229,10 @@ object GeoOps {
     else GeoStruct.encode(Geom(GeomTypes.Point, Dims.XY, Array(cx, cy)))
   }
 
+  /** Planar min distance between geometries (PostGIS ST_Distance). */
+  def distance(a: InternalRow, b: InternalRow): Double =
+    Measure.distance(GeoStruct.decode(a), GeoStruct.decode(b))
+
   /** Convex hull (monotone chain; PostGIS degenerate-case semantics). */
   def convexHull(g: InternalRow): InternalRow =
     GeoStruct.encode(Hull.convexHull(GeoStruct.decode(g)))

@@ -209,6 +209,29 @@ class CoreGeomSpec extends AnyFunSuite {
       "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"))) == 100.0)
   }
 
+  test("st_distance: gaps, intersections, containment, degenerate") {
+    def d(a: String, b: String) = Measure.distance(Wkt.parse(a), Wkt.parse(b))
+    val rectA = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    // horizontal gap
+    assert(d(rectA, "POLYGON ((5 0, 7 0, 7 2, 5 2, 5 0))") == 3.0)
+    // corner-to-corner 3-4-5
+    assert(d(rectA, "POLYGON ((5 6, 7 6, 7 8, 5 8, 5 6))") == 5.0)
+    // crossing edges, no vertex containment -> 0
+    assert(d("POLYGON ((0 2, 10 2, 10 4, 0 4, 0 2))",
+      "POLYGON ((4 0, 6 0, 6 6, 4 6, 4 0))") == 0.0)
+    // point inside polygon -> 0; crossing lines -> 0
+    assert(d(rectA, "POINT (1 1)") == 0.0)
+    assert(d("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)") == 0.0)
+    // point to segment (perpendicular foot inside)
+    assert(d("POINT (0 0)", "LINESTRING (3 4, 3 -4)") == 3.0)
+    // point to point
+    assert(d("POINT (0 0)", "POINT (3 4)") == 5.0)
+    // EMPTY -> NaN
+    assert(d(rectA, "POINT EMPTY").isNaN)
+    // symmetric
+    assert(d("POINT (9 2)", rectA) == d(rectA, "POINT (9 2)"))
+  }
+
   test("convex hull properties over seeded random point sets") {
     def cross(ox: Double, oy: Double, ax: Double, ay: Double,
               bx: Double, by: Double): Double =

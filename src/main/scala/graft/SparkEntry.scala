@@ -324,6 +324,34 @@ object SparkEntry {
         |  st_distance(ra, pt) AS d_pt
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q70_intersects" -> { (s, d) =>
+      prep(s, d)
+      // intersects predicate: overlapping vs disjoint rect pairs by row
+      // parity, an always-crossing diagonal, and an inside/outside point
+      s.sql("""WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey % 5 + 1 AS DOUBLE) AS m,
+        |  CAST((l_orderkey * 19 + l_linenumber) % 400 AS DOUBLE) AS bx,
+        |  CAST((l_orderkey * 23 + l_linenumber) % 400 AS DOUBLE) AS by,
+        |  CASE WHEN l_linenumber % 2 = 0 THEN CAST(1 AS DOUBLE)
+        |       ELSE CAST(5 AS DOUBLE) END AS k
+        | FROM lineitem_par),
+        |g AS (SELECT l_orderkey, l_linenumber, m, k,
+        |  st_geomfromwkt(concat('POLYGON ((', bx, ' ', by, ', ',
+        |    bx + 2 * m, ' ', by, ', ', bx + 2 * m, ' ', by + 2 * m, ', ',
+        |    bx, ' ', by + 2 * m, ', ', bx, ' ', by, '))')) AS ra,
+        |  st_geomfromwkt(concat('POLYGON ((', bx + k * m, ' ', by, ', ',
+        |    bx + (k + 2) * m, ' ', by, ', ', bx + (k + 2) * m, ' ', by + 2 * m, ', ',
+        |    bx + k * m, ' ', by + 2 * m, ', ', bx + k * m, ' ', by, '))')) AS rb,
+        |  st_geomfromwkt(concat('LINESTRING (', bx - m, ' ', by - m, ', ',
+        |    bx + 3 * m, ' ', by + 3 * m, ')')) AS ln,
+        |  st_geomfromwkt(concat('POINT (', bx + k * m, ' ', by + m, ')')) AS pt
+        | FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_intersects(ra, rb) AS rect_hit,
+        |  st_intersects(ra, ln) AS line_hit,
+        |  st_intersects(ra, pt) AS pt_hit
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
     // ---- 2C cell index / tiles / joins -----------------------------
     // q20/q21 drive the cell index through st_cellidxyz (exact rational
     // sphere-direction inputs): every step — face selection, quadratic
@@ -1670,6 +1698,14 @@ object SparkEntry {
         |  CAST(0.0 AS DOUBLE) AS d_line,
         |  3 * m AS d_pt
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // intersects fixtures: shift k=1 overlaps / k=5 disjoint; the diagonal
+    // always crosses; the point is inside exactly when k=1
+    "q70_intersects" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_linenumber % 2 = 0 AS rect_hit,
+        |  TRUE AS line_hit,
+        |  l_linenumber % 2 = 0 AS pt_hit
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // dedup clusters: ground-truth reachability via a recursive CTE
     "q55_dedup_clusters" ->
       """WITH RECURSIVE e AS (

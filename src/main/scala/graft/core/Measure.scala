@@ -251,6 +251,17 @@ object Measure {
     false
   }
 
+  /** Planar intersects test (PostGIS ST_Intersects): true on boundary
+    * crossing, containment, or touching (shared point / vertex-on-edge —
+    * distance exactly 0). Same element decomposition as [[distance]]; a
+    * join on this predicate should cull with the tile/cell cover first
+    * (`SpatialJoins.pipJoin` pattern) and use this as the exact refine. */
+  def intersects(a: Geom, b: Geom): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    if (anyPointInside(a, b) || anyPointInside(b, a)) return true
+    distance(a, b) == 0.0
+  }
+
   /** Planar min distance between geometries (PostGIS ST_Distance): 0 when
     * they intersect (boundary crossing or polygon containment), else the
     * min over all segment/point element pairs. O(|a|·|b|) element pairs —

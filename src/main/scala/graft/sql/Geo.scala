@@ -158,6 +158,7 @@ object Geo {
     "st_length" -> (a => geo(DoubleType, "lengthOf", a, Seq(G))),
     "st_centroid" -> (a => geo(G, "centroid", a, Seq(G))),
     "st_distance" -> (a => geo(DoubleType, "distance", a, Seq(G, G))),
+    "st_intersects" -> (a => geo(BooleanType, "intersects", a, Seq(G, G))),
     "st_convexhull" -> (a => geo(G, "convexHull", a, Seq(G))),
     "st_simplify" -> (a => geo(G, "simplifyGeom", a, Seq(G, DoubleType))),
     "st_npoints" -> (a => geo(IntegerType, "nPoints", a, Seq(G))),

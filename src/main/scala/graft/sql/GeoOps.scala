@@ -233,6 +233,10 @@ object GeoOps {
   def distance(a: InternalRow, b: InternalRow): Double =
     Measure.distance(GeoStruct.decode(a), GeoStruct.decode(b))
 
+  /** Planar intersects predicate (PostGIS ST_Intersects). */
+  def intersects(a: InternalRow, b: InternalRow): Boolean =
+    Measure.intersects(GeoStruct.decode(a), GeoStruct.decode(b))
+
   /** Convex hull (monotone chain; PostGIS degenerate-case semantics). */
   def convexHull(g: InternalRow): InternalRow =
     GeoStruct.encode(Hull.convexHull(GeoStruct.decode(g)))

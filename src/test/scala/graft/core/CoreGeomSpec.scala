@@ -230,6 +230,14 @@ class CoreGeomSpec extends AnyFunSuite {
     assert(d(rectA, "POINT EMPTY").isNaN)
     // symmetric
     assert(d("POINT (9 2)", rectA) == d(rectA, "POINT (9 2)"))
+    // intersects: overlap, touch (shared edge), containment, disjoint
+    def ix(a: String, b: String) = Measure.intersects(Wkt.parse(a), Wkt.parse(b))
+    assert(ix(rectA, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
+    assert(ix(rectA, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")) // edge touch
+    assert(ix(rectA, "POINT (1 1)") && !ix(rectA, "POINT (9 9)"))
+    assert(ix("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", rectA)) // contains
+    assert(!ix(rectA, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))
+    assert(!ix(rectA, "POINT EMPTY"))
   }
 
   test("convex hull properties over seeded random point sets") {

@@ -199,9 +199,11 @@ object Measure {
       math.min(d2PointSeg(cx, cy, ax, ay, bx, by), d2PointSeg(dx, dy, ax, ay, bx, by)))
   }
 
-  /** Flattened element view: segments (x1,y1,x2,y2 quads) + lone points. */
-  private def elements(g: Geom, segs: scala.collection.mutable.ArrayBuffer[Double],
-                       pts: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
+  /** Flattened element view: segments (x1,y1,x2,y2 quads) + lone points.
+    * Primitive builders — the pair loop below indexes raw arrays, no
+    * boxing in the per-row hot path. */
+  private def elements(g: Geom, segs: scala.collection.mutable.ArrayBuilder.ofDouble,
+                       pts: scala.collection.mutable.ArrayBuilder.ofDouble): Unit = {
     val s = g.stride
     def path(from: Int, until: Int): Unit = {
       if (until - from == 1) {
@@ -235,6 +237,8 @@ object Measure {
   }
 
   private def anyPointInside(poly: Geom, other: Geom): Boolean = {
+    if (poly.geomType == GeomTypes.Collection)
+      return poly.parts != null && poly.parts.exists(anyPointInside(_, other))
     if (poly.geomType != GeomTypes.Polygon &&
       poly.geomType != GeomTypes.MultiPolygon) return false
     val s = other.stride
@@ -259,7 +263,7 @@ object Measure {
   def intersects(a: Geom, b: Geom): Boolean = {
     if (a.isEmpty || b.isEmpty) return false
     if (anyPointInside(a, b) || anyPointInside(b, a)) return true
-    distance(a, b) == 0.0
+    elementDistance(a, b) == 0.0 // containment already checked above
   }
 
   /** Planar min distance between geometries (PostGIS ST_Distance): 0 when
@@ -267,16 +271,27 @@ object Measure {
     * min over all segment/point element pairs. O(|a|·|b|) element pairs —
     * for joins, cull first with the cell/tile index (`st_dwithinxy` +
     * `DWithinJoinRewrite`); this kernel is the exact refine. NaN for
-    * EMPTY inputs. */
+    * EMPTY inputs (including collections of EMPTY parts). */
   def distance(a: Geom, b: Geom): Double = {
     if (a.isEmpty || b.isEmpty) return Double.NaN
     if (anyPointInside(a, b) || anyPointInside(b, a)) return 0.0
-    val sa = new scala.collection.mutable.ArrayBuffer[Double]()
-    val pa = new scala.collection.mutable.ArrayBuffer[Double]()
-    val sb = new scala.collection.mutable.ArrayBuffer[Double]()
-    val pb = new scala.collection.mutable.ArrayBuffer[Double]()
-    elements(a, sa, pa)
-    elements(b, sb, pb)
+    elementDistance(a, b)
+  }
+
+  /** Min element-pair distance; containment assumed already checked. */
+  private def elementDistance(a: Geom, b: Geom): Double = {
+    val sab = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val pab = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val sbb = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val pbb = new scala.collection.mutable.ArrayBuilder.ofDouble
+    elements(a, sab, pab)
+    elements(b, sbb, pbb)
+    val sa = sab.result(); val pa = pab.result()
+    val sb = sbb.result(); val pb = pbb.result()
+    // a collection of EMPTY parts passes the isEmpty guard but contributes
+    // no elements — that's still an empty input, not an infinite distance
+    if ((sa.length == 0 && pa.length == 0) || (sb.length == 0 && pb.length == 0))
+      return Double.NaN
     var best = Double.PositiveInfinity
     var i = 0
     while (i < sa.length) {

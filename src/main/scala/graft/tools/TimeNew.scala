@@ -10,7 +10,8 @@ object TimeNew {
     // warmup pass (codegen + JIT), then measure
     for (pass <- 0 to 1; q <- Seq("q59_compaction", "q62_hull_simplify",
         "q63_per_key_sample", "q64_sessionize", "q65_vocab", "q66_asof_join",
-        "q67_hll_sketch", "q68_cms_sketch")) {
+        "q67_hll_sketch", "q68_cms_sketch",
+        "q69_distance", "q70_intersects")) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, sf).count()
       if (pass == 1)

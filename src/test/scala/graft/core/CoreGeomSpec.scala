@@ -226,8 +226,15 @@ class CoreGeomSpec extends AnyFunSuite {
     assert(d("POINT (0 0)", "LINESTRING (3 4, 3 -4)") == 3.0)
     // point to point
     assert(d("POINT (0 0)", "POINT (3 4)") == 5.0)
-    // EMPTY -> NaN
+    // EMPTY -> NaN (including collections whose parts are all EMPTY)
     assert(d(rectA, "POINT EMPTY").isNaN)
+    assert(d(rectA, "GEOMETRYCOLLECTION (POINT EMPTY)").isNaN)
+    // collections participate in containment
+    assert(d("GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)))",
+      "POINT (5 5)") == 0.0)
+    assert(Measure.intersects(
+      Wkt.parse("GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)))"),
+      Wkt.parse("POINT (5 5)")))
     // symmetric
     assert(d("POINT (9 2)", rectA) == d(rectA, "POINT (9 2)"))
     // intersects: overlap, touch (shared edge), containment, disjoint

@@ -132,8 +132,12 @@ object Bench {
       if (times(n).isEmpty || times(n * 4).isEmpty) 0.0
       else times(n).min / (4.0 * times(n * 4).min)
     var round = 0
-    // up to 7 rounds, early exit once a burst-free pair has been observed
-    while (round < 7 && (round < 2 || math.max(effOf(4), effOf(8)) < 0.82)) {
+    // up to 9 rounds, early exit once a burst-free pair has been observed;
+    // a short backoff after a steal-polluted round (observed windows where
+    // interference runs 4x for minutes) costs little and often lands the
+    // next round in a quieter slice
+    while (round < 9 && (round < 2 || math.max(effOf(4), effOf(8)) < 0.82)) {
+      val stealBefore = stealJiffies()
       coreCounts.foreach { cores =>
         val s = session(cores)
         val (_, secs) = time(flagship(s, inputPath, replicate))
@@ -141,6 +145,8 @@ object Bench {
         times(cores) = times(cores) :+ secs
       }
       round += 1
+      if (round >= 2 && math.max(effOf(4), effOf(8)) < 0.82 &&
+        stealJiffies() - stealBefore > 20000) Thread.sleep(45000)
     }
     val nCores = if (effOf(8) > effOf(4)) 8 else 4
     val scaling = times.map { case (cores, ts) =>

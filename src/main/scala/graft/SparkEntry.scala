@@ -674,6 +674,18 @@ object SparkEntry {
         |FROM (SELECT hll_sketch(event_id, 8) AS s,
         |  count(DISTINCT event_id) AS n_exact FROM events)""".stripMargin)
     },
+    "q71_decontam" -> { (s, d) =>
+      prep(s, d)
+      // test-set decontamination: docs sharing any word 8-gram with the
+      // benchmark slice (doc_id % 97 == 0); md5 gram keys are
+      // engine-identical, so the flag set matches the oracle exactly
+      val docs = s.table("documents")
+      graft.operators.Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    },
     "q66_asof_join" -> { (s, d) =>
       prep(s, d)
       // as-of join: each non-error event picks up the latest prior (or
@@ -1632,6 +1644,20 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 15 ORDER BY stratum, sample_rank""".stripMargin,
+    // decontamination ground truth: same split/slide/md5 gram pipeline
+    "q71_decontam" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i + 1:i + 8], ' ')) AS gram
+        |  FROM (
+        |    SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |    WHERE len(t) >= 8)),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 != 0)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM c JOIN b ON b.gram = c.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // as-of ground truth: DuckDB's native ASOF JOIN (inclusive >=)
     "q66_asof_join" ->
       """WITH err AS (

@@ -175,6 +175,33 @@ object Dedup {
     labels
   }
 
+  /** Test-set decontamination: flag corpus documents sharing any word
+    * `n`-gram with a benchmark/eval set (the held-out-leakage pass every
+    * LLM training pipeline runs). All built-ins: split → sliding
+    * `transform(sequence, slice)` → md5 per gram — md5 keeps the join key
+    * at 32 chars regardless of gram length AND is engine-identical, so
+    * the q71 oracle reproduces the exact flag set.
+    *
+    * 100-TB shape: document text never leaves the scan — only distinct
+    * (id, gram-md5) pairs shuffle; the benchmark gram set is tiny next to
+    * the corpus and broadcasts, so the corpus side is a map-side hash
+    * semi-join. Returns (idCol, n_shared) for flagged corpus docs. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1)
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("__t", split(col(textCol), " "))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__t) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(__t, i + 1, $n))))")).as("gram"))
+      .distinct()
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    grams(corpus).join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Dedup decision over a table given near-dup pairs: every row labeled
     * with its cluster and an `is_rep` flag (1 = keep). Rows in no pair are
     * their own singleton cluster. */

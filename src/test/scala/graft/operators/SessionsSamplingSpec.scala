@@ -69,6 +69,22 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(out.isNullAt(0) && out.getLong(1) == 8L, out.toString)
   }
 
+  test("decontaminate: flags exactly the docs sharing an n-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 8-gram verbatim inside longer text
+      (1L, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+      // 7-word overlap only -> clean
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words in this one here now ok"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L), out.toString)
+  }
+
   test("dupClusters: empty pair set yields singletons, no crash") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

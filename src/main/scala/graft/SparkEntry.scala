@@ -1852,10 +1852,13 @@ object SparkEntry {
         |  FROM documents),
         |hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 400),
         |h AS (SELECT coalesce(list(line), []) AS hl FROM hot)
-        |SELECT doc_id, array_to_string(
+        |SELECT doc_id, coalesce(array_to_string(
         |  list_filter(string_split(text, ' '), w -> NOT list_contains(h.hl, w)),
-        |  ' ') AS cleaned
+        |  ' '), '') AS cleaned
         |FROM documents, h ORDER BY doc_id""".stripMargin,
+        // ^ coalesce: a fully-boilerplate document cleans to '' (the
+        // operator's contract); DuckDB's array_to_string of an empty list
+        // is NULL — only visible at SFs where some doc is 100% hot lines
     // replicates the engine's langid heuristic (CJK codepoint share, then
     // earliest max-marker-hit language) and quality score formula exactly;
     // verified bit-equal per row against the kernel output

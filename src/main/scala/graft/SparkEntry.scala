@@ -678,10 +678,16 @@ object SparkEntry {
       prep(s, d)
       // test-set decontamination: docs sharing any word 8-gram with the
       // benchmark slice (doc_id % 97 == 0); md5 gram keys are
-      // engine-identical, so the flag set matches the oracle exactly
+      // engine-identical, so the flag set matches the oracle exactly.
+      // The corpus side is ALL documents — the benchmark docs themselves
+      // included — so the verbatim-leak case plants guaranteed overlap at
+      // EVERY sf (round-3 verdict: the disjoint-slice variant matched 0
+      // rows at sf0.1, a vacuously-green gate). A flagged benchmark doc is
+      // exactly what decontamination exists to catch: the eval set leaked
+      // into the training corpus verbatim.
       val docs = s.table("documents")
       graft.operators.Dedup.decontaminate(
-          docs.filter(col("doc_id") % 97 =!= 0),
+          docs,
           docs.filter(col("doc_id") % 97 === 0),
           "text", "doc_id", n = 8)
         .orderBy("doc_id")
@@ -951,6 +957,27 @@ object SparkEntry {
         |LATERAL VIEW posexplode(f.features) AS pos, feat
         |ORDER BY doc_id, frame_idx, idx""".stripMargin)
     },
+    "q73_exact_dupes" -> { (s, d) =>
+      prep(s, d)
+      // exact-dup PAIRS via the streaming join-back shape (no per-group
+      // collect_list — a mega-duplicated doc is one aggregation row).
+      // Duplicates are PLANTED (doc_id % 31 slice re-appended shifted) so
+      // the gate can never pass vacuously on a dup-free corpus.
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+      Dedup.exactDupes(planted, "text", "doc_id").orderBy("doc_id")
+    },
+    "q74_minhash_capped" -> { (s, d) =>
+      prep(s, d)
+      // the q31 pipeline with maxBand = 2: every band wider than two docs
+      // is dropped before the self-join (the 100-TB mega-band guard), and
+      // the oracle replicates the drop — surviving pairs bit-identical
+      Dedup.minhashNearDups(plantedNearDups(s), "text", "doc_id",
+          shingle = 3, k = 32, bandRows = 4, threshold = 0.6, maxBand = 2)
+        .orderBy("id_a", "id_b")
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
     // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
@@ -1216,11 +1243,12 @@ object SparkEntry {
        |  ${cellSgn("ch3u")} AS ch3
        |FROM nav ORDER BY c""".stripMargin
 
-  /** q31 oracle: the full MinHash+LSH pipeline in SQL — word/shingle
+  /** q31/q74 oracle: the full MinHash+LSH pipeline in SQL — word/shingle
     * rolling hashes via list_reduce splitmix64 lambdas (bit-exact), 32
-    * permutation minima, 8 packed band keys, band self-join, exact word-
-    * 3-gram jaccard refine. Verified: all 523 pairs + jaccards match. */
-  private lazy val MinhashOracle: String =
+    * permutation minima, 8 packed band keys, hot-band cap (bands wider
+    * than `cap` dropped — replicating [[graft.operators.Dedup.capBands]]),
+    * band self-join, exact word-3-gram jaccard refine. */
+  private def minhashOracle(cap: Int): String =
     s"""WITH base AS (SELECT doc_id, text FROM documents),
        |mut AS (SELECT doc_id + 10000 AS doc_id,
        |  array_to_string((string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 8, 1)], ' ') AS text
@@ -1258,9 +1286,11 @@ object SparkEntry {
        |      (list_reduce([xor(2685821657736338717, b.b), sig[b.b * 4 + 1], sig[b.b * 4 + 2],
        |        sig[b.b * 4 + 3], sig[b.b * 4 + 4]], (a, c) -> $SmxLambda) >> 8) & 72057594037927935) AS band
        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) b),
+       |bandok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= $cap),
+       |capped AS (SELECT bands.doc_id, bands.band FROM bands JOIN bandok USING (band)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
        |tx AS (SELECT doc_id, text FROM planted),
        |gs AS (
        |  SELECT doc_id,
@@ -1280,7 +1310,8 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** q32 oracle: full SimHash pipeline in SQL — per-word rolling hashes
-    * (bit-exact), 64 sign counters, 16-bit band self-join, hamming<=6
+    * (bit-exact), 64 sign counters, hot-band cap (width > 64 dropped,
+    * mirroring the operator default), 16-bit band self-join, hamming<=6
     * refine. Verified: all 613 pairs + hamming distances match. */
   private lazy val SimhashOracle: String =
     s"""WITH base AS (SELECT doc_id, text FROM documents),
@@ -1312,9 +1343,12 @@ object SparkEntry {
        |  SELECT doc_id, sh,
        |    CAST(bi AS VARCHAR) || ':' || CAST((sh >> (bi * 16)) & 65535 AS VARCHAR) AS band_key
        |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS bi)),
+       |bandok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= 64),
+       |capped AS (SELECT banded.doc_id, banded.sh, banded.band_key
+       |           FROM banded JOIN bandok USING (band_key)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-       |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
@@ -1373,8 +1407,23 @@ object SparkEntry {
     "q20_cellid" -> Q20Oracle,
     "q21_cell_nav" -> Q21Oracle,
     "q29_cell_neighbors" -> Q29Oracle,
-    "q31_minhash_neardup" -> MinhashOracle,
+    "q31_minhash_neardup" -> minhashOracle(64),
     "q32_simhash_neardup" -> SimhashOracle,
+    // same pipeline with a cap low enough to BITE on the planted corpus —
+    // proves the hot-band drop path is bit-identical in both engines
+    "q74_minhash_capped" -> minhashOracle(2),
+    // exact-dup PAIRS (streaming join-back shape, no per-group id lists);
+    // dup rows planted so the gate can't pass vacuously
+    "q73_exact_dupes" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text FROM documents WHERE doc_id % 31 = 0)
+        |SELECT a.doc_id, g.dup_rep FROM planted a
+        |JOIN (SELECT text, min(doc_id) AS dup_rep, count(*) AS n
+        |      FROM planted GROUP BY text) g ON g.text = a.text
+        |WHERE g.n > 1 AND a.doc_id != g.dup_rep
+        |ORDER BY a.doc_id""".stripMargin,
     "q37_fingerprint" -> FingerprintOracle,
     "q67_hll_sketch" -> HllOracle,
     "q68_cms_sketch" -> CmsOracle,
@@ -1644,7 +1693,9 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 15 ORDER BY stratum, sample_rank""".stripMargin,
-    // decontamination ground truth: same split/slide/md5 gram pipeline
+    // decontamination ground truth: same split/slide/md5 gram pipeline;
+    // corpus = ALL docs (benchmark docs flag themselves — the planted
+    // verbatim-leak overlap that keeps this gate non-vacuous at every sf)
     "q71_decontam" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id,
@@ -1653,11 +1704,10 @@ object SparkEntry {
         |    SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |    WHERE len(t) >= 8)),
-        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 != 0)
-        |SELECT c.doc_id, count(*) AS n_shared
-        |FROM c JOIN b ON b.gram = c.gram
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN b ON b.gram = g.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // as-of ground truth: DuckDB's native ASOF JOIN (inclusive >=)
     "q66_asof_join" ->
       """WITH err AS (

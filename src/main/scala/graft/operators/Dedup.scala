@@ -28,33 +28,62 @@ object Dedup {
     * only for rows in groups of size > 1. The shuffle key is the SHA-256 of
     * the text, so only (32-byte hash, id) pairs move — at 100 TB the
     * documents themselves never leave the scan (the window variant must
-    * move whole rows because it returns them). */
-  def exactDupes(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(sha2(col(textCol).cast("binary"), 256).as("__h"), col(idCol))
-      .groupBy(col("__h"))
-      .agg(min(col(idCol)).as("dup_rep"), collect_list(col(idCol)).as("ids"),
-        count(lit(1)).as("n"))
+    * move whole rows because it returns them).
+    *
+    * Duplicate ids are never materialized per-group: the aggregation keeps
+    * only (hash, min-id, count) — constant-size buffers — and the ids
+    * stream back through an equi-join on the hash. A mega-duplicated
+    * document (empty string, boilerplate page: 10^8+ copies at 100 TB) is
+    * one aggregation row, not one 10^8-element `collect_list` buffer. */
+  def exactDupes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.select(
+      sha2(col(textCol).cast("binary"), 256).as("__h"), col(idCol))
+    val groups = keyed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("dup_rep"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(explode(col("ids")).as(idCol), col("dup_rep"))
+      .select(col("__h"), col("dup_rep"))
+    keyed.join(groups, Seq("__h"))
       .filter(col(idCol) =!= col("dup_rep"))
+      .select(col(idCol), col("dup_rep"))
+  }
+
+  /** Caps LSH band width before a self-join: bands shared by more than
+    * `maxBand` rows are dropped entirely. A band of width B yields B²
+    * candidate pairs, and near-dup corpora are exactly the ones with
+    * mega-bands (10^6 copies of a boilerplate page = 10^12 pairs from ONE
+    * band) — production pipelines always bound this. Dropping a mega-band
+    * loses nothing real: its members are verbatim-identical or
+    * near-identical en masse, which exact dedup (or any surviving band)
+    * already catches. Hot bands are few by construction, so the filter is
+    * a broadcast anti-join — map-side, no extra shuffle of the band table. */
+  private def capBands(sigs: DataFrame, bandCol: String,
+                       maxBand: Int): DataFrame = {
+    if (maxBand <= 0) return sigs
+    val hot = sigs.groupBy(col(bandCol))
+      .agg(count(lit(1)).as("__bw"))
+      .filter(col("__bw") > maxBand)
+      .select(col(bandCol))
+    sigs.join(broadcast(hot), Seq(bandCol), "left_anti")
+  }
 
   /** MinHash+LSH near-dup candidate pairs, refined by exact n-gram Jaccard.
     *
     * shingle(n words) -> minhash(k) -> band keys (k/bandRows bands) ->
-    * self-equi-join on band key -> distinct pairs -> Jaccard >= threshold.
+    * self-equi-join on band key (bands wider than `maxBand` dropped — see
+    * [[capBands]]) -> distinct pairs -> Jaccard >= threshold.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingle: Int = 3, k: Int = 32, bandRows: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8, maxBand: Int = 64): DataFrame = {
     Geo.register(df.sparkSession)
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // the banded self-join moves IDS ONLY — at 100 TB the candidate shuffle
     // is 16 bytes/row, not the document text; texts re-join below for the
     // exact refine, which touches only the (small) candidate set
-    val sigs = docs
+    val sigs = capBands(docs
       .select(col("id"), explode(call_function("lsh_bands",
         call_function("minhash", col("text"), lit(shingle), lit(k)),
-        lit(bandRows))).as("band"))
+        lit(bandRows))).as("band")), "band", maxBand)
     val candidates = sigs.as("a").join(sigs.as("b"),
       col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -69,16 +98,18 @@ object Dedup {
   }
 
   /** SimHash near-dups: 64-bit simhash banded into 4×16-bit keys (any
-    * identical band -> candidate; hamming distance <= maxHamming refine). */
+    * identical band -> candidate; hamming distance <= maxHamming refine;
+    * bands wider than `maxBand` dropped — see [[capBands]]). */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBand: Int = 64): DataFrame = {
     Geo.register(df.sparkSession)
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", call_function("simhash", col("text")))
-    val banded = hashed.withColumn("band_idx", explode(array((0 until 4).map(lit): _*)))
+    val banded = capBands(hashed
+      .withColumn("band_idx", explode(array((0 until 4).map(lit): _*)))
       .withColumn("band_key",
         concat(col("band_idx"), lit(":"),
-          expr("shiftright(sh, band_idx * 16) & 65535")))
+          expr("shiftright(sh, band_idx * 16) & 65535"))), "band_key", maxBand)
     val pairs = banded.as("a").join(banded.as("b"),
       col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -132,11 +163,13 @@ object Dedup {
     * id-sized pairs ever shuffle; the edge list persists across rounds
     * (re-derivation would re-execute the candidate pipeline per round);
     * each round's labels are checkpointed so one job runs per round.
-    * Convergence = the label sum stops decreasing (min-label updates are
-    * strictly decreasing, so the decimal sum is a monotone potential —
-    * one scalar action per round, no extra change-count join). Rounds =
-    * component diameter; near-dup clusters are dense (diameter 1-2), and
-    * `maxIter` bounds adversarial chains.
+    * Convergence is detected STRUCTURALLY — an existence probe for any id
+    * whose label changed this round (an equi-join of consecutive label
+    * frontiers, short-circuited by `isEmpty`'s limit-1). Works for any id
+    * type, unlike a numeric-sum potential, which silently declares
+    * convergence after one round for non-numeric ids (cast -> NULL) or on
+    * decimal overflow. Rounds = component diameter; near-dup clusters are
+    * dense (diameter 1-2), and `maxIter` bounds adversarial chains.
     *
     * @param pairs edge list, any orientation, self-loops/dups fine
     * @return ("id", "cluster") for every id present in `pairs` */
@@ -149,13 +182,6 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(eager = true)
-    // sum() over zero rows is null — an empty pair set (no near-dups
-    // found) must yield zero, not an NPE; every row then becomes its own
-    // singleton cluster downstream
-    def labelSum(df: DataFrame): BigDecimal =
-      Option(df.agg(sum(col("cluster").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-    var potential = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -164,9 +190,15 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint(eager = true)
-      val p = labelSum(next)
-      converged = p == potential
-      potential = p
+      // structural convergence: does ANY id's label differ from last
+      // round? Both frontiers share one id set (min-label never drops
+      // ids), both are checkpointed, and isEmpty stops at the first
+      // changed row (limit 1) — one bounded probe per round, id-type
+      // agnostic.
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .isEmpty
       labels = next
       it += 1
     }

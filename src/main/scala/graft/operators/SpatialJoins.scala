@@ -114,10 +114,22 @@ object SpatialJoins {
     * The salt is a content hash of the whole row (never a nondeterministic
     * expression like monotonically_increasing_id): a shuffle key must be
     * stable under stage-retry recomputation, or a fetch failure silently
-    * re-routes rows to different reducers mid-aggregation. */
-  def saltedCountByKey(df: DataFrame, keyCol: String, salt: Int): DataFrame = {
+    * re-routes rows to different reducers mid-aggregation.
+    *
+    * LIMITATION of content-only salting: byte-identical rows all hash to
+    * the SAME salt bucket, so a hot key dominated by verbatim duplicates is
+    * not spread at all. When the source can provide a stable per-row
+    * discriminant — one that is recomputed identically on stage retry, e.g.
+    * a file row offset, a parquet `_metadata.file_path` + row index, or a
+    * pre-assigned surrogate id — pass it as `discriminants` and it is mixed
+    * into the salt, spreading even identical payload rows. (A
+    * per-input-split counter would also qualify, but Spark exposes no
+    * public stable row index without such a column.) */
+  def saltedCountByKey(df: DataFrame, keyCol: String, salt: Int,
+                       discriminants: Seq[Column] = Nil): DataFrame = {
+    val mix = df.columns.map(col).toSeq ++ discriminants
     df
-      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
+      .withColumn("__salt", pmod(hash(mix: _*), lit(salt)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))

@@ -179,8 +179,15 @@ object Pipeline {
       else base.repartition(col("bucket"))
     parted.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(tmp.toString)
-    // 2. swap: drop the expired snapshot directories, move the compacted
-    // subtree in as the new base snapshot
+    // 2. swap, delete-last: rename the expired snapshot directories ASIDE
+    // (into a staging dir outside the scan root), move the compacted
+    // subtree in as the new base snapshot, and only then delete the aside
+    // copies. A crash before the final deletes leaves both the old data
+    // (recoverable from the aside dir) and the compacted tree on disk —
+    // never a window where neither exists. On an object store the swap
+    // becomes the catalog's atomic metadata pointer flip.
+    val aside = Paths.get(tableDir, s"compact_aside_$upToSnapshotId")
+    F.createDirectories(aside)
     val expired = F.list(dataDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter { p =>
         val n = p.getFileName.toString
@@ -188,12 +195,12 @@ object Pipeline {
           (try n.stripPrefix("snapshot_id=").toLong <= upToSnapshotId
            catch { case _: NumberFormatException => false })
       }
-    expired.foreach(deleteRecursively)
+    expired.foreach(p => F.move(p, aside.resolve(p.getFileName)))
     val target = dataDir.resolve(s"snapshot_id=$upToSnapshotId")
     F.createDirectories(dataDir)
     F.move(tmp, target)
     // 3. rewrite manifests: squashed range aggregated to one row per
-    // bucket, later snapshots kept verbatim (same temp+swap discipline)
+    // bucket, later snapshots kept verbatim (same rename-aside discipline)
     val manifestsDir = Paths.get(tableDir, "manifests")
     val m = spark.read.parquet(manifestsDir.toString)
     val squashed = m.filter(col("snapshot_id") <= upToSnapshotId)
@@ -206,8 +213,11 @@ object Pipeline {
       m.filter(col("snapshot_id") > upToSnapshotId))
     val mTmp = Paths.get(tableDir, s"manifests_tmp_$upToSnapshotId")
     newManifest.write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
-    deleteRecursively(manifestsDir)
+    val mAside = aside.resolve("manifests_old")
+    F.move(manifestsDir, mAside)
     F.move(mTmp, manifestsDir)
+    // both swaps landed — the aside copies are now the only stale state
+    deleteRecursively(aside)
     Files.writeString(Paths.get(tableDir).resolve("snapshots.jsonl"),
       s"""{"compacted_to":$upToSnapshotId,"ts":${System.currentTimeMillis()}}""" + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -125,13 +125,18 @@ object GeoParquet {
 
   /** The table's GeoParquet metadata JSON: the standard footer `geo`
     * key-value of the first data file if present (spec-compliant files
-    * from GDAL/geopandas/sf land here), else the sidecar. */
+    * from GDAL/geopandas/sf land here), else the sidecar. Any footer-read
+    * failure — non-local URI (java.nio can't open it), truncated file,
+    * thrift parse error — degrades to the sidecar instead of failing the
+    * read: the metadata is an enrichment, never a correctness gate. */
   def geoMetadataJson(path: String): Option[String] = {
-    val fromFooter = firstDataFile(path).flatMap(footerKeyValue(_, "geo"))
-    fromFooter.orElse {
+    val fromFooter = scala.util.Try(
+      firstDataFile(path).flatMap(footerKeyValue(_, "geo")))
+      .toOption.flatten
+    fromFooter.orElse(scala.util.Try {
       val metaPath = Paths.get(path, "_geo_metadata.json")
       if (Files.exists(metaPath)) Some(Files.readString(metaPath)) else None
-    }
+    }.toOption.flatten)
   }
 
   /** Adds the `geo` footer entry to every data file of a just-written
@@ -183,7 +188,16 @@ object GeoParquet {
   }
 
   /** Sets (replacing any existing) a footer key-value entry in-place:
-    * re-serializes the footer thrift and rewrites the file tail. */
+    * re-serializes the footer thrift and rewrites the file tail.
+    *
+    * Crash-safety: the ENTIRE new tail (footer thrift + length + magic) is
+    * validated by a round-trip parse and then written in ONE buffered
+    * write call at or beyond the old footer start — row-group data bytes
+    * are never touched, so the worst crash outcome is a corrupt FOOTER on
+    * one file (detectable: bad magic / unparseable thrift), never corrupt
+    * data pages. Full atomicity would need copy-rewrite-rename of the
+    * whole (multi-GB) file — the wrong trade for a metadata stamp that the
+    * sidecar (written after all stamps) backs up anyway. */
   def setFooterKeyValue(file: Path, key: String, value: String): Unit = {
     val raf = new RandomAccessFile(file.toFile, "rw")
     try {
@@ -203,11 +217,14 @@ object GeoParquet {
       val bos = new ByteArrayOutputStream(footerLen + value.length + 64)
       org.apache.parquet.format.Util.writeFileMetaData(md, bos)
       val out = bos.toByteArray
+      // validate BEFORE touching the file: the new thrift must parse back
+      org.apache.parquet.format.Util.readFileMetaData(
+        new ByteArrayInputStream(out))
+      val newTail = ByteBuffer.allocate(out.length + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      newTail.put(out).putInt(out.length).put("PAR1".getBytes("US-ASCII"))
       raf.seek(footerStart)
-      raf.write(out)
-      raf.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        .putInt(out.length).array())
-      raf.write("PAR1".getBytes("US-ASCII"))
+      raf.write(newTail.array())
       raf.setLength(footerStart + out.length + 8)
     } finally raf.close()
     // the rewrite invalidates Hadoop LocalFileSystem's sidecar checksum;

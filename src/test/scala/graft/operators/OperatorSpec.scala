@@ -139,6 +139,49 @@ class OperatorSpec extends AnyFunSuite {
     for ((id, c) <- got) assert(c == expected(id), s"node $id")
   }
 
+  test("dupClusters: string ids converge structurally (chain > 1 round)") {
+    // the numeric-sum potential would cast string ids to NULL and declare
+    // convergence after round 1, mislabeling any chain with diameter > 1;
+    // structural change-detection must keep iterating until the true fix-
+    // point. Chain a-b-c-d-e: everything must label to "a".
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "a"))
+  }
+
+  test("minhash/simhash hot-band cap drops mega-bands, keeps real near-dups") {
+    // 50 verbatim-identical docs share every band (width 50 >> cap) — all
+    // their pairs must vanish under maxBand; a genuinely near-dup pair in
+    // bands of width 2 must survive. Exact dedup owns the identical docs.
+    val boiler = (0 until 50).map(i =>
+      (i.toLong, "the same cookie banner text appears on every single page"))
+    // (100, 101): one trailing word dropped — MinHash-near (jaccard 37/39).
+    // (102, 103): verbatim-identical but NOT boilerplate — their bands have
+    // width 2 and must SURVIVE the cap in both pipelines (hamming 0).
+    val near = Seq(
+      (100L, (0 until 40).map(j => "u" + j).mkString(" ")),
+      (101L, (0 until 39).map(j => "u" + j).mkString(" ")),
+      (102L, (0 until 40).map(j => "v" + j).mkString(" ")),
+      (103L, (0 until 40).map(j => "v" + j).mkString(" ")))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDups(df, "text", "doc_id", shingle = 3, k = 32,
+        bandRows = 4, threshold = 0.6, maxBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((100L, 101L), (102L, 103L)), s"got $mh")
+    val sh = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 6,
+        maxBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((102L, 103L)) && !sh.exists(_._1 < 50), s"got $sh")
+    // and with the cap disabled the boilerplate pairs flood back in
+    val uncapped = Dedup.simhashNearDups(df, "text", "doc_id",
+        maxHamming = 6, maxBand = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size > 1000, s"expected ~50*49/2 pairs, got ${uncapped.size}")
+  }
+
   test("withClusters keeps exactly one representative per component") {
     val docs = (0L until 20L).toDF("doc_id")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 10L)).toDF("id_a", "id_b")

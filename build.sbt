@@ -25,6 +25,8 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // arrow-memory-netty's unsafe allocation path (spark-submit sets this too)
+  "-Dio.netty.tryReflectionSetAccessible=true",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with a small heap turns scaling runs into GC benchmarks —
   // size the single-JVM "cluster" like 32 executor cores deserve

@@ -978,6 +978,46 @@ object SparkEntry {
           shingle = 3, k = 32, bandRows = 4, threshold = 0.6, maxBand = 2)
         .orderBy("id_a", "id_b")
     },
+    "q72_arrow_roundtrip" -> { (s, d) =>
+      prep(s, d)
+      // Arrow IPC interchange: point layer -> GeoArrow-tagged IPC part
+      // files (separate struct-of-x/y layout + ARROW:extension:name) ->
+      // distributed read-back -> coordinates. Lossless by construction,
+      // so the oracle is the source CTE itself — any drift in the arrow
+      // write/read path (value IO, batching, nulls) breaks the hash.
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("geom", call_function("st_point", col("lon"), col("lat")))
+        .select("l_orderkey", "l_linenumber", "geom")
+      val dir = pipelineDir("arrow_pts")
+      graft.sources.ArrowIpc.writeGeo(pts, "geom", dir, "point", "xy", "separate")
+      graft.sources.ArrowIpc.readGeo(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          call_function("st_x", col("geom")).as("lon"),
+          call_function("st_y", col("geom")).as("lat"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q75_arrow_nested" -> { (s, d) =>
+      prep(s, d)
+      // Arrow IPC with the NESTED native layout (polygon =
+      // list<list<struct<x,y>>>) in the STREAM format: rect polygons ->
+      // IPC -> read-back -> envelope corners, which must equal the
+      // generating arithmetic bit-for-bit (oracle recomputes it)
+      val polys = s.sql(s"""SELECT n_nationkey, st_boxgeom(st_makebox(
+        |  xmin, ymin,
+        |  xmin + CAST(20.0 AS DOUBLE),
+        |  ymin + CAST(25.0 AS DOUBLE))) AS poly
+        |FROM ($RectsCte)""".stripMargin)
+      val dir = pipelineDir("arrow_polys")
+      graft.sources.ArrowIpc.writeGeo(polys, "poly", dir, "polygon", "xy",
+        "separate", stream = true)
+      graft.sources.ArrowIpc.readGeo(s, dir)
+        .select(col("n_nationkey"),
+          call_function("st_envelope", col("poly")).as("env"))
+        .select(col("n_nationkey"),
+          col("env")("xmin").as("xmin"), col("env")("ymin").as("ymin"),
+          col("env")("xmax").as("xmax"), col("env")("ymax").as("ymax"))
+        .orderBy("n_nationkey")
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
     // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
@@ -1412,6 +1452,14 @@ object SparkEntry {
     // same pipeline with a cap low enough to BITE on the planted corpus —
     // proves the hot-band drop path is bit-identical in both engines
     "q74_minhash_capped" -> minhashOracle(2),
+    // Arrow IPC is lossless: the oracle is the generating arithmetic
+    "q72_arrow_roundtrip" ->
+      s"""SELECT l_orderkey, l_linenumber, lon, lat FROM ($PtsCte)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q75_arrow_nested" ->
+      s"""SELECT n_nationkey, xmin, ymin, xmin + 20.0 AS xmax,
+         |  ymin + 25.0 AS ymax
+         |FROM ($RectsCte) ORDER BY n_nationkey""".stripMargin,
     // exact-dup PAIRS (streaming join-back shape, no per-group id lists);
     // dup rows planted so the gate can't pass vacuously
     "q73_exact_dupes" ->

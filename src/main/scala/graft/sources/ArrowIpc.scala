@@ -1,0 +1,394 @@
+package graft.sources
+
+import java.nio.channels.Channels
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sql.{Geo, GeoSchema}
+
+/** Arrow IPC interchange — the reference's native transport. geoarrow-r
+  * moves data as Arrow arrays/streams (`/root/reference/R/array.R:14-132`,
+  * nanoarrow throughout), and its extension-type registry (C6,
+  * `/root/reference/R/type.R`) tags columns `geoarrow.*` via the standard
+  * `ARROW:extension:name` field metadata. This is the Spark counterpart:
+  * a user holding real `.arrow` (IPC file) or `.arrows` (IPC stream)
+  * payloads reads them into DataFrames here, and exports back, with
+  * geometry columns carried in the GeoArrow native nested layouts
+  * (struct-of-x/y or interleaved lists, `src/geoarrow.c:25-43`) and tagged
+  * with the spec's extension name + metadata — consumable by pyarrow /
+  * nanoarrow / geoarrow-* without conversion.
+  *
+  * Scale shape: one IPC file per partition (exactly like parquet part
+  * files), written/read executor-side through the Hadoop FileSystem API —
+  * no driver collect, no single-file bottleneck; reads parallelize over
+  * the file list. Batches are bounded (`batchRows`) so vector memory per
+  * task stays constant. Arrow jars are Spark's own (`arrow-vector`). */
+object ArrowIpc {
+
+  // ----------------------------------------------------- schema mapping
+
+  /** Spark -> Arrow field (recursive). `meta` attaches custom field
+    * metadata (e.g. the geoarrow extension tags) by column name — only
+    * consulted for top-level fields, like the spec requires. */
+  private def toArrowField(name: String, dt: DataType, nullable: Boolean,
+                           meta: java.util.Map[String, String]): Field = {
+    def leaf(t: ArrowType) =
+      new Field(name, new FieldType(nullable, t, null, meta), null)
+    dt match {
+      case BooleanType => leaf(ArrowType.Bool.INSTANCE)
+      case IntegerType => leaf(new ArrowType.Int(32, true))
+      case LongType => leaf(new ArrowType.Int(64, true))
+      case FloatType => leaf(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+      case DoubleType => leaf(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case StringType => leaf(ArrowType.Utf8.INSTANCE)
+      case BinaryType => leaf(ArrowType.Binary.INSTANCE)
+      case s: StructType =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null, meta),
+          s.fields.map(f => toArrowField(f.name, f.dataType, f.nullable, null)).toSeq.asJava)
+      case a: ArrayType =>
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null, meta),
+          Seq(toArrowField("item", a.elementType, a.containsNull, null)).asJava)
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported Spark type $other for column $name")
+    }
+  }
+
+  /** Arrow -> Spark field (recursive); custom metadata surfaces via
+    * [[fieldMetadata]]. */
+  private def toSparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.Bool => BooleanType
+    case t: ArrowType.Int =>
+      if (t.getBitWidth == 64) LongType
+      else if (t.getBitWidth == 32) IntegerType
+      else throw new IllegalArgumentException(s"unsupported int width ${t.getBitWidth}")
+    case t: ArrowType.FloatingPoint =>
+      if (t.getPrecision == FloatingPointPrecision.DOUBLE) DoubleType else FloatType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.toSeq.map(c =>
+        StructField(c.getName, toSparkType(c), c.isNullable)))
+    case _: ArrowType.List =>
+      val item = f.getChildren.get(0)
+      ArrayType(toSparkType(item), item.isNullable)
+    case other => throw new IllegalArgumentException(
+      s"ArrowIpc: unsupported Arrow type $other for column ${f.getName}")
+  }
+
+  private def toArrowSchema(schema: StructType,
+                            meta: Map[String, Map[String, String]]): ArrowSchema =
+    new ArrowSchema(schema.fields.map { f =>
+      val m = meta.get(f.name).map(_.asJava).orNull
+      toArrowField(f.name, f.dataType, f.nullable, m)
+    }.toSeq.asJava)
+
+  private def toSparkSchema(schema: ArrowSchema): StructType =
+    StructType(schema.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, toSparkType(f), f.isNullable)))
+
+  // ---------------------------------------------------------- value IO
+
+  private def ensureCap(v: ValueVector, i: Int): Unit =
+    while (v.getValueCapacity <= i) v.reAlloc()
+
+  /** Writes one Spark value into vector slot `i` (recursive for nested). */
+  private def writeValue(v: ValueVector, i: Int, value: Any): Unit = {
+    ensureCap(v, i)
+    v match {
+      case lv: ListVector =>
+        if (value == null) { lv.startNewValue(i); lv.endValue(i, 0); lv.setNull(i) }
+        else {
+          val start = lv.startNewValue(i)
+          val seq: Seq[Any] = value match {
+            case s: scala.collection.Seq[_] => s.toSeq
+            case a: Array[_] => a.toSeq
+            case l: java.util.List[_] => l.asScala.toSeq
+            case other => throw new IllegalArgumentException(
+              s"expected array value, got ${other.getClass}")
+          }
+          val child = lv.getDataVector
+          var j = 0
+          seq.foreach { e => writeValue(child, start + j, e); j += 1 }
+          lv.endValue(i, seq.size)
+        }
+      case sv: StructVector =>
+        if (value == null) sv.setNull(i)
+        else {
+          sv.setIndexDefined(i)
+          val row = value.asInstanceOf[Row]
+          val kids = sv.getChildrenFromFields
+          var j = 0
+          while (j < kids.size()) { writeValue(kids.get(j), i, row.get(j)); j += 1 }
+        }
+      case x: BigIntVector =>
+        if (value == null) x.setNull(i) else x.setSafe(i, value.asInstanceOf[Long])
+      case x: IntVector =>
+        if (value == null) x.setNull(i) else x.setSafe(i, value.asInstanceOf[Int])
+      case x: Float8Vector =>
+        if (value == null) x.setNull(i) else x.setSafe(i, value.asInstanceOf[Double])
+      case x: Float4Vector =>
+        if (value == null) x.setNull(i) else x.setSafe(i, value.asInstanceOf[Float])
+      case x: BitVector =>
+        if (value == null) x.setNull(i)
+        else x.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case x: VarCharVector =>
+        if (value == null) x.setNull(i)
+        else x.setSafe(i, value.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+      case x: VarBinaryVector =>
+        if (value == null) x.setNull(i) else x.setSafe(i, value.asInstanceOf[Array[Byte]])
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported vector ${other.getClass}")
+    }
+  }
+
+  /** Arrow `getObject` result -> Spark external value for `dt`. */
+  private def fromArrow(value: Any, dt: DataType): Any = (value, dt) match {
+    case (null, _) => null
+    case (t: org.apache.arrow.vector.util.Text, StringType) => t.toString
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(fromArrow(_, et))
+    case (m: java.util.Map[_, _], st: StructType) =>
+      Row.fromSeq(st.fields.toSeq.map(f =>
+        fromArrow(m.asInstanceOf[java.util.Map[String, Any]].get(f.name), f.dataType)))
+    case (v, _) => v
+  }
+
+  // ------------------------------------------------------------- write
+
+  /** Writes `df` as a directory of Arrow IPC part files — one per
+    * partition, executor-side (the parquet part-file shape; no driver
+    * collect). `fieldMeta` attaches custom Arrow field metadata by column
+    * name (the geoarrow extension tags ride here). `stream = true` emits
+    * the IPC STREAM format (`.arrows`, what sockets/nanoarrow pipes speak)
+    * instead of the random-access FILE format (`.arrow`). */
+  def write(df: DataFrame, path: String,
+            fieldMeta: Map[String, Map[String, String]] = Map.empty,
+            batchRows: Int = 4096, stream: Boolean = false): Unit = {
+    val schema = df.schema
+    val spark = df.sparkSession
+    // fresh target dir (overwrite semantics, like parquet writes here)
+    val root = new HPath(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    val ext = if (stream) "arrows" else "arrow"
+    val counts = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val file = f"$path/part-$idx%05d.$ext"
+      Iterator.single(writeFile(file, schema, fieldMeta, rows, batchRows, stream))
+    }.collect() // one (path, rows) pair per partition — bounded
+    require(counts.nonEmpty || df.isEmpty)
+  }
+
+  /** Writes one IPC file from an iterator of rows; returns the row count.
+    * Public so external per-partition pipelines can compose it. */
+  def writeFile(file: String, schema: StructType,
+                fieldMeta: Map[String, Map[String, String]],
+                rows: Iterator[Row], batchRows: Int,
+                stream: Boolean): Long = {
+    val arrowSchema = toArrowSchema(schema, fieldMeta)
+    val alloc = new RootAllocator()
+    var total = 0L
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema, alloc)
+      try {
+        val p = new HPath(file)
+        val out = p.getFileSystem(new Configuration()).create(p, true)
+        val writer =
+          if (stream) new ArrowStreamWriter(root, null, Channels.newChannel(out))
+          else new ArrowFileWriter(root, null, Channels.newChannel(out))
+        try {
+          writer.start()
+          while (rows.hasNext) {
+            root.allocateNew()
+            var n = 0
+            while (n < batchRows && rows.hasNext) {
+              val row = rows.next()
+              var c = 0
+              while (c < schema.length) {
+                writeValue(root.getVector(c), n, row.get(c))
+                c += 1
+              }
+              n += 1
+            }
+            root.setRowCount(n)
+            writer.writeBatch()
+            total += n
+          }
+          writer.end()
+        } finally { writer.close(); out.close() }
+      } finally root.close()
+    } finally alloc.close()
+    total
+  }
+
+  // -------------------------------------------------------------- read
+
+  private def listIpcFiles(path: String): Seq[String] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (fs.getFileStatus(root).isFile) Seq(path)
+    else fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".arrow") || p.getName.endsWith(".arrows"))
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
+
+  private def readAllBytes(file: String): Array[Byte] = {
+    val p = new HPath(file)
+    val fs = p.getFileSystem(new Configuration())
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"IPC part file too large: $file")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  /** The Arrow schema of an IPC file/dir (driver-side, schema bytes only). */
+  def arrowSchemaOf(path: String): ArrowSchema = {
+    val file = listIpcFiles(path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no .arrow/.arrows files under $path"))
+    val alloc = new RootAllocator()
+    try {
+      if (file.endsWith(".arrows")) {
+        val in = new java.io.ByteArrayInputStream(readAllBytes(file))
+        val r = new ArrowStreamReader(in, alloc)
+        try r.getVectorSchemaRoot.getSchema finally r.close()
+      } else {
+        val r = new ArrowFileReader(
+          new ByteArrayReadableSeekableByteChannel(readAllBytes(file)), alloc)
+        try r.getVectorSchemaRoot.getSchema finally r.close()
+      }
+    } finally alloc.close()
+  }
+
+  /** Custom field metadata by column name (extension tags surface here). */
+  def fieldMetadata(path: String): Map[String, Map[String, String]] =
+    arrowSchemaOf(path).getFields.asScala.toSeq.map { f =>
+      f.getName -> Option(f.getMetadata).map(_.asScala.toMap).getOrElse(Map.empty[String, String])
+    }.toMap
+
+  /** Reads a directory of IPC part files (or a single file) into a
+    * DataFrame: files parallelize across executors, each task streams its
+    * file's batches. Raw layout — geoarrow-tagged columns stay in their
+    * native nested layout; [[readGeo]] decodes them. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = listIpcFiles(path)
+    require(files.nonEmpty, s"no .arrow/.arrows files under $path")
+    val sparkSchema = toSparkSchema(arrowSchemaOf(path))
+    val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { file =>
+      readFileRows(file, sparkSchema)
+    }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Reads one IPC file into external Rows (executor-side). */
+  def readFileRows(file: String, sparkSchema: StructType): Iterator[Row] = {
+    // materialize per file: vectors must close before the task ends, and a
+    // part file is one partition's worth of rows by construction
+    val alloc = new RootAllocator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val reader =
+        if (file.endsWith(".arrows"))
+          new ArrowStreamReader(
+            new java.io.ByteArrayInputStream(readAllBytes(file)), alloc)
+        else
+          new ArrowFileReader(
+            new ByteArrayReadableSeekableByteChannel(readAllBytes(file)), alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        while (reader.loadNextBatch()) {
+          var i = 0
+          while (i < root.getRowCount) {
+            out += Row.fromSeq(sparkSchema.fields.toSeq.zipWithIndex.map {
+              case (f, c) => fromArrow(root.getVector(c).getObject(i), f.dataType)
+            })
+            i += 1
+          }
+        }
+      } finally reader.close()
+    } finally alloc.close()
+    out.iterator
+  }
+
+  // -------------------------------------------- geoarrow extension layer
+
+  private def extMetaJson(dims: String, crs: Option[String]): String = {
+    val crsJson = crs.map(c =>
+      if (c.trim.startsWith("{")) c
+      else "\"" + GeoSchema.jsonEscape(c) + "\"").getOrElse("null")
+    s"""{"crs":$crsJson,"dims":"${dims.toLowerCase}"}"""
+  }
+
+  /** Writes a geometry DataFrame as GeoArrow-tagged IPC: the geometry
+    * column converts to the native nested layout (`st_tonative`) and its
+    * Arrow field carries `ARROW:extension:name = geoarrow.<type>` plus the
+    * spec's metadata JSON (crs; dims recorded for interleaved layouts,
+    * whose list shape alone can't distinguish xy/xyz). */
+  def writeGeo(df: DataFrame, geomCol: String, path: String,
+               geometryType: String, dims: String = "xy",
+               coordType: String = "separate",
+               crs: Option[String] = Some(GeoSchema.Crs84Projjson),
+               batchRows: Int = 4096, stream: Boolean = false): Unit = {
+    Geo.register(df.sparkSession)
+    val nat = df.withColumn(geomCol, call_function("st_tonative",
+      col(geomCol), lit(geometryType), lit(dims), lit(coordType)))
+    val meta = Map(geomCol -> Map(
+      "ARROW:extension:name" -> s"geoarrow.${geometryType.toLowerCase}",
+      "ARROW:extension:metadata" -> extMetaJson(dims, crs)))
+    write(nat, path, meta, batchRows, stream)
+  }
+
+  /** Reads GeoArrow-tagged IPC: every `geoarrow.*`-tagged column decodes
+    * from its native layout back to the engine geometry struct, with crs
+    * re-attached as column metadata (C1/C2 propagation). */
+  def readGeo(spark: SparkSession, path: String): DataFrame = {
+    Geo.register(spark)
+    val metaByCol = fieldMetadata(path)
+    var df = read(spark, path)
+    metaByCol.foreach { case (name, meta) =>
+      meta.get("ARROW:extension:name")
+        .filter(_.startsWith("geoarrow.")).foreach { extName =>
+          val gt = extName.stripPrefix("geoarrow.")
+          val extJson = meta.getOrElse("ARROW:extension:metadata", "{}")
+          val crs = GeoParquet.extractCrs(extJson)
+          // coord layout from the Spark type: struct leaves = separate,
+          // double-list leaves = interleaved (dims then from metadata)
+          def innermost(dt: DataType): DataType = dt match {
+            case ArrayType(e, _) => innermost(e)
+            case other => other
+          }
+          val inner = innermost(df.schema(name).dataType)
+          val (coordType, dims) = inner match {
+            case s: StructType => ("separate", s.fields.map(_.name).mkString)
+            case _ => ("interleaved",
+              GeoParquet.extractString(extJson, "dims").getOrElse("xy"))
+          }
+          df = df.withColumn(name, call_function("st_fromnative",
+            col(name), lit(gt), lit(dims), lit(coordType)))
+          val typeInt = Seq("point", "linestring", "polygon", "multipoint",
+            "multilinestring", "multipolygon").indexOf(gt) + 1
+          val dimsInt = Seq("xy", "xyz", "xym", "xyzm").indexOf(dims) + 1
+          if (typeInt > 0 && dimsInt > 0)
+            df = GeoSchema.withGeoMetadata(df, name, typeInt, dimsInt, crs)
+        }
+    }
+    df
+  }
+}

@@ -287,7 +287,7 @@ object GeoParquet {
     else df
   }
 
-  private def extractString(json: String, key: String): Option[String] = {
+  private[sources] def extractString(json: String, key: String): Option[String] = {
     val k = "\"" + key + "\":"
     val i = json.indexOf(k)
     if (i < 0) return None
@@ -301,7 +301,7 @@ object GeoParquet {
     if (j < rest.length) Some(GeoSchema.jsonUnescape(rest.substring(1, j))) else None
   }
 
-  private def extractCrs(json: String): Option[String] = {
+  private[sources] def extractCrs(json: String): Option[String] = {
     val key = "\"crs\":"
     val i = json.indexOf(key)
     if (i < 0) return None

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.{Geo, GeoSchema}
+
+class ArrowIpcSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"arrowipc_$tag").toString
+
+  test("generic IPC roundtrip: scalars, nulls, struct, arrays, binary") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = true), nullable = true),
+      StructField("st", StructType(Seq(
+        StructField("x", DoubleType, nullable = true),
+        StructField("tags", ArrayType(StringType, containsNull = true), nullable = true))),
+        nullable = true)))
+    val rows = Seq(
+      Row(1L, 10, 1.5f, 2.5, true, "héllo", Array[Byte](1, 2, 3),
+        Seq(1L, 2L, 3L), Row(9.5, Seq("a", "b"))),
+      Row(2L, null, null, null, null, null, null, null, null),
+      Row(3L, -7, -0.5f, Double.NaN, false, "", Array.empty[Byte],
+        Seq.empty[Long], Row(null, Seq(null, "c"))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("generic")
+    ArrowIpc.write(df, dir, batchRows = 2)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema == schema.copy()
+      || back.schema.map(f => (f.name, f.dataType)).toSeq ==
+         schema.map(f => (f.name, f.dataType)).toSeq)
+    def render(r: Row): String = r.toSeq.map {
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case v => String.valueOf(v)
+    }.mkString("|")
+    val a = df.collect().map(render).sorted.toSeq
+    val b = back.collect().map(render).sorted.toSeq
+    assert(a == b)
+    // part file per partition, standard .arrow extension
+    val files = new java.io.File(dir).list().filter(_.endsWith(".arrow"))
+    assert(files.length == 2)
+  }
+
+  test("IPC STREAM format roundtrip (.arrows)") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 2).cast("double").as("v"))
+    val dir = tmp("stream")
+    ArrowIpc.write(df, dir, stream = true)
+    assert(new java.io.File(dir).list().exists(_.endsWith(".arrows")))
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.as[(Long, Double)](org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+      .collect().toSet == (0L until 100L).map(i => (i, i * 2.0)).toSet)
+  }
+
+  test("geoarrow extension tags: every geometry type roundtrips bit-exact") {
+    Geo.register(spark)
+    val wkts = Seq(
+      ("point", "POINT (1.5 2.5)"),
+      ("linestring", "LINESTRING (0 0, 1 1, 2 0.5)"),
+      ("polygon", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+      ("multipoint", "MULTIPOINT (1 2, 3 4)"),
+      ("multilinestring", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))"),
+      ("multipolygon", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"))
+    for ((gt, wkt) <- wkts; coordType <- Seq("separate", "interleaved")) {
+      val df = spark.sql(
+        s"""SELECT id, st_geomfromwkt('$wkt') AS geom FROM range(5)""")
+      val dir = tmp(s"geo_${gt}_$coordType")
+      ArrowIpc.writeGeo(df, "geom", dir, gt, "xy", coordType)
+      // the extension tag is on the wire, spec-named
+      val meta = ArrowIpc.fieldMetadata(dir)("geom")
+      assert(meta("ARROW:extension:name") == s"geoarrow.$gt")
+      assert(meta("ARROW:extension:metadata").contains("crs"))
+      val back = ArrowIpc.readGeo(spark, dir)
+      assert(back.schema("geom").dataType == graft.sql.GeoStruct.dataType)
+      val got = back.select(call_function("st_aswkt", col("geom")).as("w"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq.fill(5)(wkt), s"$gt/$coordType")
+      // crs metadata re-attached (C1/C2 propagation through interchange)
+      val parsed = GeoSchema.parseField(back.schema(back.schema.fieldIndex("geom")))
+      assert(parsed.crsType == GeoSchema.CrsType.Projjson, s"$gt/$coordType")
+    }
+  }
+
+  test("xyz dims survive interleaved interchange via extension metadata") {
+    Geo.register(spark)
+    val wkt = "LINESTRING Z (0 0 1, 1 1 2)"
+    val df = spark.sql(s"SELECT st_geomfromwkt('$wkt') AS geom")
+    val dir = tmp("xyz")
+    ArrowIpc.writeGeo(df, "geom", dir, "linestring", "xyz", "interleaved")
+    val back = ArrowIpc.readGeo(spark, dir)
+    val got = back.select(call_function("st_aswkt", col("geom")))
+      .collect()(0).getString(0)
+    assert(got == wkt)
+  }
+}

@@ -978,6 +978,33 @@ object SparkEntry {
           shingle = 3, k = 32, bandRows = 4, threshold = 0.6, maxBand = 2)
         .orderBy("id_a", "id_b")
     },
+    "q76_avi_frames" -> { (s, d) =>
+      prep(s, d)
+      // REAL COMPRESSED-video decode: per-row AVI containers with PNG
+      // ('MPNG') frame chunks synthesized by make_avi, video_meta
+      // container parse, frame_features decodes every 2nd frame through
+      // javax.imageio and pools BT.601 luma — gray two-band frames make
+      // every feature the analytic constant band/255 (same discipline as
+      // q48/q56), so the whole compressed path is DuckDB-oracled
+      s.sql("""WITH p AS (SELECT doc_id,
+        |  CAST((doc_id % 5 + 1) * 2 AS INT) AS w,
+        |  CAST((doc_id % 4 + 1) * 4 AS INT) AS h,
+        |  CAST(doc_id % 6 + 2 AS INT) AS nf,
+        |  CAST(doc_id % 200 + 3 AS INT) AS seed
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        |  video_meta(make_avi(w, h, nf, seed, 0)) AS m,
+        |  frame_features(make_avi(w, h, nf, seed, 0), 2, 4) AS fr
+        | FROM p)
+        |SELECT doc_id, m.width AS width, m.height AS height,
+        |  m.fps_num AS fps_num, m.fps_den AS fps_den,
+        |  m.n_frames AS n_frames, m.detected_fmt AS fmt,
+        |  f.frame_idx AS frame_idx, CAST(pos AS INT) AS idx, feat
+        |FROM v
+        |LATERAL VIEW explode(fr) AS f
+        |LATERAL VIEW posexplode(f.features) AS pos, feat
+        |ORDER BY doc_id, frame_idx, idx""".stripMargin)
+    },
     "q72_arrow_roundtrip" -> { (s, d) =>
       prep(s, d)
       // Arrow IPC interchange: point layer -> GeoArrow-tagged IPC part
@@ -1452,6 +1479,27 @@ object SparkEntry {
     // same pipeline with a cap low enough to BITE on the planted corpus —
     // proves the hot-band drop path is bit-identical in both engines
     "q74_minhash_capped" -> minhashOracle(2),
+    // compressed-video frames over two-band PNG-in-AVI: lossless frame
+    // codec + BT.601 pooling of gray bands => each feature is band/255
+    // exactly (q56's analytic structure; fps = 1000000/40000 from avih)
+    "q76_avi_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |  (doc_id % 5 + 1) * 2 AS w, (doc_id % 4 + 1) * 4 AS h,
+        |  doc_id % 6 + 2 AS nf, doc_id % 200 + 3 AS seed
+        | FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, seed,
+        |  unnest(generate_series(0, nf - 1)) AS fi FROM p),
+        |x AS (SELECT doc_id, w, h, nf, seed, fi,
+        |  unnest([0, 1, 2, 3]) AS idx FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(1000000 AS INTEGER) AS fps_num,
+        |  CAST(40000 AS INTEGER) AS fps_den, CAST(nf AS INTEGER) AS n_frames,
+        |  'avi' AS fmt, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(idx AS INTEGER) AS idx,
+        |  CAST(CAST(CASE WHEN idx < 2 THEN (seed + 7 * fi) % 256
+        |            ELSE (seed + 13 * fi) % 256 END AS DOUBLE) / 255.0
+        |    AS FLOAT) AS feat
+        |FROM x ORDER BY doc_id, frame_idx, idx""".stripMargin,
     // Arrow IPC is lossless: the oracle is the generating arithmetic
     "q72_arrow_roundtrip" ->
       s"""SELECT l_orderkey, l_linenumber, lon, lat FROM ($PtsCte)

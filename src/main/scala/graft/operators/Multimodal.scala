@@ -70,12 +70,14 @@ object Multimodal {
       call_function("audio_features", col(bytesCol), lit(dim)))
   }
 
-  /** REAL video frame sampling for uncompressed (YUV4MPEG2) payloads: the
-    * `frame_features` kernel decodes every `everyN`-th frame's luma plane
-    * and pools it to a `dim`-float feature vector in one pass; the result
-    * explodes to one row per sampled frame (`frame_idx`, `features`). All
-    * codegen — no `mapPartitions`, pruning/pushdown flow through. For
-    * compressed codecs (no JVM decoder) see [[sampleFramesStub]]. */
+  /** REAL video frame sampling: the `frame_features` kernel decodes every
+    * `everyN`-th frame and pools it to a `dim`-float feature vector in one
+    * pass — uncompressed YUV4MPEG2 luma planes directly, COMPRESSED
+    * RIFF/AVI containers (PNG and Motion-JPEG streams) through
+    * javax.imageio per sampled frame. The result explodes to one row per
+    * sampled frame (`frame_idx`, `features`). All codegen — no
+    * `mapPartitions`, pruning/pushdown flow through. Only codecs with no
+    * JVM decoder (H.264/HEVC) fall back to [[sampleFramesStub]]. */
   def sampleFrames(df: DataFrame, bytesCol: String, everyN: Int,
                    dim: Int): DataFrame = {
     graft.sql.Geo.register(df.sparkSession)
@@ -87,11 +89,12 @@ object Multimodal {
       .drop("__frames")
   }
 
-  /** STUB — frame sampling for COMPRESSED video (MP4/H.264…), for which
-    * the JVM ships no decoder: emits `everyN`-th "frame" reference with
-    * correct explode semantics (one output row per sampled frame, frame_idx
-    * column). Real frame decode would slot into the marked line; for
-    * uncompressed Y4M payloads use the real [[sampleFrames]]. */
+  /** STUB — frame sampling for codecs the JVM ships NO decoder for
+    * (MP4/H.264/HEVC…): emits `everyN`-th "frame" reference with correct
+    * explode semantics (one output row per sampled frame, frame_idx
+    * column). Real frame decode would slot into the marked line. For
+    * uncompressed Y4M AND compressed AVI (PNG/MJPEG) payloads use the
+    * real [[sampleFrames]]. */
   def sampleFramesStub(df: DataFrame, bytesCol: String, frameCount: Int,
                        everyN: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(

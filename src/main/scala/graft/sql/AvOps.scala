@@ -13,10 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * runs inside whole-stage codegen, pipelined with the scan: payload bytes
   * never cross a shuffle and column pruning flows through.
   *
-  * These are REAL decoders for the containers a JVM can parse without any
-  * media library: RIFF/WAVE PCM for audio and YUV4MPEG2 (uncompressed
-  * planar YUV) for video. Compressed codecs (MP3/AAC/H.264…) have no JVM
-  * decoder, so only those stay behind the clearly-marked stub in
+  * These are REAL decoders for what a JVM can parse without any media
+  * library: RIFF/WAVE PCM for audio, YUV4MPEG2 (uncompressed planar YUV)
+  * for video, and RIFF/AVI containers whose frames are PNG ('MPNG') or
+  * Motion-JPEG ('MJPG') — the container walk is hand-parsed and each
+  * sampled frame decodes through javax.imageio, a genuine
+  * compressed-codec path. Only codecs the JVM ships no decoder for
+  * (MP3/AAC/H.264…) stay behind the clearly-marked stub in
   * [[graft.operators.Multimodal.sampleFramesStub]].
   *
   * Feature arithmetic is integer-sum-then-one-division (same discipline as
@@ -245,12 +248,16 @@ object AvOps {
   }
 
   /** Real video metadata: YUV4MPEG2 header parse + frame count by walking
-    * FRAME markers. Non-Y4M payloads yield nulls + "unknown". */
+    * FRAME markers, or RIFF/AVI container parse (compressed streams).
+    * Other payloads yield nulls + "unknown". */
   def videoMeta(bytes: Array[Byte]): InternalRow = parseY4mHeader(bytes) match {
-    case None => unknownVideo
     case Some(y4m) => new GenericInternalRow(Array[Any](
       y4m.w, y4m.h, y4m.fpsNum, y4m.fpsDen, countFrames(bytes, y4m),
       UTF8String.fromString("y4m")))
+    case None => parseAvi(bytes) match {
+      case Some(avi) => aviMeta(avi)
+      case None => unknownVideo
+    }
   }
 
   val frameFeaturesType: ArrayType = ArrayType(StructType(Seq(
@@ -258,17 +265,22 @@ object AvOps {
     StructField("features", ArrayType(FloatType, containsNull = false),
       nullable = false))), containsNull = false)
 
-  /** REAL frame sampling + features for uncompressed video: every
-    * `everyN`-th frame's luma plane pooled over a grid exactly like
-    * `img_features` (luma already is the Y channel, so each feature is
-    * `sum(Y) / (255.0 * count)`). Returns array<struct<frame_idx,
+  /** REAL frame sampling + features. Uncompressed Y4M: every `everyN`-th
+    * frame's luma plane pooled over a grid exactly like `img_features`
+    * (luma already is the Y channel, so each feature is
+    * `sum(Y) / (255.0 * count)`). COMPRESSED AVI ('MPNG'/'MJPG'): each
+    * sampled frame chunk decodes via javax.imageio and pools BT.601
+    * luminance ([[aviFrameFeatures]]). Returns array<struct<frame_idx,
     * features>> — explode it for one row per sampled frame. Null for
-    * non-Y4M payloads. */
+    * unrecognized payloads. */
   def frameFeatures(bytes: Array[Byte], everyN: Int, dim: Int): ArrayData = {
     if (bytes == null || everyN <= 0 || dim <= 0) return null
     val y4m = parseY4mHeader(bytes) match {
       case Some(v) => v
-      case None => return null
+      case None => parseAvi(bytes) match {
+        case Some(avi) => return aviFrameFeatures(bytes, avi, everyN, dim)
+        case None => return null
+      }
     }
     val nFrames = countFrames(bytes, y4m)
     val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
@@ -344,5 +356,146 @@ object AvOps {
       f += 1
     }
     out.array()
+  }
+
+  // ------------------------------------- AVI (COMPRESSED video container)
+
+  /** Parsed AVI: geometry from `avih`, per-frame compressed chunk slices
+    * from the `movi` list. */
+  private case class Avi(w: Int, h: Int, usPerFrame: Int,
+                         offs: Array[Int], lens: Array[Int]) {
+    def nFrames: Int = offs.length
+  }
+
+  private def cc(bytes: Array[Byte], at: Int): String =
+    new String(bytes, at, 4, "US-ASCII")
+
+  private def u32(bytes: Array[Byte], at: Int): Long =
+    (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+      ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+
+  /** Real RIFF/AVI container parse: walks the chunk tree (LIST recursion),
+    * reads width/height/µs-per-frame from `avih`, collects every video
+    * frame chunk (`##dc` compressed / `##db` uncompressed DIB). The frame
+    * PAYLOADS stay compressed — [[frameFeatures]] hands each sampled one
+    * to javax.imageio, which decodes the codecs the JVM ships (PNG for
+    * lossless 'MPNG' streams, JPEG for Motion-JPEG 'MJPG'). */
+  private def parseAvi(bytes: Array[Byte]): Option[Avi] = {
+    if (bytes == null || bytes.length < 24) return None
+    if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+    var w = -1; var h = -1; var us = 0
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = cc(bytes, p)
+        val sz = u32(bytes, p + 4).toInt
+        val body = p + 8
+        if (sz < 0 || body + sz > until) return // truncated/corrupt: stop
+        if (id == "LIST") walk(body + 4, body + sz)
+        else if (id == "avih" && sz >= 40) {
+          us = u32(bytes, body).toInt
+          w = u32(bytes, body + 32).toInt
+          h = u32(bytes, body + 36).toInt
+        } else if ((id.endsWith("dc") || id.endsWith("db")) &&
+            id.take(2).forall(_.isDigit)) {
+          offs += body; lens += sz
+        }
+        p = body + sz + (sz & 1) // chunks pad to even
+      }
+    }
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+    walk(12, riffEnd)
+    if (w <= 0 || h <= 0) None
+    else Some(Avi(w, h, us, offs.toArray, lens.toArray))
+  }
+
+  /** AVI leg of [[videoMeta]]: (w, h, 1000000/µsPerFrame as the fps
+    * rational, frame-chunk count, "avi"). */
+  private def aviMeta(avi: Avi): InternalRow = new GenericInternalRow(
+    Array[Any](avi.w, avi.h, 1000000,
+      if (avi.usPerFrame > 0) avi.usPerFrame else 33333,
+      avi.nFrames, UTF8String.fromString("avi")))
+
+  /** AVI leg of [[frameFeatures]]: every `everyN`-th frame chunk decodes
+    * through javax.imageio (PNG/MJPEG — a REAL compressed-codec path) and
+    * pools BT.601 luminance exactly like `img_features`
+    * ([[MediaOps.imgFeatures]] arithmetic, so gray two-band frames stay
+    * analytically oracle-able). Any undecodable sampled frame fails the
+    * whole payload to null (corrupt video, not partial data). */
+  private def aviFrameFeatures(bytes: Array[Byte], avi: Avi, everyN: Int,
+                               dim: Int): ArrayData = {
+    val rows = Range(0, avi.nFrames, everyN).map { f =>
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, avi.offs(f), avi.offs(f) + avi.lens(f))
+      val feats = MediaOps.imgFeatures(slice, dim)
+      if (feats == null) return null
+      new GenericInternalRow(Array[Any](f, feats)): Any
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  /** Deterministic two-band AVI synthesis (the compressed analog of
+    * [[makeY4m]]): frame f is a [[MediaOps.makePng]]/JPEG image, gray
+    * `(seed + 7f) mod 256` on the top half and `(seed + 13f) mod 256` on
+    * the bottom. `codec` 0 = PNG frames ('MPNG' stream — lossless, so
+    * pooled features are analytic constants for the oracle), 1 = JPEG
+    * frames ('MJPG' Motion-JPEG — lossy, exercised by tolerance tests). */
+  def makeAvi(w: Int, h: Int, nFrames: Int, seed: Int,
+              codec: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 1024 && h <= 1024, s"bad avi size ${w}x$h")
+    require(nFrames >= 0 && nFrames <= 4096, s"bad frame count $nFrames")
+    val frames = (0 until nFrames).map { f =>
+      val v1 = (((seed + 7L * f) % 256 + 256) % 256).toInt
+      val v2 = (((seed + 13L * f) % 256 + 256) % 256).toInt
+      if (codec == 0) MediaOps.makePng(w, h, v1, v1, v1, v2, v2, v2)
+      else makeJpegBands(w, h, v1, v2)
+    }
+    val handler = if (codec == 0) "MPNG" else "MJPG"
+    def le32(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    val avih = chunk("avih",
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(nFrames) ++
+        le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+        Array.fill(16)(0.toByte))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+        le32(nFrames) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array.fill(8)(0.toByte))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++
+        ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putShort(1.toShort).putShort(24.toShort).array() ++
+        handler.getBytes("US-ASCII") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.map(fb => chunk("00dc", fb)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  private def makeJpegBands(w: Int, h: Int, v1: Int, v2: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val v = if (y < h / 2) v1 else v2
+      java.util.Arrays.fill(row, (v << 16) | (v << 8) | v)
+      img.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(512 + w * h)
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 }

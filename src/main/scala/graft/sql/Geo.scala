@@ -255,6 +255,9 @@ object Geo {
       nullable = true)),
     "make_y4m" -> (a => inv(AvOps.getClass, BinaryType, "makeY4m", a,
       Seq.fill(4)(IntegerType))),
+    // deterministic two-band AVI synthesis (codec 0 = PNG frames, 1 = MJPEG)
+    "make_avi" -> (a => inv(AvOps.getClass, BinaryType, "makeAvi", a,
+      Seq.fill(5)(IntegerType))),
     // --- vector kernels
     "vec_dot" -> (a => vec(DoubleType, "dot", a, Seq(floatArray, floatArray))),
     "vec_norm" -> (a => vec(DoubleType, "norm", a, Seq(floatArray))),

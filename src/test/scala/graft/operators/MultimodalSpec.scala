@@ -155,6 +155,50 @@ class MultimodalSpec extends AnyFunSuite {
       s"real frame sampling must not use an object boundary:\n$plan")
   }
 
+  test("AVI container: PNG frames decode bit-exact, MJPEG within tolerance") {
+    graft.sql.Geo.register(spark)
+    // PNG-in-AVI ('MPNG'): lossless — features are the analytic band/255
+    val png = spark.sql(
+      """SELECT video_meta(make_avi(8, 8, 4, 50, 0)) AS m,
+        |  frame_features(make_avi(8, 8, 4, 50, 0), 2, 4) AS fr""".stripMargin)
+      .collect()(0)
+    val m = png.getStruct(0)
+    assert((m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4),
+      m.getString(5)) == (8, 8, 1000000, 40000, 4, "avi"))
+    val frames = png.getSeq[org.apache.spark.sql.Row](1)
+    assert(frames.map(_.getInt(0)) == Seq(0, 2))
+    for (fr <- frames; f = fr.getInt(0)) {
+      val feats = fr.getSeq[Float](1)
+      val top = ((50 + 7 * f) % 256).toDouble / 255.0
+      val bot = ((50 + 13 * f) % 256).toDouble / 255.0
+      assert(feats == Seq(top.toFloat, top.toFloat, bot.toFloat, bot.toFloat))
+    }
+    // Motion-JPEG ('MJPG'): REAL lossy codec through javax.imageio — the
+    // pooled means land within JPEG quantization error of the bands
+    val jpg = spark.sql(
+      """SELECT video_meta(make_avi(16, 16, 3, 90, 1)) AS m,
+        |  frame_features(make_avi(16, 16, 3, 90, 1), 1, 4) AS fr""".stripMargin)
+      .collect()(0)
+    assert(jpg.getStruct(0).getString(5) == "avi")
+    val jframes = jpg.getSeq[org.apache.spark.sql.Row](1)
+    assert(jframes.map(_.getInt(0)) == Seq(0, 1, 2))
+    for (fr <- jframes; f = fr.getInt(0)) {
+      val feats = fr.getSeq[Float](1)
+      val top = ((90 + 7 * f) % 256).toDouble / 255.0
+      val bot = ((90 + 13 * f) % 256).toDouble / 255.0
+      assert(math.abs(feats(0) - top) < 0.03 && math.abs(feats(1) - top) < 0.03,
+        s"frame $f top: $feats vs $top")
+      assert(math.abs(feats(2) - bot) < 0.03 && math.abs(feats(3) - bot) < 0.03,
+        s"frame $f bot: $feats vs $bot")
+    }
+    // corrupt payload -> null features, "unknown" meta
+    val bad = spark.sql(
+      """SELECT video_meta(CAST('RIFFjunk' AS BINARY)) AS m,
+        |  frame_features(CAST('RIFFjunk' AS BINARY), 1, 4) AS fr""".stripMargin)
+      .collect()(0)
+    assert(bad.getStruct(0).getString(5) == "unknown" && bad.isNullAt(1))
+  }
+
   test("cast-elision rule folds idempotent cast chains") {
     graft.sql.Geo.register(spark)
     val df = spark.sql(

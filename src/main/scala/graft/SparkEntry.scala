@@ -709,6 +709,21 @@ object SparkEntry {
           "err_event_id")
         .orderBy("event_id")
     },
+    "q77_asof_chunked" -> { (s, d) =>
+      prep(s, d)
+      // the time-chunked as-of (three-stage carry, window keyed by
+      // (user, day-chunk) so a monster user splits across tasks) must
+      // reproduce DuckDB's native ASOF JOIN bit-for-bit, like q66
+      val events = s.table("events")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("err_event_id"))
+      val lft = events.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOf.asofJoinChunked(lft, errors, "user_id", "ts",
+          "err_event_id", chunkWidth = 86400.0)
+        .orderBy("event_id")
+    },
     "q65_vocab" -> { (s, d) =>
       prep(s, d)
       // vocabulary building: top-50 tokens by (count desc, token asc) with
@@ -1806,6 +1821,20 @@ object SparkEntry {
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // as-of ground truth: DuckDB's native ASOF JOIN (inclusive >=)
     "q66_asof_join" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, event_id AS err_event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'error'),
+        |e1 AS (SELECT user_id, ts, err_event_id FROM err WHERE rn = 1),
+        |lft AS (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type != 'error')
+        |SELECT l.event_id, l.user_id, l.ts AS ts, e.err_event_id
+        |FROM lft l ASOF LEFT JOIN e1 e
+        |  ON l.user_id = e.user_id AND l.ts >= e.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // chunked variant: same ground truth — the staging must be invisible
+    "q77_asof_chunked" ->
       """WITH err AS (
         |  SELECT user_id, ts, event_id AS err_event_id,
         |    row_number() OVER (PARTITION BY user_id, ts

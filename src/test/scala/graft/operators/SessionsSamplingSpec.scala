@@ -55,6 +55,36 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"as-of must stay union-window shaped:\n$plan")
   }
 
+  test("asofJoinChunked: identical to asofJoin on a monster-key corpus") {
+    // one key holds 90% of the rows — the case the chunked variant exists
+    // for; every chunk width must reproduce the single-window answer
+    // exactly, including carries across empty and left-only chunks
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 2000).map { i =>
+      val key = if (i % 10 == 0) (i % 3 + 2).toLong else 1L
+      (i.toLong, key, (rnd.nextInt(100000)).toLong)
+    }.toDF("event_id", "user_id", "ts")
+    val right = (0 until 300).map { i =>
+      val key = if (i % 10 == 0) (i % 3 + 2).toLong else 1L
+      (key, (rnd.nextInt(100000)).toLong, (1000 + i).toLong)
+    }.toDF("user_id", "ts", "quote_id")
+    val base = AsOf.asofJoin(left, right, "user_id", "ts", "quote_id")
+      .select("event_id", "quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    for (width <- Seq(100.0, 7777.0, 1000000.0)) {
+      val chunked = AsOf.asofJoinChunked(left, right, "user_id", "ts",
+          "quote_id", width)
+        .select("event_id", "quote_id").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(chunked == base, s"width $width")
+    }
+    // the big window now partitions by (key, chunk): no single-key task
+    val plan = AsOf.asofJoinChunked(left, right, "user_id", "ts",
+        "quote_id", 100.0).queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), s"chunk column must key the window:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("asofJoin: latest row wins atomically — null payload fields carried") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq((1L, 1L, t("2026-01-01 00:30:00"))).toDF("event_id", "user_id", "ts")

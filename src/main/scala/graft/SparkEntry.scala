@@ -709,6 +709,27 @@ object SparkEntry {
           "err_event_id")
         .orderBy("event_id")
     },
+    "q78_range_join" -> { (s, d) =>
+      prep(s, d)
+      // interval-containment join via chunk binning (equi-join + refine —
+      // never the BroadcastNestedLoopJoin Spark would plan for BETWEEN):
+      // every (point, interval) containment pair, oracled against
+      // DuckDB's native inequality join
+      val pts = s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 100000
+          |    AS DOUBLE) AS v
+          |FROM lineitem_par""".stripMargin)
+      val ivs = s.sql(
+        """SELECT n_nationkey,
+          |  CAST((n_nationkey * 4099) % 90000 AS DOUBLE) AS lo,
+          |  CAST((n_nationkey * 4099) % 90000 + 2000 + (n_nationkey % 7) * 500
+          |    AS DOUBLE) AS hi
+          |FROM nation""".stripMargin)
+      graft.operators.RangeJoin.intervalJoin(pts, "v", ivs, "lo", "hi",
+          chunkWidth = 1000.0)
+        .orderBy("l_orderkey", "l_linenumber", "n_nationkey")
+    },
     "q77_asof_chunked" -> { (s, d) =>
       prep(s, d)
       // the time-chunked as-of (three-stage carry, window keyed by
@@ -1833,6 +1854,22 @@ object SparkEntry {
         |FROM lft l ASOF LEFT JOIN e1 e
         |  ON l.user_id = e.user_id AND l.ts >= e.ts
         |ORDER BY l.event_id""".stripMargin,
+    // range join ground truth: DuckDB's native inequality join
+    "q78_range_join" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 100000
+        |      AS DOUBLE) AS v
+        |  FROM lineitem),
+        |ivs AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 4099) % 90000 AS DOUBLE) AS lo,
+        |    CAST((n_nationkey * 4099) % 90000 + 2000 + (n_nationkey % 7) * 500
+        |      AS DOUBLE) AS hi
+        |  FROM nation)
+        |SELECT p.l_orderkey, p.l_linenumber, p.v, i.n_nationkey, i.lo, i.hi
+        |FROM pts p JOIN ivs i ON p.v >= i.lo AND p.v <= i.hi
+        |ORDER BY p.l_orderkey, p.l_linenumber, i.n_nationkey""".stripMargin,
     // chunked variant: same ground truth — the staging must be invisible
     "q77_asof_chunked" ->
       """WITH err AS (

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Range (interval-containment) join — the other join Spark lacks natively
+  * (with [[AsOf]]): each point row matches the interval rows whose
+  * `[lo, hi]` contains it, optionally on equal keys.
+  *
+  * Spark plans a raw `pt BETWEEN lo AND hi` predicate as
+  * BroadcastNestedLoopJoin (all-pairs — dead at scale). Here the number
+  * line is cut into fixed-width chunks: intervals EXPLODE to the chunks
+  * they cover, points map to their single containing chunk, and the match
+  * becomes a hash equi-join on (keys…, chunk) + exact BETWEEN refine.
+  * Because a point owns exactly ONE chunk, every matching pair surfaces
+  * exactly once — no distinct pass.
+  *
+  * Scale shape: shuffle keys are (key…, chunk) — skew is bounded by
+  * points-per-chunk, tunable via `chunkWidth`; the interval blow-up is
+  * `width/chunkWidth` rows per interval, so pick `chunkWidth` near the
+  * typical interval width (the standard range-join binning trade: fewer
+  * chunks = fatter probe lists, more chunks = fatter interval explode).
+  * Small interval sets broadcast instead (`broadcastIntervals`), making
+  * the whole join map-side. */
+object RangeJoin {
+
+  private def numeric(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp")) / lit(1e6)
+      case _ => c.cast("double")
+    }
+
+  /** Inner interval join: all `points` columns + all `intervals` columns
+    * for each containment match (`lo <= pt <= hi`, inclusive both ends).
+    *
+    * @param keys optional equi-join key columns present on BOTH sides
+    *             (e.g. user_id) — matches require equality on all of them
+    * @param chunkWidth bin width in the point column's native unit
+    *                   (timestamps count seconds) */
+  def intervalJoin(points: DataFrame, ptCol: String,
+                   intervals: DataFrame, loCol: String, hiCol: String,
+                   chunkWidth: Double, keys: Seq[String] = Nil,
+                   broadcastIntervals: Boolean = false): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    require(keys.forall(k => points.columns.contains(k) &&
+      intervals.columns.contains(k)), s"keys $keys must exist on both sides")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key columns ${shared.mkString(",")} exist on both sides")
+    val pts = points.withColumn("__chunk",
+      floor(numeric(col(ptCol), points.schema(ptCol).dataType) / chunkWidth)
+        .cast("long"))
+    val ivs = intervals.withColumn("__chunk", explode(sequence(
+      floor(numeric(col(loCol), intervals.schema(loCol).dataType) / chunkWidth)
+        .cast("long"),
+      floor(numeric(col(hiCol), intervals.schema(hiCol).dataType) / chunkWidth)
+        .cast("long"))))
+    val rhs = if (broadcastIntervals) broadcast(ivs) else ivs
+    pts.join(rhs, keys :+ "__chunk")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__chunk")
+  }
+}

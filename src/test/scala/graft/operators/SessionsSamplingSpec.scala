@@ -85,6 +85,34 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("intervalJoin: matches brute force, no nested-loop, keys respected") {
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 1000).map(i =>
+      (i.toLong, (i % 4).toLong, rnd.nextInt(10000).toDouble))
+    val ivs = (0 until 60).map(i =>
+      (i.toLong, (i % 4).toLong, rnd.nextInt(9000).toDouble))
+      .map { case (id, k, lo) => (id, k, lo, lo + 50 + rnd.nextInt(2000)) }
+    val ptsDf = pts.toDF("pid", "k", "v")
+    val ivsDf = ivs.toDF("iid", "k", "lo", "hi")
+    for (width <- Seq(100.0, 1234.0); bcast <- Seq(false, true)) {
+      val got = RangeJoin.intervalJoin(ptsDf, "v", ivsDf, "lo", "hi",
+          chunkWidth = width, keys = Seq("k"), broadcastIntervals = bcast)
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq
+      val expected = for {
+        (pid, pk, v) <- pts
+        (iid, ik, lo, hi) <- ivs
+        if pk == ik && v >= lo && v <= hi
+      } yield (pid, iid)
+      // exactly-once semantics: multiset equality, not just set
+      assert(got.sorted == expected.sorted, s"width $width bcast $bcast")
+    }
+    val plan = RangeJoin.intervalJoin(ptsDf, "v", ivsDf, "lo", "hi", 500.0,
+        keys = Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bin into an equi-join:\n$plan")
+  }
+
   test("asofJoin: latest row wins atomically — null payload fields carried") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq((1L, 1L, t("2026-01-01 00:30:00"))).toDF("event_id", "user_id", "ts")

@@ -885,6 +885,25 @@ object SparkEntry {
           col("rows"), col("bytes"), col("min_key"), col("max_key"))
         .orderBy("tx", "ty")
     },
+    "q79_incremental_read" -> { (s, d) =>
+      prep(s, d)
+      // Iceberg-style incremental consumption: three disjoint snapshots
+      // committed, the consumer reads exactly (snap1, snap3] — rows of
+      // snapshots 2 and 3, never snapshot 1, pruned at the directory
+      // level. Oracle recomputes the slice definitions directly.
+      val dir = pipelineDir("q79")
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("key", concat(lit("k"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+      val b = Pipeline.withBucket(pts, "lon", "lat", 3)
+      (0 until 3).foreach { m =>
+        Pipeline.writeSnapshot(b.filter(col("l_orderkey") % 3 === m), dir,
+          m + 1L, keyCol = "key", bytesCol = "__none")
+      }
+      Pipeline.readIncremental(s, dir, fromExclusive = 1L, toInclusive = 3L)
+        .select(col("key"), col("lon"), col("lat"))
+        .orderBy("key")
+    },
     // oracled spatial data skipping: tile-envelope partition pruning must
     // return exactly the rows a plain box predicate returns
     "q59_compaction" -> { (s, d) =>
@@ -1854,6 +1873,11 @@ object SparkEntry {
         |FROM lft l ASOF LEFT JOIN e1 e
         |  ON l.user_id = e.user_id AND l.ts >= e.ts
         |ORDER BY l.event_id""".stripMargin,
+    // incremental read: exactly the later two snapshot slices
+    "q79_incremental_read" ->
+      s"""SELECT concat('k', l_orderkey, '_', l_linenumber) AS key, lon, lat
+         |FROM ($PtsCte) WHERE l_orderkey % 3 IN (1, 2)
+         |ORDER BY key""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->
       """WITH pts AS (

@@ -115,6 +115,19 @@ object Pipeline {
     spark.read.parquet(s"$tableDir/data")
       .filter(col("snapshot_id") <= snapshotId)
 
+  /** Incremental read (Iceberg's `incremental-from-snapshot` / CDC append
+    * scan): exactly the rows committed in snapshots
+    * `(fromExclusive, toInclusive]` — what a downstream consumer processes
+    * per tick without rescanning table history. Both bounds are predicates
+    * on the `snapshot_id` partition directory, so planning prunes to the
+    * new snapshots' directories (`PartitionFilters`) — the scan cost is
+    * O(new data), never O(table), no matter how much history accumulates. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromExclusive: Long, toInclusive: Long): DataFrame =
+    spark.read.parquet(s"$tableDir/data")
+      .filter(col("snapshot_id") > fromExclusive &&
+        col("snapshot_id") <= toInclusive)
+
   /** Spatial data skipping: buckets are z/x/y tiles, so the partition value
     * itself knows which part of the world each partition covers. The tile-
     * envelope intersection is expressed directly over the `bucket` partition

@@ -72,6 +72,29 @@ class PipelineSpec extends AnyFunSuite {
       formatted.contains("snapshot_id#"), formatted)
   }
 
+  test("readIncremental returns exactly the snapshot delta, pruned") {
+    val dir = freshDir("incr")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 900L), "lon", "lat", zoom = 3)
+    (0 until 3).foreach { m =>
+      Pipeline.writeSnapshot(
+        images.filter(pmod(col("image_id").substr(lit(5), lit(18)).cast("long"),
+          lit(3)) === m), dir, m + 1L)
+    }
+    val total = spark.read.parquet(s"$dir/data").count()
+    val delta = Pipeline.readIncremental(spark, dir, 1L, 3L)
+    val snap1 = spark.read.parquet(s"$dir/data")
+      .filter(col("snapshot_id") === 1L).count()
+    assert(delta.count() == total - snap1 && snap1 > 0)
+    assert(delta.select("snapshot_id").distinct()
+      .collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // O(new data): both bounds prune at the partition-directory level
+    val formatted = delta.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters") &&
+      formatted.contains("snapshot_id#"), formatted)
+  }
+
   test("readBox polar query boxes reach the clamped edge-tile rows") {
     // points beyond the Web-Mercator clamp (|lat| > 85.05) store in edge
     // tiles whose envelope tops out at +-85.05; the partition predicate

@@ -709,6 +709,23 @@ object SparkEntry {
           "err_event_id")
         .orderBy("event_id")
     },
+    "q80_geojson" -> { (s, d) =>
+      prep(s, d)
+      // GeoJSON codec (RFC 7946): serialize the fractional point layer
+      // (DoubleFormat numbers — DuckDB's double->VARCHAR parity, as q15
+      // proves for WKT) and parse the same JSON back to coordinates
+      s.sql("""WITH p AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS DOUBLE) + 0.25 AS x,
+        |    CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS DOUBLE) + 0.5 AS y
+        |  FROM lineitem_par),
+        |g AS (SELECT l_orderkey, l_linenumber, x, y,
+        |  st_asgeojson(st_point(x, y)) AS gj FROM p)
+        |SELECT l_orderkey, l_linenumber, gj,
+        |  st_x(st_geomfromgeojson(gj)) AS px,
+        |  st_y(st_geomfromgeojson(gj)) AS py
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
     "q78_range_join" -> { (s, d) =>
       prep(s, d)
       // interval-containment join via chunk binning (equi-join + refine —
@@ -1878,6 +1895,18 @@ object SparkEntry {
       s"""SELECT concat('k', l_orderkey, '_', l_linenumber) AS key, lon, lat
          |FROM ($PtsCte) WHERE l_orderkey % 3 IN (1, 2)
          |ORDER BY key""".stripMargin,
+    // GeoJSON: string-construct the exact serialization, echo the parse
+    "q80_geojson" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST((l_orderkey * 131 + l_linenumber) % 360 - 180 AS DOUBLE) + 0.25 AS x,
+        |    CAST((l_orderkey * 37 + l_linenumber) % 170 - 85 AS DOUBLE) + 0.5 AS y
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  '{"type":"Point","coordinates":[' || CAST(x AS VARCHAR) || ','
+        |    || CAST(y AS VARCHAR) || ']}' AS gj,
+        |  x AS px, y AS py
+        |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->
       """WITH pts AS (

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-import graft.core.GeomTypes
+import graft.core.{DoubleFormat, GeomTypes}
 
 /** Function registry for the engine: every kernel from SURVEY.md §2A/§2C
   * exposed as a SQL function (and therefore to the DataFrame API via
@@ -104,6 +104,16 @@ object Geo {
         case other => other
       }
       geo(StringType, "format", full, Seq(G, IntegerType, LongType))
+    },
+    "st_geomfromgeojson" -> (a => geo(G, "fromGeoJson", a, Seq(StringType))),
+    "st_trygeomfromgeojson" -> (a => geo(G, "tryFromGeoJson", a,
+      Seq(StringType), nullable = true)),
+    "st_asgeojson" -> { a =>
+      val full = a match {
+        case Seq(g) => Seq(g, Literal(DoubleFormat.DefaultPrecision))
+        case other => other
+      }
+      geo(StringType, "asGeoJson", full, Seq(G, IntegerType))
     },
     "st_isvalidwkt" -> (a => geo(BooleanType, "isValidWkt", a, Seq(StringType))),
     "st_isvalidwkb" -> (a => geo(BooleanType, "isValidWkb", a, Seq(BinaryType))),

@@ -41,6 +41,18 @@ object GeoOps {
     else Wkb.write(geom)
   }
 
+  /** GeoJSON (RFC 7946) leg — third text codec beside WKT/WKB; numbers
+    * print through the same ryu-parity [[graft.core.DoubleFormat]], so
+    * output is oracle-able by string construction. */
+  def fromGeoJson(s: UTF8String): InternalRow =
+    GeoStruct.encode(GeoJson.parse(s.toString))
+
+  def tryFromGeoJson(s: UTF8String): InternalRow =
+    try fromGeoJson(s) catch { case _: Exception => null }
+
+  def asGeoJson(g: InternalRow, precision: Int): UTF8String =
+    UTF8String.fromString(GeoJson.write(GeoStruct.decode(g), precision))
+
   /** Kernel K4 `format_wkt` (`/root/reference/src/geoarrow.c:1545-1571`). */
   def format(g: InternalRow, precision: Int, maxBytes: Long): UTF8String =
     UTF8String.fromString(

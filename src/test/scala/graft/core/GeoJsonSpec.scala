@@ -1,0 +1,65 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoJsonSpec extends AnyFunSuite {
+
+  private def rt(wkt: String): Unit = {
+    val g = Wkt.parse(wkt)
+    val json = GeoJson.write(g)
+    val back = GeoJson.parse(json)
+    assert(back == g, s"$wkt -> $json -> ${Wkt.write(back)}")
+  }
+
+  test("every geometry type round-trips through GeoJSON, raw-bit equal") {
+    rt("POINT (1.5 2.5)")
+    rt("POINT EMPTY")
+    rt("LINESTRING (0 0, 1 1, 2 0.5)")
+    rt("LINESTRING EMPTY")
+    rt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    rt("POLYGON EMPTY")
+    rt("MULTIPOINT (1 2, 3 4)")
+    rt("MULTIPOINT EMPTY")
+    rt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))")
+    rt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, 5.4 5.4, 5.2 5.2)))")
+    rt("MULTIPOLYGON EMPTY")
+    rt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    rt("GEOMETRYCOLLECTION EMPTY")
+    // 3D (RFC 7946 altitude)
+    rt("POINT Z (1 2 3)")
+    rt("LINESTRING Z (0 0 1, 1 1 2)")
+    rt("MULTIPOLYGON Z (((0 0 1, 1 0 1, 1 1 1, 0 0 1)))")
+  }
+
+  test("exact serialized forms (spec shapes, DoubleFormat numbers)") {
+    assert(GeoJson.write(Wkt.parse("POINT (1.5 -2.5)")) ==
+      """{"type":"Point","coordinates":[1.5,-2.5]}""")
+    assert(GeoJson.write(Wkt.parse("POINT EMPTY")) ==
+      """{"type":"Point","coordinates":[]}""")
+    assert(GeoJson.write(Wkt.parse("POLYGON ((0 0, 1 0, 1 1, 0 0)))".dropRight(1))) ==
+      """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}""")
+    assert(GeoJson.write(Wkt.parse("GEOMETRYCOLLECTION (POINT (1 2))")) ==
+      """{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[1,2]}]}""")
+    // precision cap flows through like WKT's
+    assert(GeoJson.write(Wkt.parse("POINT (0.123456789 0)"), 3) ==
+      """{"type":"Point","coordinates":[0.123,0]}""")
+  }
+
+  test("parser: member order, whitespace, foreign members, errors") {
+    // any member order + bbox foreign member (RFC 7946 §6.1) + whitespace
+    val g = GeoJson.parse(
+      """ { "bbox": [0, 0, 2, 2], "coordinates": [ [0,0], [2,2] ],
+        |   "extra": {"nested": ["x", 1, true, null]},
+        |   "type" : "LineString" } """.stripMargin)
+    assert(Wkt.write(g) == "LINESTRING (0 0, 2 2)")
+    intercept[IllegalArgumentException](GeoJson.parse("""{"type":"Pointy","coordinates":[1,2]}"""))
+    intercept[IllegalArgumentException](GeoJson.parse("""{"coordinates":[1,2]}"""))
+    intercept[IllegalArgumentException](GeoJson.parse("""{"type":"Point","coordinates":[1]}"""))
+    intercept[IllegalArgumentException](GeoJson.parse("""{"type":"Point","coordinates":[1,2]} junk"""))
+    intercept[IllegalArgumentException]( // mixed 2D/3D positions
+      GeoJson.parse("""{"type":"LineString","coordinates":[[0,0],[1,1,1]]}"""))
+    // M ordinates have no GeoJSON representation
+    intercept[IllegalArgumentException](
+      GeoJson.write(Wkt.parse("POINT M (1 2 3)")))
+  }
+}

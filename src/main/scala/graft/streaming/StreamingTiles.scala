@@ -81,6 +81,21 @@ object StreamingTiles {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(keyCol))
 
+  /** Streaming consumption of a [[graft.pipeline.Pipeline]] table — the
+    * streaming twin of `Pipeline.readIncremental`: the parquet file source
+    * discovers each newly-committed snapshot's files and emits them as
+    * micro-batches, so a downstream job tails the table continuously with
+    * exactly-once file tracking in its own checkpoint. `maxFilesPerTrigger`
+    * bounds batch size (backpressure); partition columns (snapshot_id,
+    * bucket) surface as data columns for lineage. */
+  def streamTable(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$tableDir/data")
+
   /** Streaming exact dedup on a key column: the first row per key passes,
     * later duplicates are dropped. State is one boolean per key — unbounded
     * across the stream lifetime; prefer [[dedupStreamWatermarked]] at scale. */

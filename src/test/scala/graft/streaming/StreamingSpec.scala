@@ -119,4 +119,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.count(_._1 == "a") == 1)
     } finally q.stop()
   }
+
+  test("streamTable tails committed pipeline snapshots as micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("stream_table").toString
+    val images = Pipeline.withBucket(
+      graft.sources.ImagesTable.generate(spark, 600L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images.limit(300), dir, 1L)
+    val schema = spark.read.parquet(s"$dir/data").schema
+    val stream = StreamingTiles.streamTable(spark, dir, schema)
+    assert(stream.isStreaming)
+    val q = stream.groupBy(col("snapshot_id")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("table_tail")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val afterOne = spark.table("table_tail")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(afterOne.keySet == Set(1) && afterOne(1) == 300L)
+      // a new snapshot commit appears as a later micro-batch — the
+      // streaming twin of readIncremental, exactly-once via file tracking
+      Pipeline.writeSnapshot(images.limit(450), dir, 2L)
+      q.processAllAvailable()
+      val afterTwo = spark.table("table_tail")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(afterTwo == Map(1 -> 300L, 2 -> 450L), afterTwo.toString)
+    } finally q.stop()
+  }
 }

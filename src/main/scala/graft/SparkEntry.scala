@@ -726,6 +726,27 @@ object SparkEntry {
         |  st_y(st_geomfromgeojson(gj)) AS py
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q81_geojsonseq" -> { (s, d) =>
+      prep(s, d)
+      // GeoJSONSeq (ndjson Features) sink + source: line-splittable text,
+      // geometry via st_asgeojson, properties via to_json; read parses
+      // each line independently (codegen kernel). Lossless round-trip —
+      // the oracle is the generating CTE.
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("geom", call_function("st_point", col("lon"), col("lat")))
+        .select("l_orderkey", "l_linenumber", "geom")
+      val dir = pipelineDir("geojsonseq")
+      graft.sources.GeoJsonSeq.write(pts, "geom", dir)
+      graft.sources.GeoJsonSeq.read(s, dir)
+        .select(
+          get_json_object(col("properties"), "$.l_orderkey")
+            .cast("long").as("l_orderkey"),
+          get_json_object(col("properties"), "$.l_linenumber")
+            .cast("long").as("l_linenumber"),
+          call_function("st_x", col("geom")).as("lon"),
+          call_function("st_y", col("geom")).as("lat"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "q78_range_join" -> { (s, d) =>
       prep(s, d)
       // interval-containment join via chunk binning (equi-join + refine —
@@ -1907,6 +1928,11 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // GeoJSONSeq round-trip is lossless: oracle = the generating CTE
+    "q81_geojsonseq" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  lon, lat FROM ($PtsCte)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->
       """WITH pts AS (

@@ -121,6 +121,23 @@ object GeoJson {
     g
   }
 
+  /** One RFC 7946 Feature: (geometry, properties-as-raw-JSON, id). A bare
+    * geometry object is accepted as a feature with no properties (GeoJSONSeq
+    * files mix both). `geometry: null` yields a null geometry. */
+  def parseFeature(s: String): Feature = {
+    val p = new Parser(s)
+    p.skipWs()
+    val f = p.parseFeature()
+    p.skipWs()
+    if (p.pos < s.length)
+      throw new IllegalArgumentException(
+        s"trailing characters after GeoJSON feature at ${p.pos}")
+    f
+  }
+
+  final case class Feature(geometry: Geom, propertiesJson: String,
+                           id: Option[String])
+
   /** Minimal recursive-descent JSON reader specialized to RFC 7946
     * geometry objects: accepts any member order, skips foreign members
     * (`bbox`, …) per spec §6.1. */
@@ -232,6 +249,57 @@ object GeoJson {
         expect(']')
         Arr(items.toList)
       } else Num(parseNumber())
+    }
+
+    /** Feature or bare geometry object (GeoJSONSeq files mix both). */
+    def parseFeature(): GeoJson.Feature = {
+      val save = pos
+      try GeoJson.Feature(parseGeometry(), "{}", None)
+      catch {
+        case _: IllegalArgumentException =>
+          pos = save
+          parseFeatureObject()
+      }
+    }
+
+    private def parseFeatureObject(): GeoJson.Feature = {
+      expect('{')
+      var typ: String = null
+      var geom: Geom = null
+      var props = "{}"
+      var id: Option[String] = None
+      if (peek() != '}') {
+        var more = true
+        while (more) {
+          val key = parseString()
+          expect(':')
+          key match {
+            case "type" => typ = parseString()
+            case "geometry" =>
+              if (peek() == 'n') { skipValue(); geom = null }
+              else geom = parseGeometry()
+            case "properties" =>
+              // raw JSON substring, handed through verbatim (schema-free)
+              skipWs()
+              val st = pos
+              skipValue()
+              props = s.substring(st, pos)
+            case "id" =>
+              if (peek() == '"') id = Some(parseString())
+              else {
+                skipWs()
+                val st = pos
+                skipValue()
+                id = Some(s.substring(st, pos).trim)
+              }
+            case _ => skipValue() // foreign member
+          }
+          if (peek() == ',') { pos += 1 } else more = false
+        }
+      }
+      expect('}')
+      if (typ != "Feature") fail("expected a Feature or geometry object")
+      GeoJson.Feature(geom, props, id)
     }
 
     def parseGeometry(): Geom = {

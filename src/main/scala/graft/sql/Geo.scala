@@ -115,6 +115,11 @@ object Geo {
       }
       geo(StringType, "asGeoJson", full, Seq(G, IntegerType))
     },
+    // GeoJSONSeq line -> struct<geometry, properties (raw JSON), id>
+    "st_geojson_feature" -> (a => geo(GeoOps.geoJsonFeatureType,
+      "geoJsonFeature", a, Seq(StringType))),
+    "st_trygeojson_feature" -> (a => geo(GeoOps.geoJsonFeatureType,
+      "tryGeoJsonFeature", a, Seq(StringType), nullable = true)),
     "st_isvalidwkt" -> (a => geo(BooleanType, "isValidWkt", a, Seq(StringType))),
     "st_isvalidwkb" -> (a => geo(BooleanType, "isValidWkb", a, Seq(BinaryType))),
     // --- kernels / accessors

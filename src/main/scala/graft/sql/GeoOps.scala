@@ -53,6 +53,27 @@ object GeoOps {
   def asGeoJson(g: InternalRow, precision: Int): UTF8String =
     UTF8String.fromString(GeoJson.write(GeoStruct.decode(g), precision))
 
+  val geoJsonFeatureType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("geometry",
+        GeoStruct.dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("properties",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** One GeoJSONSeq line -> (geometry, raw properties JSON, id). */
+  def geoJsonFeature(s: UTF8String): InternalRow = {
+    val f = GeoJson.parseFeature(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (f.geometry == null) null else GeoStruct.encode(f.geometry),
+      UTF8String.fromString(f.propertiesJson),
+      f.id.map(UTF8String.fromString).orNull))
+  }
+
+  def tryGeoJsonFeature(s: UTF8String): InternalRow =
+    try geoJsonFeature(s) catch { case _: Exception => null }
+
   /** Kernel K4 `format_wkt` (`/root/reference/src/geoarrow.c:1545-1571`). */
   def format(g: InternalRow, precision: Int, maxBytes: Long): UTF8String =
     UTF8String.fromString(

@@ -45,6 +45,26 @@ class GeoJsonSpec extends AnyFunSuite {
       """{"type":"Point","coordinates":[0.123,0]}""")
   }
 
+  test("features: geometry/properties/id in any order, bare geometry, null") {
+    val f = GeoJson.parseFeature(
+      """{"id": 42, "properties": {"name": "a\"b", "n": 3},
+        |"type": "Feature",
+        |"geometry": {"type":"Point","coordinates":[1,2]}}""".stripMargin)
+    assert(Wkt.write(f.geometry) == "POINT (1 2)")
+    assert(f.propertiesJson.contains("\"name\"") && f.propertiesJson.contains("3"))
+    assert(f.id.contains("42"))
+    // string id, null geometry
+    val g = GeoJson.parseFeature(
+      """{"type":"Feature","id":"abc","geometry":null,"properties":null}""")
+    assert(g.geometry == null && g.id.contains("abc"))
+    // bare geometry object counts as an anonymous feature (GeoJSONSeq mixes)
+    val h = GeoJson.parseFeature("""{"type":"LineString","coordinates":[[0,0],[1,1]]}""")
+    assert(Wkt.write(h.geometry) == "LINESTRING (0 0, 1 1)" &&
+      h.propertiesJson == "{}" && h.id.isEmpty)
+    intercept[IllegalArgumentException](
+      GeoJson.parseFeature("""{"type":"FeatureCollection","features":[]}"""))
+  }
+
   test("parser: member order, whitespace, foreign members, errors") {
     // any member order + bbox foreign member (RFC 7946 §6.1) + whitespace
     val g = GeoJson.parse(

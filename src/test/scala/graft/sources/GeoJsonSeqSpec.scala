@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoJsonSeqSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+
+  test("GeoJSONSeq write/read round trip, foreign-tool line shape") {
+    graft.sql.Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geojsonseq").toString
+    val df = spark.sql(
+      """SELECT id, concat('n', id) AS name,
+        |  st_point(CAST(id AS DOUBLE) / 4, CAST(id AS DOUBLE) - 50) AS geom
+        |FROM range(100)""".stripMargin)
+    GeoJsonSeq.write(df, "geom", dir)
+    // every line is a self-contained Feature any tool can parse
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.length == 100)
+    assert(lines.forall(l => l.startsWith("{\"type\":\"Feature\",\"geometry\":")
+      && l.contains("\"properties\":{")))
+    val back = GeoJsonSeq.read(spark, dir)
+    assert(back.schema("geom").dataType == graft.sql.GeoStruct.dataType)
+    val got = back.select(
+        get_json_object(col("properties"), "$.id").cast("long").as("id"),
+        get_json_object(col("properties"), "$.name").as("name"),
+        call_function("st_x", col("geom")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == (0L until 100L).map(i => (i, s"n$i", i / 4.0)).toSet)
+  }
+
+  test("strict=false skips dirty lines instead of failing the scan") {
+    graft.sql.Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geojsonseq_dirty")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"k":1}}
+        |this line is not json
+        |{"type":"Point","coordinates":[3,4]}
+        |{"type":"Feature","geometry":null,"properties":{"k":2}}
+        |""".stripMargin)
+    val lenient = GeoJsonSeq.read(spark, dir.toString, strict = false)
+    // 3 parseable features (one with null geometry), 1 dropped
+    assert(lenient.count() == 3)
+    assert(lenient.filter(col("geom").isNotNull).count() == 2)
+    intercept[Exception] {
+      // collect, not count — count() would prune the parse column away
+      GeoJsonSeq.read(spark, dir.toString, strict = true).collect()
+    }
+  }
+}

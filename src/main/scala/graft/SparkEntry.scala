@@ -726,6 +726,36 @@ object SparkEntry {
         |  st_y(st_geomfromgeojson(gj)) AS py
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q82_img_phash" -> { (s, d) =>
+      prep(s, d)
+      // REAL perceptual hash from decoded pixels: two-band gray PNGs whose
+      // 8x8 average-hash is analytic — w,h multiples of 8, band boundary
+      // on the cell grid, so cells 0-31 hold v1 and 32-63 hold v2; the
+      // hash is top-32-bits / bottom-32-bits / zero by v1<=>v2
+      s.sql("""SELECT doc_id, img_phash(make_png(w, h, v1, v1, v1, v2, v2, v2)) AS phash
+        |FROM (SELECT doc_id,
+        |  CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |  CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |  CAST(doc_id % 256 AS INT) AS v1,
+        |  CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+    },
+    "q83_phash_neardup" -> { (s, d) =>
+      prep(s, d)
+      // image-level near-dup over a 64-bit perceptual hash: 4x16-bit band
+      // join + exact hamming refine (the image analog of SimHash dedup).
+      // Planted pairs = same hash with 2 bits flipped; full pipeline
+      // (bands, cap, refine) replicated in the DuckDB oracle bit-exact.
+      val hashes = s.sql(
+        """SELECT doc_id AS id, splitmix64(doc_id) AS ph FROM documents
+          |UNION ALL
+          |SELECT doc_id + 10000 AS id,
+          |  CAST(splitmix64(doc_id) ^ 3 AS BIGINT) AS ph
+          |FROM documents WHERE doc_id % 41 = 0""".stripMargin)
+      Dedup.hash64NearDups(hashes, "ph", "id", maxHamming = 3, maxBand = 64)
+        .orderBy("id_a", "id_b")
+    },
     "q81_geojsonseq" -> { (s, d) =>
       prep(s, d)
       // GeoJSONSeq (ndjson Features) sink + source: line-splittable text,
@@ -1928,6 +1958,37 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // 64-bit-hash near-dup: same band/cap/refine pipeline in SQL over the
+    // splitmix64 replica; planted pairs = 2 flipped bits
+    "q83_phash_neardup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id AS id, ${smxExpr("doc_id")} AS ph FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS id, xor(${smxExpr("doc_id")}, 3) AS ph
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |banded AS (
+         |  SELECT id, ph,
+         |    CAST(bi AS VARCHAR) || ':' || CAST((ph >> (bi * 16)) & 65535 AS VARCHAR) AS band_key
+         |  FROM h, (SELECT unnest(generate_series(0, 3)) AS bi)),
+         |bandok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= 64),
+         |capped AS (SELECT banded.id, banded.ph, banded.band_key
+         |           FROM banded JOIN bandok USING (band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
+         |  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // analytic 8x8 average-hash of two-band images: top-half cells hold
+    // v1, bottom-half v2 (w,h multiples of 8) -> whole-band bit blocks
+    "q82_img_phash" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id % 256) > ((doc_id * 7 + 13) % 256)
+        |       THEN CAST(-4294967296 AS BIGINT)
+        |       WHEN ((doc_id * 7 + 13) % 256) > (doc_id % 256)
+        |       THEN CAST(4294967295 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS phash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // GeoJSONSeq round-trip is lossless: oracle = the generating CTE
     "q81_geojsonseq" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

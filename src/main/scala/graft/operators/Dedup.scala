@@ -103,8 +103,23 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBand: Int = 64): DataFrame = {
     Geo.register(df.sparkSession)
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", call_function("simhash", col("text")))
+    hash64NearDups(
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("sh", call_function("simhash", col("text"))),
+      "sh", "id", maxHamming, maxBand)
+  }
+
+  /** Near-dup pairs over ANY 64-bit locality hash column (simhash,
+    * `img_phash`, audio fingerprints…): the hash splits into 4×16-bit band
+    * keys — hamming distance <= 3 GUARANTEES a shared band (pigeonhole);
+    * higher `maxHamming` trades recall — and candidates refine by exact
+    * hamming. This is image-level dedup when the column is `img_phash`
+    * (the input contract's phash, computed from real pixels). */
+  def hash64NearDups(df: DataFrame, hashCol: String, idCol: String,
+                     maxHamming: Int = 3, maxBand: Int = 64): DataFrame = {
+    Geo.register(df.sparkSession)
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .filter(col("sh").isNotNull)
     val banded = capBands(hashed
       .withColumn("band_idx", explode(array((0 until 4).map(lit): _*)))
       .withColumn("band_key",

@@ -249,6 +249,9 @@ object Geo {
     "img_features" -> (a => inv(MediaOps.getClass,
       ArrayType(FloatType, containsNull = false), "imgFeatures", a,
       Seq(BinaryType, IntegerType), nullable = true)),
+    // real perceptual hash (8x8 average-hash, integer-exact comparisons)
+    "img_phash" -> (a => inv(MediaOps.getClass, LongType, "imgPhash", a,
+      Seq(BinaryType), nullable = true)),
     // deterministic two-band PNG synthesis (oracle-checkable test images)
     "make_png" -> (a => inv(MediaOps.getClass, BinaryType, "makePng", a,
       Seq.fill(8)(IntegerType))),

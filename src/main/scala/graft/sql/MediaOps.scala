@@ -111,6 +111,59 @@ object MediaOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** REAL perceptual hash (average-hash family) from decoded pixels: the
+    * image pools to an 8×8 luminance grid (same BT.601 integer sums as
+    * [[imgFeatures]]) and bit `63 - cell` (row-major) is set when the
+    * cell's mean exceeds the whole-image mean. Comparison is
+    * integer-cross-multiplied (`cellSum * totalCount > totalSum *
+    * cellCount`) — no division, no rounding, so the hash is
+    * bit-reproducible and analytically oracle-able (q82). Near-identical
+    * images (recompressed, lightly edited) land within a few bits —
+    * `hamming64` + [[graft.operators.Dedup.hash64NearDups]] turn this
+    * into image-level dedup, the `phash` column of the input contract
+    * computed from real bytes. Undecodable payloads -> null. Image sides
+    * are capped at 4096 so the cross-products stay within Long. */
+  def imgPhash(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val lum = ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114
+        val cell = cy * 8 + math.min(7, x * 8 / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var totalSum = 0L
+    var totalCount = 0L
+    var i = 0
+    while (i < 64) { totalSum += sums(i); totalCount += counts(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (counts(i) > 0 && sums(i) * totalCount > totalSum * counts(i))
+        hash |= 1L << (63 - i)
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   /** Deterministic two-band RGB PNG: rows [0, h/2) are (r1,g1,b1), rows
     * [h/2, h) are (r2,g2,b2). Real javax.imageio PNG encode — used to
     * synthesize oracle-checkable images in SQL (PNG is lossless, so the

@@ -199,6 +199,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.getStruct(0).getString(5) == "unknown" && bad.isNullAt(1))
   }
 
+  test("img_phash: banded structure survives JPEG recompression") {
+    graft.sql.Geo.register(spark)
+    // the near-dup property that makes phash dedup work: the SAME image
+    // as lossless PNG vs lossy JPEG must land within a few bits
+    val png = graft.sql.MediaOps.makePng(64, 64, 200, 200, 200, 30, 30, 30)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val pPng = graft.sql.MediaOps.imgPhash(png)
+    val pJpg = graft.sql.MediaOps.imgPhash(bos.toByteArray)
+    assert(pPng != null && pJpg != null)
+    // bright top half -> top 32 bits exactly (the analytic q82 shape)
+    assert(pPng.longValue() == 0xFFFFFFFF00000000L)
+    val hamming = java.lang.Long.bitCount(pPng.longValue() ^ pJpg.longValue())
+    assert(hamming <= 3, s"png/jpeg phash hamming $hamming")
+    assert(graft.sql.MediaOps.imgPhash("not an image".getBytes) == null)
+    assert(graft.sql.MediaOps.imgPhash(null) == null)
+  }
+
   test("cast-elision rule folds idempotent cast chains") {
     graft.sql.Geo.register(spark)
     val df = spark.sql(

@@ -25,6 +25,13 @@ object functions {
     f("st_format")(g, precision, maxBytes)
   def st_isvalidwkt(c: Column): Column = f("st_isvalidwkt")(c)
   def st_isvalidwkb(c: Column): Column = f("st_isvalidwkb")(c)
+  def st_asgeojson(g: Column): Column = f("st_asgeojson")(g)
+  def st_asgeojson(g: Column, precision: Column): Column =
+    f("st_asgeojson")(g, precision)
+  def st_geomfromgeojson(c: Column): Column = f("st_geomfromgeojson")(c)
+  def st_trygeomfromgeojson(c: Column): Column = f("st_trygeomfromgeojson")(c)
+  def st_geojson_feature(c: Column): Column = f("st_geojson_feature")(c)
+  def st_trygeojson_feature(c: Column): Column = f("st_trygeojson_feature")(c)
 
   // kernels / accessors
   def st_envelope(g: Column): Column = f("st_envelope")(g)

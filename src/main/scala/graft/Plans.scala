@@ -90,7 +90,25 @@ object Plans {
           spark.range(3).select(col("id").as("qid"),
             array((0 until 4).map(i => (rand(7 + i) * 2 - 1).cast("float")): _*)
               .as("qvec")),
-          "embedding", "vec_id", "qid", "qvec", 5)))
+          "embedding", "vec_id", "qid", "qvec", 5)),
+      "Range (interval) join: chunk-binned hash equi-join + BETWEEN " +
+        "refine — no BroadcastNestedLoopJoin anywhere" ->
+        fmt(graft.operators.RangeJoin.intervalJoin(
+          spark.range(1000).select(col("id").as("pid"),
+            (col("id") % 97).cast("double").as("v")),
+          "v",
+          spark.range(20).select(col("id").as("iid"),
+            (col("id") * 4).cast("double").as("lo"),
+            (col("id") * 4 + 10).cast("double").as("hi")),
+          "lo", "hi", chunkWidth = 8.0)),
+      "Time-chunked as-of join: the big window partitions by (key, chunk) " +
+        "— a monster key splits across tasks" ->
+        fmt(graft.operators.AsOf.asofJoinChunked(
+          spark.range(1000).select(col("id").as("event_id"),
+            (col("id") % 5).as("user_id"), (col("id") * 7 % 1000).as("ts")),
+          spark.range(100).select((col("id") % 5).as("user_id"),
+            (col("id") * 11 % 1000).as("ts"), col("id").as("quote_id")),
+          "user_id", "ts", "quote_id", chunkWidth = 100.0)))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

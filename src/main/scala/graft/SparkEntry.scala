@@ -726,6 +726,24 @@ object SparkEntry {
         |  st_y(st_geomfromgeojson(gj)) AS py
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q84_meters_join" -> { (s, d) =>
+      prep(s, d)
+      // spherical within-distance join (meters): cell-grid candidates +
+      // haversine refine. The ORACLE compares the matched PAIR SET only —
+      // engine trig differs by ulps, but the offline-verified boundary
+      // margin (min |dist - 2000km| = 3.9 m at sf0.1, 12.9 m at sf0.01,
+      // 43 km at sf0.001) is 9+ orders above that, so the set is stable;
+      // the radius is sized so the gate is NON-vacuous at every sf
+      // (6000 / 59541 / 453865 matches).
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      val qs = s.sql("""SELECT n_nationkey AS qid,
+        |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 + 7.0 AS qlon,
+        |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 + 12.5 AS qlat
+        |FROM nation""".stripMargin)
+      SpatialJoins.withinDistanceMetersJoin(pts, qs, 2000000.0)
+        .select(col("qid"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("qid", "l_orderkey", "l_linenumber")
+    },
     "q82_img_phash" -> { (s, d) =>
       prep(s, d)
       // REAL perceptual hash from decoded pixels: two-band gray PNGs whose
@@ -1958,6 +1976,21 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // spherical radius join: DuckDB haversine; pair set only (the margin
+    // to the 2000 km boundary is meters, trig ulps are nanometers)
+    "q84_meters_join" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+         |qs AS (SELECT n_nationkey AS qid,
+         |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 + 7.0 AS qlon,
+         |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 + 12.5 AS qlat
+         |FROM nation)
+         |SELECT qid, l_orderkey, l_linenumber
+         |FROM pts, qs
+         |WHERE 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+         |    pow(sin(radians(lat - qlat) / 2), 2) +
+         |    cos(radians(qlat)) * cos(radians(lat)) *
+         |      pow(sin(radians(lon - qlon) / 2), 2)))) <= 2000000.0
+         |ORDER BY qid, l_orderkey, l_linenumber""".stripMargin,
     // 64-bit-hash near-dup: same band/cap/refine pipeline in SQL over the
     // splitmix64 replica; planted pairs = 2 flipped bits
     "q83_phash_neardup" ->

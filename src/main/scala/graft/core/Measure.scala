@@ -336,4 +336,27 @@ object Measure {
     while (i < n) { sx += g.coords(i * s); sy += g.coords(i * s + 1); i += 1 }
     (sx / n, sy / n)
   }
+
+  // ------------------------------------------------------------ spherical
+
+  /** IUGG mean Earth radius (meters). */
+  val EarthRadiusMeters: Double = 6371008.8
+
+  /** Great-circle distance in meters on the mean-radius sphere
+    * (haversine — numerically stable for near-coincident points, exact
+    * antipodes clamp via the asin guard). This is the `edges = spherical`
+    * leg the planar guard points users toward: planar kernels refuse
+    * spherical-edge metadata, and distance-in-meters is the first thing a
+    * spherical user actually needs. */
+  def haversineMeters(lon1: Double, lat1: Double,
+                      lon2: Double, lat2: Double): Double = {
+    val p1 = math.toRadians(lat1)
+    val p2 = math.toRadians(lat2)
+    val dp = math.toRadians(lat2 - lat1)
+    val dl = math.toRadians(lon2 - lon1)
+    val sp = math.sin(dp / 2)
+    val sl = math.sin(dl / 2)
+    val a = sp * sp + math.cos(p1) * math.cos(p2) * sl * sl
+    2.0 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(a)))
+  }
 }

@@ -107,6 +107,46 @@ object SpatialJoins {
       .drop("__cell", "__ccell", "qlon", "qlat")
   }
 
+  /** Conservative UNDER-estimate of the minimum cell edge length (meters)
+    * at a cell level — under-estimating is safe (the ring just grows). */
+  private def minCellEdgeMeters(level: Int): Double =
+    0.5 * (math.Pi / 2) * graft.core.Measure.EarthRadiusMeters / (1L << level)
+
+  /** Within-distance join in METERS on the sphere — the real-world geo
+    * radius search ([[withinDistanceJoin]] works in planar degrees, whose
+    * ground length shrinks with latitude; this one is latitude-correct
+    * everywhere including the poles, because the candidate lattice is the
+    * quasi-uniform spherical CELL grid, not a lon/lat grid).
+    *
+    * Shape: points key to their cell at a radius-matched level; queries
+    * explode to `ringUnion(cell, k)` where k × min-cell-edge covers the
+    * radius (k = 1 in the normal regime). Hash equi-join on the cell,
+    * exact haversine refine. Queries must carry (qid, qlon, qlat). */
+  def withinDistanceMetersJoin(points: DataFrame, queries: DataFrame,
+                               radiusMeters: Double, lonCol: String = "lon",
+                               latCol: String = "lat"): DataFrame = {
+    require(radiusMeters > 0, "radius must be positive")
+    Geo.register(points.sparkSession)
+    var level = 20
+    while (level > 0 && minCellEdgeMeters(level) < radiusMeters) level -= 1
+    val k = math.max(1,
+      math.ceil(radiusMeters / minCellEdgeMeters(level)).toInt)
+    val pts = points.withColumn("__cell", call_function("st_cellid",
+      col(lonCol).cast("double"), col(latCol).cast("double"), lit(level)))
+    val cand = queries
+      .select(col("qid"), col("qlon").cast("double").as("qlon"),
+        col("qlat").cast("double").as("qlat"))
+      .withColumn("__ccell", explode(call_function("st_cellringunion",
+        call_function("st_cellid", col("qlon"), col("qlat"), lit(level)),
+        lit(k))))
+    pts.join(cand, col("__cell") === col("__ccell"))
+      .withColumn("dist_m", call_function("st_distancesphere",
+        col(lonCol).cast("double"), col(latCol).cast("double"),
+        col("qlon"), col("qlat")))
+      .filter(col("dist_m") <= lit(radiusMeters))
+      .drop("__cell", "__ccell", "qlon", "qlat")
+  }
+
   /** Salted repartition for hot keys: spreads each key over `salt` shuffle
     * partitions; aggregate partially per (key, salt), then finally per key.
     * Use for hot-cell skew beyond what AQE's skew-join splitting absorbs.

@@ -183,6 +183,8 @@ object Geo {
       Seq.fill(5)(DoubleType))),
     "st_containsxy" -> (a =>
       geo(BooleanType, "containsXY", a, Seq(G, DoubleType, DoubleType))),
+    "st_distancesphere" -> (a => geo(DoubleType, "distanceSphere", a,
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
     "st_distancesq" -> (a => geo(DoubleType, "distanceSq", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
     // --- cell index

@@ -74,6 +74,11 @@ object GeoOps {
   def tryGeoJsonFeature(s: UTF8String): InternalRow =
     try geoJsonFeature(s) catch { case _: Exception => null }
 
+  /** Great-circle meters (haversine, mean-radius sphere). */
+  def distanceSphere(lon1: Double, lat1: Double, lon2: Double,
+                     lat2: Double): Double =
+    Measure.haversineMeters(lon1, lat1, lon2, lat2)
+
   /** Kernel K4 `format_wkt` (`/root/reference/src/geoarrow.c:1545-1571`). */
   def format(g: InternalRow, precision: Int, maxBytes: Long): UTF8String =
     UTF8String.fromString(

@@ -105,6 +105,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("withinDistanceMetersJoin matches brute-force haversine, incl poles") {
+    import graft.core.Measure
+    // haversine sanity: one degree of longitude at the equator
+    val oneDeg = Measure.haversineMeters(0, 0, 1, 0)
+    assert(math.abs(oneDeg - 111195.0) < 100.0, oneDeg.toString)
+    assert(Measure.haversineMeters(10, 20, 10, 20) == 0.0)
+    // antipodal clamp: half the mean circumference
+    val anti = Measure.haversineMeters(0, 0, 180, 0)
+    assert(math.abs(anti - math.Pi * Measure.EarthRadiusMeters) < 1.0)
+    // symmetric
+    assert(Measure.haversineMeters(3, 4, -5, 60) ==
+      Measure.haversineMeters(-5, 60, 3, 4))
+
+    val pts = randPoints(4000, 13L) ++ Seq(
+      (9001L, 10.0, 84.9), (9002L, -170.0, 84.95), // polar neighborhood
+      (9003L, 179.9, 0.0), (9004L, -179.9, 0.05))  // antimeridian pair
+    val qs = Seq((1L, 10.3, 84.92), (2L, 179.95, 0.01), (3L, 0.0, 0.0),
+      (4L, -120.0, -45.0))
+    val radius = 50000.0 // 50 km
+    val got = SpatialJoins.withinDistanceMetersJoin(
+        pts.toDF("pid", "lon", "lat"),
+        qs.toDF("qid", "qlon", "qlat"), radius)
+      .select("qid", "pid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (qid, qlon, qlat) <- qs
+      (pid, lon, lat) <- pts
+      if graft.core.Measure.haversineMeters(lon, lat, qlon, qlat) <= radius
+    } yield (qid, pid)).toSet
+    assert(got == expected)
+    assert(expected.exists(_._1 == 1L) && expected.exists(_._1 == 2L),
+      "polar and antimeridian queries must match their planted points")
+  }
+
   test("exactDupes: hash-keyed dup pairs, ids-only shuffle") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),

@@ -29,6 +29,41 @@ object DoubleFormat {
 
   def print(d: Double): String = print(d, DefaultPrecision)
 
+  /** Shortest ROUND-TRIP representation — no precision cap, plain fixed
+    * notation. The reference's WKT clamps at 16 fraction digits
+    * (faithful), but interchange formats that promise losslessness
+    * (GeoJSONSeq features) need the full shortest digits: a double like
+    * -0.18129999999999313 requires 17, and a 16-cap reparses to a
+    * DIFFERENT double. */
+  def printShortest(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) return "nan"
+    if (java.lang.Double.isInfinite(d)) return if (d > 0) "Infinity" else "-Infinity"
+    if (d == 0.0) return "0"
+    if (d == Math.rint(d) && Math.abs(d) < 9.007199254740992e15)
+      return java.lang.Long.toString(d.toLong)
+    val (mant, exp) = shortestDigits(d)
+    val digits = java.lang.Long.toString(mant)
+    val sb = new java.lang.StringBuilder(digits.length + math.abs(exp) + 3)
+    if (d < 0) sb.append('-')
+    if (exp >= 0) {
+      sb.append(digits)
+      var i = 0
+      while (i < exp) { sb.append('0'); i += 1 }
+    } else {
+      val intLen = digits.length + exp // may be <= 0
+      if (intLen > 0) {
+        sb.append(digits, 0, intLen).append('.')
+          .append(digits, intLen, digits.length)
+      } else {
+        sb.append("0.")
+        var i = 0
+        while (i < -intLen) { sb.append('0'); i += 1 }
+        sb.append(digits)
+      }
+    }
+    sb.toString
+  }
+
   def print(d: Double, precision0: Int): String = {
     val precision = if (precision0 < 0 || precision0 > 16) 16 else precision0
     if (java.lang.Double.isNaN(d)) return "nan"

@@ -19,6 +19,8 @@ object GeoJson {
 
   def write(g: Geom): String = write(g, DoubleFormat.DefaultPrecision)
 
+  /** `precision < 0` = shortest-ROUND-TRIP digits (lossless interchange,
+    * [[DoubleFormat.printShortest]]); otherwise the WKT-style fraction cap. */
   def write(g: Geom, precision: Int): String = {
     val sb = new java.lang.StringBuilder(64)
     writeGeom(sb, g, precision)
@@ -63,7 +65,10 @@ object GeoJson {
       var j = 0
       while (j < s) {
         if (j > 0) sb.append(',')
-        sb.append(DoubleFormat.print(g.coords(i * s + j), precision))
+        val v = g.coords(i * s + j)
+        sb.append(
+          if (precision < 0) DoubleFormat.printShortest(v)
+          else DoubleFormat.print(v, precision))
         j += 1
       }
       sb.append(']')

@@ -37,9 +37,13 @@ object GeoJsonSeq {
   /** Writes features as GeoJSONSeq: geometry serialized via
     * `st_asgeojson`, all other columns packed into `properties` by the
     * built-in `to_json` (codegen'd) — one line per row, one part file per
-    * partition, foreign-tool readable (GDAL/ogr2ogr/jq). */
+    * partition, foreign-tool readable (GDAL/ogr2ogr/jq).
+    *
+    * Default `precision = -1` = shortest-round-trip digits: write/read is
+    * LOSSLESS (a 16-digit cap silently moves coordinates that need 17).
+    * Pass a non-negative precision for WKT-style truncation. */
   def write(df: DataFrame, geomCol: String, path: String,
-            precision: Int = 16): Unit = {
+            precision: Int = -1): Unit = {
     Geo.register(df.sparkSession)
     val propCols = df.columns.filter(_ != geomCol)
     val props =

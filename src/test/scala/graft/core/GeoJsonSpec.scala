@@ -65,6 +65,23 @@ class GeoJsonSpec extends AnyFunSuite {
       GeoJson.parseFeature("""{"type":"FeatureCollection","features":[]}"""))
   }
 
+  test("precision -1 = shortest round-trip digits (lossless interchange)") {
+    // needs 17 significant digits — a 16-cap reparses to a different double
+    val hard = Seq(-0.18129999999999313, 0.1, 1.0 / 3.0, 1e-7,
+      123456789.12345678, -9.87654321e-5, 4.9e-324, 1.7976931348623157e308)
+    for (v <- hard) {
+      val s = DoubleFormat.printShortest(v)
+      assert(java.lang.Double.parseDouble(s) == v, s"$v -> $s")
+      assert(!s.toLowerCase.contains("e"), s"plain notation required: $s")
+    }
+    val g = Geom(GeomTypes.Point, Dims.XY, Array(-0.18129999999999313, 85.0))
+    val lossless = GeoJson.parse(GeoJson.write(g, -1))
+    assert(lossless == g)
+    // and the 16-cap variant demonstrably is NOT lossless on that value
+    val capped = GeoJson.parse(GeoJson.write(g, 16))
+    assert(capped != g)
+  }
+
   test("parser: member order, whitespace, foreign members, errors") {
     // any member order + bbox foreign member (RFC 7946 §6.1) + whitespace
     val g = GeoJson.parse(

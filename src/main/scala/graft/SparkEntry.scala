@@ -726,6 +726,18 @@ object SparkEntry {
         |  st_y(st_geomfromgeojson(gj)) AS py
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q85_source_balance" -> { (s, d) =>
+      prep(s, d)
+      // training-data mixture reweighting: down-sample sources to hit
+      // 5:3:2 target shares; keep-rates derive from actual counts, and
+      // membership is the splitmix64 bucket test — the oracle recomputes
+      // BOTH (rate arithmetic mirrored op-for-op in double precision)
+      graft.operators.Sampling.balanceSources(s.table("documents"),
+          "source", "doc_id",
+          Map("src0" -> 5.0, "src1" -> 3.0, "src2" -> 2.0), seed = 7L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     "q84_meters_join" -> { (s, d) =>
       prep(s, d)
       // spherical within-distance join (meters): cell-grid candidates +
@@ -1976,6 +1988,26 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // mixture reweighting: recompute keep-rates (same double ops, same
+    // order) AND splitmix bucket membership — exact surviving subset
+    "q85_source_balance" ->
+      s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+         |sh AS (SELECT * FROM (VALUES
+         |  ('src0', CAST(5 AS DOUBLE)), ('src1', CAST(3 AS DOUBLE)),
+         |  ('src2', CAST(2 AS DOUBLE))) AS t(source, w)),
+         |norm AS (SELECT source, w / CAST(10 AS DOUBLE) AS share FROM sh),
+         |budget AS (SELECT min(CAST(n AS DOUBLE) / share) AS bps
+         |           FROM cnt JOIN norm USING (source)),
+         |nums AS (SELECT n2.source,
+         |  CAST(round(least(CAST(1 AS DOUBLE),
+         |    n2.share * b.bps / CAST(c.n AS DOUBLE)) * 1000000) AS BIGINT) AS num
+         |  FROM norm n2 JOIN cnt c USING (source), budget b),
+         |h AS (SELECT doc_id, source, ${smxExpr("xor(doc_id, 7)")} AS h
+         |      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         |SELECT h.doc_id, h.source FROM h JOIN nums USING (source)
+         |WHERE ((h.h % 1000000) + 1000000) % 1000000 < nums.num
+         |ORDER BY h.doc_id""".stripMargin,
     // spherical radius join: DuckDB haversine; pair set only (the margin
     // to the 2000 km boundary is meters, trig ulps are nanometers)
     "q84_meters_join" ->

@@ -58,4 +58,48 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Source balancing (training-data MIXTURE reweighting): down-samples
+    * each source so the surviving mix matches `targetShares` (e.g. web
+    * 0.6 / books 0.2 / code 0.2) as closely as down-sampling-only allows.
+    *
+    * Per-source keep-rates derive from actual counts (one bounded
+    * aggregation: rows per source — O(#sources) driver state): the
+    * bottleneck source is the one whose target-to-actual ratio is
+    * largest; it keeps everything and every other source keeps
+    * `actual_bottleneck * (share_s / share_bottleneck)` rows. Rates
+    * quantize to parts-per-`denominator` and membership is the same
+    * splitmix64 bucket test as [[deterministicSample]] — a pure function
+    * of (id, seed), so the subset is stable across runs/partitionings and
+    * engine-auditable (q85 oracle recomputes rates AND membership).
+    *
+    * @param targetShares source -> desired fraction (need not sum to 1 —
+    *        normalized internally); sources absent from the map are DROPPED
+    * @return rows surviving the balance, unchanged schema */
+  def balanceSources(df: DataFrame, srcCol: String, idCol: String,
+                     targetShares: Map[String, Double], seed: Long,
+                     denominator: Int = 1000000): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0))
+    Geo.register(df.sparkSession)
+    // every fold below runs in sorted-key order: Map iteration order must
+    // never influence a double sum or a tie-break (determinism contract)
+    val sortedShares = targetShares.toSeq.sortBy(_._1)
+    val shareSum = sortedShares.map(_._2).sum
+    val shares = sortedShares.map { case (k, v) => k -> v / shareSum }
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = shares.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no target source present in the data")
+    // bottleneck source: smallest actual/share — it keeps everything
+    val bottleneck = present.minBy { case (s, share) => (counts(s) / share, s) }
+    val budgetPerShare = counts(bottleneck._1) / bottleneck._2
+    val numerators: Seq[(String, Int)] = present.map { case (s, share) =>
+      val keep = math.min(1.0, share * budgetPerShare / counts(s))
+      s -> math.round(keep * denominator).toInt
+    }
+    val numeratorExpr = numerators.foldLeft(lit(0): Column) {
+      case (acc, (s, num)) => when(col(srcCol) === s, num).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), seed, denominator.toLong) < numeratorExpr)
+  }
 }

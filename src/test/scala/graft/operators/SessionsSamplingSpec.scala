@@ -143,6 +143,29 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L), out.toString)
   }
 
+  test("balanceSources: achieved mix tracks targets, deterministic") {
+    val df = ((0 until 8000).map(i => (i.toLong, "web")) ++
+      (8000 until 9000).map(i => (i.toLong, "books")) ++
+      (9000 until 11000).map(i => (i.toLong, "code")) ++
+      (11000 until 11100).map(i => (i.toLong, "junk")))
+      .toDF("doc_id", "source")
+    val out = Sampling.balanceSources(df, "source", "doc_id",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25), seed = 3L)
+    val got = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bottleneck = books (1000 rows / 0.25 share): keeps all 1000;
+    // web keeps ~2000 of 8000, code ~1000 of 2000; junk dropped
+    assert(got("books") == 1000L)
+    assert(math.abs(got("web") - 2000L) < 150, got.toString)
+    assert(math.abs(got("code") - 1000L) < 100, got.toString)
+    assert(!got.contains("junk"))
+    // membership is a pure function of (id, seed): re-run identical
+    val again = Sampling.balanceSources(df, "source", "doc_id",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25), seed = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("dupClusters: empty pair set yields singletons, no crash") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

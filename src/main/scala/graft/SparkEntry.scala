@@ -726,6 +726,18 @@ object SparkEntry {
         |  st_y(st_geomfromgeojson(gj)) AS py
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q86_vec_project" -> { (s, d) =>
+      prep(s, d)
+      // JL dimensionality reduction: 64-d embeddings -> 8-d via the
+      // deterministic Rademacher projection; every output coordinate is
+      // rebuilt bit-for-bit by the oracle (same sign stream, same
+      // double-accumulation order, same sqrt scale, same float cast)
+      s.sql("""SELECT vec_id, CAST(pos AS INT) AS idx, feat
+        |FROM (SELECT vec_id, vec_project(embedding, 8, 11) AS pv
+        |      FROM embeddings)
+        |LATERAL VIEW posexplode(pv) AS pos, feat
+        |ORDER BY vec_id, idx""".stripMargin)
+    },
     "q85_source_balance" -> { (s, d) =>
       prep(s, d)
       // training-data mixture reweighting: down-sample sources to hit
@@ -1988,6 +2000,21 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // JL projection: per-coordinate rebuild — splitmix sign stream,
+    // ordered double fold, sqrt scale (IEEE-exact), float cast
+    "q86_vec_project" ->
+      s"""WITH pj AS (
+         |  SELECT vec_id, j,
+         |    CAST(list_reduce([CAST(0 AS DOUBLE)] ||
+         |      [CASE WHEN (${smxExpr("xor(11, j * 1000003 + (i - 1))")}) & 1 = 1
+         |            THEN CAST(embedding[i] AS DOUBLE)
+         |            ELSE -CAST(embedding[i] AS DOUBLE) END
+         |       FOR i IN generate_series(1, len(embedding))],
+         |      (a, c) -> a + c) * (CAST(1 AS DOUBLE) / sqrt(CAST(8 AS DOUBLE)))
+         |      AS FLOAT) AS feat
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j))
+         |SELECT vec_id, CAST(j AS INT) AS idx, feat FROM pj
+         |ORDER BY vec_id, idx""".stripMargin,
     // mixture reweighting: recompute keep-rates (same double ops, same
     // order) AND splitmix bucket membership — exact surviving subset
     "q85_source_balance" ->

@@ -285,6 +285,9 @@ object Geo {
     "vec_l2sq" -> (a => vec(DoubleType, "l2Sq", a, Seq(floatArray, floatArray))),
     "vec_lshbucket" -> (a => vec(LongType, "lshBucket", a,
       Seq(floatArray, IntegerType, LongType))),
+    // Rademacher JL projection (exact-replicable dim reduction)
+    "vec_project" -> (a => vec(floatArray, "project", a,
+      Seq(floatArray, IntegerType, LongType))),
     "vec_sq8" -> (a => vec(VecOps.sq8Type, "sq8", a, Seq(floatArray))),
     "vec_sq8_cosine" -> (a => vec(DoubleType, "sq8Cosine", a,
       Seq(BinaryType, FloatType, FloatType, floatArray))),

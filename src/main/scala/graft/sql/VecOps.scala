@@ -189,4 +189,35 @@ object VecOps {
     }
     out
   }
+
+  /** Deterministic Rademacher (±1) random projection — the
+    * Johnson-Lindenstrauss dimensionality reduction for the ANN toolkit:
+    * `out[j] = (1/sqrt(outDim)) * Σ_i ±v[i]`, signs from the low bit of
+    * `splitmix64(seed ^ (j * 1000003 + i))`. Achlioptas-style ±1 entries
+    * preserve pairwise distances in expectation like Gaussian entries but
+    * keep the arithmetic EXACT-replicable: double accumulation in index
+    * order, one final scale, float cast — the DuckDB oracle (q86) rebuilds
+    * every output coordinate bit-for-bit. Shrinking 64-d embeddings to
+    * 16-d cuts brute-force/rerank bandwidth 4× ahead of any bucketing. */
+  def project(a: ArrayData, outDim: Int, seed: Long): ArrayData = {
+    if (a == null || outDim <= 0) return null
+    val n = a.numElements()
+    val out = new Array[Float](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val h = GeoOps.splitmix64(seed ^ (j.toLong * 1000003L + i))
+        val v = a.getFloat(i).toDouble
+        s += (if ((h & 1L) == 1L) v else -v)
+        i += 1
+      }
+      out(j) = (s * scale).toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }

@@ -133,4 +133,30 @@ class IvfBucketSpec extends AnyFunSuite {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall")
   }
+
+  test("vec_project: JL distance preservation + determinism") {
+    import graft.sql.VecOps
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val rnd = new scala.util.Random(5)
+    def vec(d: Int) = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+    def arr(a: Array[Float]) = UnsafeArrayData.fromPrimitiveArray(a)
+    def l2(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val vecs = Seq.fill(40)(vec(64))
+    def proj(v: Array[Float], k: Int) = {
+      val p = VecOps.project(arr(v), k, 11L)
+      (0 until k).map(p.getFloat).toArray
+    }
+    // pairwise distance ratios concentrate near 1 at k=32 (JL bound)
+    val ratios = for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+      d = l2(vecs(i), vecs(j)) if d > 1e-6
+    } yield l2(proj(vecs(i), 32), proj(vecs(j), 32)) / d
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.1, s"mean distortion $mean")
+    assert(ratios.count(r => r > 0.5 && r < 1.5).toDouble / ratios.size > 0.95)
+    // deterministic: same input + seed -> bit-identical floats
+    val a = proj(vecs.head, 16); val b = proj(vecs.head, 16)
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -726,6 +726,20 @@ object SparkEntry {
         |  st_y(st_geomfromgeojson(gj)) AS py
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
+    "q87_ann_projected" -> { (s, d) =>
+      prep(s, d)
+      // projection-pruned ANN: 16-d JL candidates (k*rerank per query),
+      // exact full-dim rerank — the whole two-phase pipeline replicated
+      // in the oracle bit-for-bit (projection + both cosine stages)
+      val corpus = s.table("embeddings")
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.projectedTopK(corpus, queries, "embedding", "vec_id", "qid",
+          "qvec", k = 3, projDim = 16, rerank = 4, seed = 11L)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
     "q86_vec_project" -> { (s, d) =>
       prep(s, d)
       // JL dimensionality reduction: 64-d embeddings -> 8-d via the
@@ -2000,6 +2014,52 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // projected ANN: JL projection (q86 replica as arrays) -> projected
+    // cosine top-12 candidates -> exact full-dim cosine top-3
+    "q87_ann_projected" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id, embedding,
+         |    [CAST(list_reduce([CAST(0 AS DOUBLE)] ||
+         |       [CASE WHEN (${smxExpr("xor(11, j * 1000003 + (i - 1))")}) & 1 = 1
+         |             THEN CAST(embedding[i] AS DOUBLE)
+         |             ELSE -CAST(embedding[i] AS DOUBLE) END
+         |        FOR i IN generate_series(1, len(embedding))],
+         |       (a, c) -> a + c)
+         |      * (CAST(1 AS DOUBLE) / sqrt(CAST(16 AS DOUBLE))) AS FLOAT)
+         |     FOR j IN generate_series(0, 15)] AS pv
+         |  FROM embeddings),
+         |cand0 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS id,
+         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |      (SELECT unnest(q.pv) AS x, unnest(c.pv) AS y) z) AS dot,
+         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+         |      (SELECT unnest(q.pv) AS x) z) AS qq,
+         |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |      (SELECT unnest(c.pv) AS y) z) AS cc
+         |  FROM pe q CROSS JOIN pe c
+         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |cand AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id)
+         |      AS prank
+         |    FROM cand0)
+         |  WHERE prank <= 12),
+         |ex AS (
+         |  SELECT cand.qid, cand.id,
+         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |      (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y) z) AS dot,
+         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+         |      (SELECT unnest(q.embedding) AS x) z) AS qq,
+         |    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |      (SELECT unnest(c.embedding) AS y) z) AS cc
+         |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+         |            JOIN embeddings c ON c.vec_id = cand.id),
+         |sims AS (SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos FROM ex)
+         |SELECT qid, rank, id AS vec_id, cos FROM (
+         |  SELECT qid, id, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sims)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // JL projection: per-coordinate rebuild — splitmix sign stream,
     // ordered double fold, sqrt scale (IEEE-exact), float cast
     "q86_vec_project" ->

@@ -32,6 +32,48 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Projection-pruned top-k: both sides reduce to `projDim` dims via the
+    * deterministic Rademacher JL transform (`vec_project`), a cheap
+    * low-dim cosine picks `k * rerank` candidates per query, and the
+    * exact full-dim cosine reranks only those.
+    *
+    * 100-TB shape: the expensive distance runs on `projDim/dim` of the
+    * bandwidth (64→16-d = 4× less vector traffic through the candidate
+    * scan), and the full vectors are fetched for candidates only via a
+    * broadcast-query join — the same two-phase discipline as [[sq8TopK]],
+    * trading quantization error for projection error. JL guarantees the
+    * distortion concentrates, so recall stays high at modest rerank.
+    * Output: qid, rank, id, cos (exact cosines). */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, qidCol: String, qvecCol: String,
+                    k: Int, projDim: Int = 16, rerank: Int = 4,
+                    seed: Long = 11L): DataFrame = {
+    Geo.register(corpus.sparkSession)
+    val projCorpus = corpus.select(col(idCol),
+      call_function("vec_project", col(vecCol), lit(projDim), lit(seed))
+        .as("__pv"))
+    val projQueries = queries.select(col(qidCol),
+      call_function("vec_project", col(qvecCol), lit(projDim), lit(seed))
+        .as("__qpv"))
+    val wP = Window.partitionBy(col(qidCol))
+      .orderBy(col("__pcos").desc, col(idCol))
+    val candidates = projCorpus.crossJoin(broadcast(projQueries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__pcos", call_function("vec_cosine", col("__pv"), col("__qpv")))
+      .withColumn("__prank", row_number().over(wP))
+      .filter(col("__prank") <= k * rerank)
+      .select(col(idCol), col(qidCol))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol))
+    candidates
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("cos", call_function("vec_cosine", col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** IVF-style approximate top-k: a deterministic centroid codebook (first
     * `nlist` corpus vectors by id — reproducible without an iterative
     * training job), corpus assigned to its nearest centroid once, queries

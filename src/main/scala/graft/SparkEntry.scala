@@ -752,6 +752,25 @@ object SparkEntry {
         |LATERAL VIEW posexplode(pv) AS pos, feat
         |ORDER BY vec_id, idx""".stripMargin)
     },
+    "q88_knn_meters" -> { (s, d) =>
+      prep(s, d)
+      // spherical kNN (meters): hierarchical cell expansion + haversine.
+      // The oracle is brute-force DuckDB haversine top-5 with the same
+      // (dist, id) ordering; ranks compare (no distance column — trig
+      // differs by ulps) and the offline-verified min adjacent gap in the
+      // top-7 is 0.21 m at sf0.001 / 1.1 m at sf0.01 / 14 m at sf0.1 —
+      // 7+ orders above cross-engine trig error, so ranks are stable.
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      val qs = s.sql("""SELECT n_nationkey AS qid,
+        |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 + 7.0 AS qlon,
+        |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 + 12.5 AS qlat
+        |FROM nation""".stripMargin)
+      graft.operators.Knn.knnMetersJoin(pts, qs, k = 5, startLevel = 8,
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("qid", "rank")
+    },
     "q85_source_balance" -> { (s, d) =>
       prep(s, d)
       // training-data mixture reweighting: down-sample sources to hit
@@ -2014,6 +2033,25 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // spherical kNN: brute-force haversine top-5, same (dist, id) order;
+    // rank-only compare (distance doubles differ by trig ulps)
+    "q88_knn_meters" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+         |qs AS (SELECT n_nationkey AS qid,
+         |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 + 7.0 AS qlon,
+         |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 + 12.5 AS qlat
+         |FROM nation),
+         |d AS (SELECT qid, l_orderkey, l_linenumber,
+         |  2.0 * 6371008.8 * asin(least(1.0, sqrt(
+         |    pow(sin(radians(lat - qlat) / 2), 2) +
+         |    cos(radians(qlat)) * cos(radians(lat)) *
+         |      pow(sin(radians(lon - qlon) / 2), 2)))) AS dist
+         |  FROM pts, qs)
+         |SELECT qid, rank, l_orderkey, l_linenumber FROM (
+         |  SELECT qid, l_orderkey, l_linenumber, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dist, l_orderkey, l_linenumber) AS rank
+         |  FROM d)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // projected ANN: JL projection (q86 replica as arrays) -> projected
     // cosine top-12 candidates -> exact full-dim cosine top-3
     "q87_ann_projected" ->

@@ -38,6 +38,99 @@ object Knn {
     knnJoin(points, queries.toDF("qid", "qlon", "qlat"), k, res, tieCols)
   }
 
+  /** Spherical kNN join — exact k nearest neighbors in METERS (haversine),
+    * latitude-correct everywhere including poles and the antimeridian
+    * (candidates come from the quasi-uniform spherical cell grid, not a
+    * lon/lat lattice).
+    *
+    * Hierarchical expansion instead of ring growth: every round keeps a
+    * CONSTANT ring (`ringUnion(parent(qcell, L), 4)` ≈ 81 cells per open
+    * query) and coarsens the level by 2, so the guaranteed covered radius
+    * QUADRUPLES per round while per-round candidate-cell count stays flat
+    * — no O(r²) ring explosion, rounds = O(log(distance to the k-th
+    * neighbor)), and level 0 covers the whole sphere (termination even
+    * for a query whose neighbors are antipodal). A query retires when its
+    * k-th distance is ≤ (ring-1) × (a conservative LOWER bound of the
+    * cell width at the round's level): any point within that distance is
+    * at most `ring` cell steps away, hence inside the ring union. Same
+    * one-heavy-job-per-round, checkpointed-results discipline as
+    * [[knnJoin]].
+    *
+    * @param startLevel finest cell level (match expected neighbor
+    *        distance: level 12 ≈ 1 km cells; too fine only adds rounds)
+    * @return qid, rank, dist_m + point payload columns */
+  def knnMetersJoin(points: DataFrame, queries: DataFrame, k: Int,
+                    startLevel: Int = 12, tieCols: Seq[String] = Seq(),
+                    persistPoints: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    Geo.register(spark)
+    import spark.implicits._
+    require(startLevel >= 0 && startLevel <= 28)
+    val Ring = 4
+    def minWidthMeters(level: Int): Double =
+      0.5 * (math.Pi / 2) * graft.core.Measure.EarthRadiusMeters / (1L << level)
+
+    val celled = points.withColumn("__pcell", call_function("st_cellid",
+      col("lon").cast("double"), col("lat").cast("double"), lit(startLevel)))
+    val pts =
+      if (persistPoints)
+        celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else celled
+
+    def roundTopk(remaining: DataFrame, level: Int): DataFrame = {
+      val cand = remaining.withColumn("__ccell",
+        explode(call_function("st_cellringunion",
+          call_function("st_cellparent", col("__qcell"), lit(level)),
+          lit(Ring))))
+      val joined = pts
+        .withColumn("__cell",
+          call_function("st_cellparent", col("__pcell"), lit(level)))
+        .join(cand, $"__cell" === $"__ccell")
+        .withColumn("__dist", call_function("st_distancesphere",
+          $"lon".cast("double"), $"lat".cast("double"), $"qlon", $"qlat"))
+      val w = Window.partitionBy($"qid")
+        .orderBy($"__dist" +: tieCols.map(col): _*)
+      joined
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+    }
+    def finished(topk: DataFrame, doneIds: DataFrame): DataFrame =
+      topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
+        .withColumnRenamed("__dist", "dist_m")
+        .drop("__cell", "__ccell", "__qcell", "__pcell", "qlon", "qlat")
+
+    var remaining = queries.select(col("qid"),
+        col("qlon").cast("double").as("qlon"),
+        col("qlat").cast("double").as("qlat"))
+      .withColumn("__qcell", call_function("st_cellid",
+        col("qlon"), col("qlat"), lit(startLevel)))
+      .localCheckpoint(eager = true)
+    var level = startLevel
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    while (!done && !remaining.isEmpty) {
+      val topk = roundTopk(remaining, level).localCheckpoint(eager = true)
+      val bound =
+        if (level == 0) Double.MaxValue // whole sphere covered
+        else (Ring - 1).toDouble * minWidthMeters(level)
+      val doneIds = topk.groupBy($"qid")
+        .agg(count(lit(1)).as("__n"), max($"__dist").as("__kth"))
+        .filter($"__n" >= k && $"__kth" <= bound)
+        .select($"qid")
+      parts += finished(topk, doneIds)
+      remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (level == 0) done = true
+      level = math.max(0, level - 2)
+    }
+    if (persistPoints) pts.unpersist(blocking = false)
+    require(remaining.isEmpty, "spherical kNN join did not converge")
+    if (parts.isEmpty)
+      finished(roundTopk(remaining, startLevel),
+        remaining.select($"qid")).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+
   /** The distributed kNN join. @param queries df with qid, qlon, qlat.
     *
     * By default the celled point projection persists (memory-and-disk)

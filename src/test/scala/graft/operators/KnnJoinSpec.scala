@@ -38,4 +38,46 @@ class KnnJoinSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("spherical knnMetersJoin matches brute-force haversine, all regimes") {
+    import graft.core.Measure
+    val pts = (0 until 3000).map { i =>
+      val h = GeoOps.splitmix64(500L + i)
+      val lon = java.lang.Long.remainderUnsigned(h, 3600000L) / 10000.0 - 180.0
+      val lat = java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(h, 3600000L), 1700000L) / 10000.0 - 85.0
+      (i.toLong, lon, lat)
+    } ++ Seq( // planted structure: polar cluster + antimeridian pair
+      (9001L, 15.0, 89.2), (9002L, 160.0, 89.3), (9003L, -80.0, 89.4),
+      (9004L, 179.95, -10.0), (9005L, -179.9, -10.02))
+    val queries = ((0 until 60).map { i =>
+      val h = GeoOps.splitmix64(777L + i)
+      val lon = java.lang.Long.remainderUnsigned(h, 3400000L) / 10000.0 - 170.0
+      val lat = java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(h, 3400000L), 1500000L) / 10000.0 - 75.0
+      (i.toLong, lon, lat)
+    }) ++ Seq(
+      (100L, -100.0, 89.9),   // north pole: nearest are the polar cluster
+      (101L, -179.99, -10.01) // antimeridian: both sides must match
+    )
+    val got = Knn.knnMetersJoin(
+      pts.toDF("pid", "lon", "lat"),
+      queries.toDF("qid", "qlon", "qlat"),
+      k = 3, startLevel = 8, tieCols = Seq("pid"))
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
+      .map(t => (t._1, t._2.toLong, t._3)).toSet
+
+    val expected = queries.flatMap { case (qid, qlon, qlat) =>
+      pts.map { case (pid, lon, lat) =>
+        (pid, Measure.haversineMeters(lon, lat, qlon, qlat))
+      }.sortBy { case (pid, d) => (d, pid) }
+        .take(3).zipWithIndex.map { case ((pid, _), i) => (qid, (i + 1).toLong, pid) }
+    }.toSet
+    assert(got == expected)
+    // the polar query really found the polar cluster (cross-face rings)
+    val polar = got.filter(_._1 == 100L).map(_._3)
+    assert(polar == Set(9001L, 9002L, 9003L), polar.toString)
+    val anti = got.filter(_._1 == 101L).map(_._3)
+    assert(anti.contains(9004L) && anti.contains(9005L), anti.toString)
+  }
 }

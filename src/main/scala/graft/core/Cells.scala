@@ -251,6 +251,15 @@ object Cells {
   /** Conservative lon/lat bound of a cell (padded; pole/antimeridian cells
     * widen to the full range). Public so covers can test geometry
     * intersection against it. */
+  /** Conservative LOWER bound of the minimum cell edge length in METERS
+    * at a level. Single source of truth for every ring-coverage guarantee
+    * (meters-radius join, spherical kNN retirement bound): those proofs
+    * need a true under-estimate — an under-estimate only grows the ring,
+    * an over-estimate silently drops true neighbors. The 0.5 factor
+    * absorbs the quadratic projection's edge-length distortion. */
+  def minEdgeMetersLowerBound(level: Int): Double =
+    0.5 * (math.Pi / 2) * Measure.EarthRadiusMeters / (1L << level)
+
   def cellLonLatBound(id: Long): (Double, Double, Double, Double) = {
     val (face, i0, j0) = toFaceIj(id)
     val lvl = level(id)

@@ -66,6 +66,12 @@ object GeoJson {
       while (j < s) {
         if (j > 0) sb.append(',')
         val v = g.coords(i * s + j)
+        // JSON has no NaN/Infinity tokens: emitting the WKT spellings
+        // would produce a line our own parser (and jq/GDAL) rejects —
+        // refuse loudly, like the XYM guard
+        if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+          throw new IllegalArgumentException(
+            "GeoJSON numbers must be finite (RFC 7946): got " + v)
         sb.append(
           if (precision < 0) DoubleFormat.printShortest(v)
           else DoubleFormat.print(v, precision))

@@ -92,17 +92,11 @@ object AsOf {
     require(payload.nonEmpty, "right side needs at least one payload column")
     require(payload.forall(!left.columns.contains(_)),
       s"right payload columns ${payload.mkString(",")} collide with left")
-    // monotone ts -> chunk id; timestamps (incl. NTZ, which won't cast to
-    // double) go through epoch micros — any monotone map preserves the
-    // inclusive as-of semantics
-    def chunkOf(c: Column): Column = {
-      val numeric = left.schema(tsCol).dataType match {
-        case TimestampType | TimestampNTZType =>
-          unix_micros(c.cast("timestamp")) / lit(1e6)
-        case _ => c.cast("double")
-      }
-      floor(numeric / chunkWidth).cast("long")
-    }
+    // monotone ts -> chunk id (shared mapping with RangeJoin — see
+    // ChunkTime); any monotone map preserves the inclusive as-of semantics
+    def chunkOf(c: Column): Column =
+      floor(ChunkTime.toNumericSeconds(c, left.schema(tsCol).dataType) /
+        chunkWidth).cast("long")
     // deterministic pick among equal (key, ts) right rows (as in asofJoin)
     val dw = Window.partitionBy(col(keyCol), col(tsCol))
       .orderBy(col(tieCol).desc)

@@ -68,7 +68,7 @@ object Knn {
     require(startLevel >= 0 && startLevel <= 28)
     val Ring = 4
     def minWidthMeters(level: Int): Double =
-      0.5 * (math.Pi / 2) * graft.core.Measure.EarthRadiusMeters / (1L << level)
+      graft.core.Cells.minEdgeMetersLowerBound(level)
 
     val celled = points.withColumn("__pcell", call_function("st_cellid",
       col("lon").cast("double"), col("lat").cast("double"), lit(startLevel)))

@@ -26,10 +26,7 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 object RangeJoin {
 
   private def numeric(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
-    dt match {
-      case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp")) / lit(1e6)
-      case _ => c.cast("double")
-    }
+    ChunkTime.toNumericSeconds(c, dt)
 
   /** Inner interval join: all `points` columns + all `intervals` columns
     * for each containment match (`lo <= pt <= hi`, inclusive both ends).
@@ -61,4 +58,19 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__chunk")
   }
+}
+
+/** Shared monotone value -> numeric-seconds mapping for chunk binning —
+  * ONE definition so [[RangeJoin]] and [[AsOf.asofJoinChunked]] can never
+  * bin the same column differently (timestamps, incl. NTZ which refuses a
+  * double cast, go through epoch micros; any monotone map preserves both
+  * operators' semantics). */
+private[operators] object ChunkTime {
+  def toNumericSeconds(c: Column,
+                       dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast("timestamp")) / lit(1e6)
+      case _ => c.cast("double")
+    }
 }

@@ -107,10 +107,8 @@ object SpatialJoins {
       .drop("__cell", "__ccell", "qlon", "qlat")
   }
 
-  /** Conservative UNDER-estimate of the minimum cell edge length (meters)
-    * at a cell level — under-estimating is safe (the ring just grows). */
   private def minCellEdgeMeters(level: Int): Double =
-    0.5 * (math.Pi / 2) * graft.core.Measure.EarthRadiusMeters / (1L << level)
+    graft.core.Cells.minEdgeMetersLowerBound(level)
 
   /** Within-distance join in METERS on the sphere — the real-world geo
     * radius search ([[withinDistanceJoin]] works in planar degrees, whose

@@ -9,6 +9,8 @@ import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.arrow.vector.ipc.ReadChannel
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
@@ -167,6 +169,26 @@ object ArrowIpc {
     case (v, _) => v
   }
 
+  // ------------------------------------------------ hadoop configuration
+
+  /** The session's full Hadoop configuration flattened to a serializable
+    * map: `spark.hadoop.*` settings (object-store credentials, endpoints,
+    * filesystem impls) must reach executor-side FileSystem calls — a bare
+    * `new Configuration()` there would silently drop them and break every
+    * non-local URI despite `spark.read.parquet` on the same path working. */
+  private def confEntries(spark: SparkSession): Map[String, String] = {
+    val c = spark.sessionState.newHadoopConf()
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private def toConf(entries: Map[String, String]): Configuration =
+    if (entries.isEmpty) new Configuration()
+    else {
+      val c = new Configuration(false) // entries already include defaults
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   // ------------------------------------------------------------- write
 
   /** Writes `df` as a directory of Arrow IPC part files — one per
@@ -174,23 +196,39 @@ object ArrowIpc {
     * collect). `fieldMeta` attaches custom Arrow field metadata by column
     * name (the geoarrow extension tags ride here). `stream = true` emits
     * the IPC STREAM format (`.arrows`, what sockets/nanoarrow pipes speak)
-    * instead of the random-access FILE format (`.arrow`). */
+    * instead of the random-access FILE format (`.arrow`).
+    *
+    * Commit protocol: each task writes to a dot-prefixed `.inprogress`
+    * name (invisible to the reader's extension filter) and renames into
+    * place only when its iterator is exhausted, so a failed or retried
+    * task never leaves a torn file under a final name (rename is
+    * last-wins under speculation); the driver stamps `_SUCCESS` after
+    * ALL tasks commit, and [[read]] refuses markerless directories by
+    * default — a job that died halfway can't masquerade as a dataset. */
   def write(df: DataFrame, path: String,
             fieldMeta: Map[String, Map[String, String]] = Map.empty,
             batchRows: Int = 4096, stream: Boolean = false): Unit = {
     val schema = df.schema
     val spark = df.sparkSession
+    val entries = confEntries(spark)
     // fresh target dir (overwrite semantics, like parquet writes here)
     val root = new HPath(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(toConf(entries))
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
     val ext = if (stream) "arrows" else "arrow"
     val counts = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val file = f"$path/part-$idx%05d.$ext"
-      Iterator.single(writeFile(file, schema, fieldMeta, rows, batchRows, stream))
-    }.collect() // one (path, rows) pair per partition — bounded
+      val tmp = f"$path/.part-$idx%05d.$ext.inprogress"
+      val fin = f"$path/part-$idx%05d.$ext"
+      val n = writeFile(tmp, schema, fieldMeta, rows, batchRows, stream, entries)
+      val taskFs = new HPath(path).getFileSystem(toConf(entries))
+      taskFs.delete(new HPath(fin), false)
+      require(taskFs.rename(new HPath(tmp), new HPath(fin)),
+        s"ArrowIpc: task commit rename failed for $fin")
+      Iterator.single(n)
+    }.collect() // one count per partition — bounded
     require(counts.nonEmpty || df.isEmpty)
+    fs.create(new HPath(root, "_SUCCESS"), true).close()
   }
 
   /** Writes one IPC file from an iterator of rows; returns the row count.
@@ -198,7 +236,8 @@ object ArrowIpc {
   def writeFile(file: String, schema: StructType,
                 fieldMeta: Map[String, Map[String, String]],
                 rows: Iterator[Row], batchRows: Int,
-                stream: Boolean): Long = {
+                stream: Boolean,
+                hadoopConf: Map[String, String] = Map.empty): Long = {
     val arrowSchema = toArrowSchema(schema, fieldMeta)
     val alloc = new RootAllocator()
     var total = 0L
@@ -206,7 +245,7 @@ object ArrowIpc {
       val root = VectorSchemaRoot.create(arrowSchema, alloc)
       try {
         val p = new HPath(file)
-        val out = p.getFileSystem(new Configuration()).create(p, true)
+        val out = p.getFileSystem(toConf(hadoopConf)).create(p, true)
         val writer =
           if (stream) new ArrowStreamWriter(root, null, Channels.newChannel(out))
           else new ArrowFileWriter(root, null, Channels.newChannel(out))
@@ -237,9 +276,9 @@ object ArrowIpc {
 
   // -------------------------------------------------------------- read
 
-  private def listIpcFiles(path: String): Seq[String] = {
+  private def listIpcFiles(path: String, conf: Configuration): Seq[String] = {
     val root = new HPath(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(conf)
     if (fs.getFileStatus(root).isFile) Seq(path)
     else fs.listStatus(root).toSeq
       .map(_.getPath)
@@ -248,9 +287,9 @@ object ArrowIpc {
       .map(_.toString)
   }
 
-  private def readAllBytes(file: String): Array[Byte] = {
+  private def readAllBytes(file: String, conf: Configuration): Array[Byte] = {
     val p = new HPath(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     require(len <= Int.MaxValue, s"IPC part file too large: $file")
     val buf = new Array[Byte](len.toInt)
@@ -259,27 +298,31 @@ object ArrowIpc {
     buf
   }
 
-  /** The Arrow schema of an IPC file/dir (driver-side, schema bytes only). */
-  def arrowSchemaOf(path: String): ArrowSchema = {
-    val file = listIpcFiles(path).headOption.getOrElse(
+  /** The Arrow schema of an IPC file/dir — genuinely schema-bytes-only:
+    * both IPC formats LEAD with the schema message (the file format after
+    * its 8-byte `ARROW1\0\0` magic), so this reads a few KB from the
+    * first part file, never the whole file. */
+  def arrowSchemaOf(path: String): ArrowSchema =
+    arrowSchemaWith(path, new Configuration())
+
+  private def arrowSchemaWith(path: String, conf: Configuration): ArrowSchema = {
+    val file = listIpcFiles(path, conf).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .arrow/.arrows files under $path"))
-    val alloc = new RootAllocator()
+    val p = new HPath(file)
+    val in = p.getFileSystem(conf).open(p)
     try {
-      if (file.endsWith(".arrows")) {
-        val in = new java.io.ByteArrayInputStream(readAllBytes(file))
-        val r = new ArrowStreamReader(in, alloc)
-        try r.getVectorSchemaRoot.getSchema finally r.close()
-      } else {
-        val r = new ArrowFileReader(
-          new ByteArrayReadableSeekableByteChannel(readAllBytes(file)), alloc)
-        try r.getVectorSchemaRoot.getSchema finally r.close()
-      }
-    } finally alloc.close()
+      if (!file.endsWith(".arrows")) in.seek(8) // skip file-format magic
+      MessageSerializer.deserializeSchema(
+        new ReadChannel(Channels.newChannel(in)))
+    } finally in.close()
   }
 
   /** Custom field metadata by column name (extension tags surface here). */
   def fieldMetadata(path: String): Map[String, Map[String, String]] =
-    arrowSchemaOf(path).getFields.asScala.toSeq.map { f =>
+    fieldMetadataOf(arrowSchemaOf(path))
+
+  private def fieldMetadataOf(schema: ArrowSchema): Map[String, Map[String, String]] =
+    schema.getFields.asScala.toSeq.map { f =>
       f.getName -> Option(f.getMetadata).map(_.asScala.toMap).getOrElse(Map.empty[String, String])
     }.toMap
 
@@ -287,18 +330,32 @@ object ArrowIpc {
     * DataFrame: files parallelize across executors, each task streams its
     * file's batches. Raw layout — geoarrow-tagged columns stay in their
     * native nested layout; [[readGeo]] decodes them. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val files = listIpcFiles(path)
+  def read(spark: SparkSession, path: String,
+           requireSuccess: Boolean = true): DataFrame = {
+    val entries = confEntries(spark)
+    val conf = toConf(entries)
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    // a markerless directory is (likely) a job that died mid-write — the
+    // task-commit renames keep files whole, but not the file SET; foreign
+    // directories (pyarrow dumps) pass requireSuccess = false explicitly
+    if (requireSuccess && fs.getFileStatus(root).isDirectory)
+      require(fs.exists(new HPath(root, "_SUCCESS")),
+        s"no _SUCCESS marker at $path — incomplete write? " +
+          "(pass requireSuccess = false for foreign-written directories)")
+    val files = listIpcFiles(path, conf)
     require(files.nonEmpty, s"no .arrow/.arrows files under $path")
-    val sparkSchema = toSparkSchema(arrowSchemaOf(path))
+    val sparkSchema = toSparkSchema(arrowSchemaWith(path, conf))
     val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { file =>
-      readFileRows(file, sparkSchema)
+      readFileRows(file, sparkSchema, entries)
     }
     spark.createDataFrame(rdd, sparkSchema)
   }
 
   /** Reads one IPC file into external Rows (executor-side). */
-  def readFileRows(file: String, sparkSchema: StructType): Iterator[Row] = {
+  def readFileRows(file: String, sparkSchema: StructType,
+                   hadoopConf: Map[String, String] = Map.empty): Iterator[Row] = {
+    val fileConf = toConf(hadoopConf)
     // materialize per file: vectors must close before the task ends, and a
     // part file is one partition's worth of rows by construction
     val alloc = new RootAllocator()
@@ -307,10 +364,11 @@ object ArrowIpc {
       val reader =
         if (file.endsWith(".arrows"))
           new ArrowStreamReader(
-            new java.io.ByteArrayInputStream(readAllBytes(file)), alloc)
+            new java.io.ByteArrayInputStream(readAllBytes(file, fileConf)), alloc)
         else
           new ArrowFileReader(
-            new ByteArrayReadableSeekableByteChannel(readAllBytes(file)), alloc)
+            new ByteArrayReadableSeekableByteChannel(
+              readAllBytes(file, fileConf)), alloc)
       try {
         val root = reader.getVectorSchemaRoot
         while (reader.loadNextBatch()) {
@@ -358,10 +416,12 @@ object ArrowIpc {
   /** Reads GeoArrow-tagged IPC: every `geoarrow.*`-tagged column decodes
     * from its native layout back to the engine geometry struct, with crs
     * re-attached as column metadata (C1/C2 propagation). */
-  def readGeo(spark: SparkSession, path: String): DataFrame = {
+  def readGeo(spark: SparkSession, path: String,
+              requireSuccess: Boolean = true): DataFrame = {
     Geo.register(spark)
-    val metaByCol = fieldMetadata(path)
-    var df = read(spark, path)
+    val metaByCol = fieldMetadataOf(
+      arrowSchemaWith(path, toConf(confEntries(spark))))
+    var df = read(spark, path, requireSuccess)
     metaByCol.foreach { case (name, meta) =>
       meta.get("ARROW:extension:name")
         .filter(_.startsWith("geoarrow.")).foreach { extName =>

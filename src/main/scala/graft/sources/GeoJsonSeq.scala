@@ -49,9 +49,15 @@ object GeoJsonSeq {
     val props =
       if (propCols.isEmpty) lit("{}")
       else to_json(struct(propCols.map(col): _*))
+    // null geometries serialize as the spec's "geometry": null — a bare
+    // st_asgeojson(null) would null the whole concat, the text writer
+    // would emit an empty line, and read()'s blank-line filter would
+    // silently DROP the row (the parser accepts geometry:null, so the
+    // round-trip must keep it)
     df.select(concat(
         lit("{\"type\":\"Feature\",\"geometry\":"),
-        call_function("st_asgeojson", col(geomCol), lit(precision)),
+        coalesce(call_function("st_asgeojson", col(geomCol), lit(precision)),
+          lit("null")),
         lit(",\"properties\":"), props, lit("}")).as("value"))
       .write.mode("overwrite").text(path)
   }

@@ -390,9 +390,14 @@ object AvOps {
       var p = from
       while (p + 8 <= until) {
         val id = cc(bytes, p)
-        val sz = u32(bytes, p + 4).toInt
+        // size stays a Long until bounds-checked: a crafted ~2-4 GB chunk
+        // size in a >1 GB payload would overflow Int in `body + sz` and
+        // slip past the guard, then index at a negative offset and THROW
+        // — the contract is degrade-to-unknown, never fail the stage
+        val szL = u32(bytes, p + 4) // unsigned, 0..2^32-1
         val body = p + 8
-        if (sz < 0 || body + sz > until) return // truncated/corrupt: stop
+        if (body.toLong + szL > until) return // truncated/corrupt: stop
+        val sz = szL.toInt // safe: bounded by `until` <= array length
         if (id == "LIST") walk(body + 4, body + sz)
         else if (id == "avih" && sz >= 40) {
           us = u32(bytes, body).toInt

@@ -87,7 +87,15 @@ object StreamingTiles {
     * micro-batches, so a downstream job tails the table continuously with
     * exactly-once file tracking in its own checkpoint. `maxFilesPerTrigger`
     * bounds batch size (backpressure); partition columns (snapshot_id,
-    * bucket) surface as data columns for lineage. */
+    * bucket) surface as data columns for lineage.
+    *
+    * CONSTRAINT: tail APPEND-ONLY tables. `Pipeline.compactSnapshots`
+    * rewrites historical rows into NEW files, which a file-tracking
+    * source re-emits as fresh data — every compacted row would be
+    * re-delivered downstream. Run compaction only on tables no stream is
+    * tailing (or restart consumers from a fresh checkpoint + dedup); a
+    * real catalog stream source (Iceberg incremental scan) avoids this by
+    * reading snapshot metadata instead of file paths. */
   def streamTable(spark: org.apache.spark.sql.SparkSession, tableDir: String,
                   schema: org.apache.spark.sql.types.StructType,
                   maxFilesPerTrigger: Int = 64): DataFrame =

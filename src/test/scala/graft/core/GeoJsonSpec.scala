@@ -98,5 +98,10 @@ class GeoJsonSpec extends AnyFunSuite {
     // M ordinates have no GeoJSON representation
     intercept[IllegalArgumentException](
       GeoJson.write(Wkt.parse("POINT M (1 2 3)")))
+    // JSON has no NaN/Infinity tokens — refuse, don't emit invalid lines
+    intercept[IllegalArgumentException](
+      GeoJson.write(Wkt.parse("POINT (nan 1)")))
+    intercept[IllegalArgumentException](
+      GeoJson.write(Wkt.parse("POINT (inf 1)")))
   }
 }

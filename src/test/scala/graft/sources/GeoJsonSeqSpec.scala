@@ -29,6 +29,21 @@ class GeoJsonSeqSpec extends AnyFunSuite {
     assert(got == (0L until 100L).map(i => (i, s"n$i", i / 4.0)).toSet)
   }
 
+  test("null geometries round-trip as \"geometry\": null (no row loss)") {
+    graft.sql.Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geojsonseq_null").toString
+    val df = spark.sql(
+      """SELECT id, CASE WHEN id % 3 = 0 THEN NULL
+        |  ELSE st_point(CAST(id AS DOUBLE), 0.0) END AS geom
+        |FROM range(9)""".stripMargin)
+    GeoJsonSeq.write(df, "geom", dir)
+    val back = GeoJsonSeq.read(spark, dir)
+    assert(back.count() == 9) // nothing silently dropped
+    assert(back.filter(col("geom").isNull).count() == 3)
+    assert(spark.read.textFile(dir).collect()
+      .count(_.contains("\"geometry\":null")) == 3)
+  }
+
   test("strict=false skips dirty lines instead of failing the scan") {
     graft.sql.Geo.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("geojsonseq_dirty")

@@ -752,6 +752,34 @@ object SparkEntry {
         |LATERAL VIEW posexplode(pv) AS pos, feat
         |ORDER BY vec_id, idx""".stripMargin)
     },
+    "q89_payload_pipeline" -> { (s, d) =>
+      prep(s, d)
+      // the north-rule per-row payload invariant THROUGH the checkpointed
+      // pipeline: real PNG payloads + captions ride writeSnapshot ->
+      // readSnapshot (bucketed partition dirs, manifests), and after the
+      // round-trip the bytes still DECODE to the same pixels — pooled
+      // features are the q48 analytic constants, captions compare exact.
+      // An oracle failure here means the pipeline corrupted a payload.
+      val dir = pipelineDir("q89")
+      val docs = s.sql("""SELECT doc_id,
+        |  CAST((doc_id * 131 + 7) % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon,
+        |  CAST((doc_id * 37 + 11) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat,
+        |  make_png(CAST(doc_id % 13 + 4 AS INT), CAST((doc_id % 8 + 1) * 4 AS INT),
+        |    CAST(doc_id % 256 AS INT), CAST((doc_id * 7) % 256 AS INT),
+        |    CAST((doc_id * 13) % 256 AS INT), CAST((doc_id * 3) % 256 AS INT),
+        |    CAST((doc_id * 11) % 256 AS INT), CAST((doc_id * 17) % 256 AS INT)) AS bytes,
+        |  concat('cap_', doc_id) AS caption
+        |FROM documents""".stripMargin)
+      val b = Pipeline.withBucket(docs, "lon", "lat", 3)
+      Pipeline.writeSnapshot(b, dir, 1L, keyCol = "doc_id",
+        bytesCol = "bytes")
+      Pipeline.readSnapshot(s, dir, 1L).createOrReplaceTempView("q89_t")
+      s.sql("""SELECT doc_id, caption, CAST(pos AS INT) AS idx, feat FROM (
+        |  SELECT doc_id, caption,
+        |    posexplode(img_features(bytes, 16)) AS (pos, feat)
+        |  FROM q89_t)
+        |ORDER BY doc_id, idx""".stripMargin)
+    },
     "q88_knn_meters" -> { (s, d) =>
       prep(s, d)
       // spherical kNN (meters): hierarchical cell expansion + haversine.
@@ -2033,6 +2061,19 @@ object SparkEntry {
         |    || CAST(y AS VARCHAR) || ']}' AS gj,
         |  x AS px, y AS py
         |FROM p ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // payload invariant through the pipeline: q48's analytic pixel
+    // constants + exact captions — bytes must survive decode-identical
+    "q89_payload_pipeline" ->
+      """SELECT d.doc_id, 'cap_' || CAST(d.doc_id AS VARCHAR) AS caption,
+        |  CAST(g.range AS INTEGER) AS idx,
+        |  CAST(CASE WHEN g.range < 8
+        |    THEN CAST((d.doc_id % 256) * 299 + ((d.doc_id * 7) % 256) * 587
+        |         + ((d.doc_id * 13) % 256) * 114 AS DOUBLE) / 255000.0
+        |    ELSE CAST(((d.doc_id * 3) % 256) * 299 + ((d.doc_id * 11) % 256) * 587
+        |         + ((d.doc_id * 17) % 256) * 114 AS DOUBLE) / 255000.0
+        |    END AS FLOAT) AS feat
+        |FROM documents d CROSS JOIN range(0, 16) g
+        |ORDER BY doc_id, idx""".stripMargin,
     // spherical kNN: brute-force haversine top-5, same (dist, id) order;
     // rank-only compare (distance doubles differ by trig ulps)
     "q88_knn_meters" ->

@@ -53,6 +53,20 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(files.length == 2)
   }
 
+  test("commit protocol: _SUCCESS gates reads; foreign dirs opt out") {
+    val df = spark.range(10).toDF("id")
+    val dir = tmp("commit")
+    ArrowIpc.write(df, dir)
+    val d = new java.io.File(dir)
+    assert(d.list().contains("_SUCCESS"))
+    assert(!d.list().exists(_.endsWith(".inprogress")))
+    // a markerless directory (job died mid-write / foreign writer) is
+    // refused by default, accepted with requireSuccess = false
+    assert(new java.io.File(d, "_SUCCESS").delete())
+    intercept[IllegalArgumentException](ArrowIpc.read(spark, dir))
+    assert(ArrowIpc.read(spark, dir, requireSuccess = false).count() == 10)
+  }
+
   test("IPC STREAM format roundtrip (.arrows)") {
     val df = spark.range(100).select(col("id"),
       (col("id") * 2).cast("double").as("v"))

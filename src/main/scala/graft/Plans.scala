@@ -108,7 +108,14 @@ object Plans {
             (col("id") % 5).as("user_id"), (col("id") * 7 % 1000).as("ts")),
           spark.range(100).select((col("id") % 5).as("user_id"),
             (col("id") * 11 % 1000).as("ts"), col("id").as("quote_id")),
-          "user_id", "ts", "quote_id", chunkWidth = 100.0)))
+          "user_id", "ts", "quote_id", chunkWidth = 100.0)),
+      "Spherical meters-radius join: cell equi-join + haversine refine " +
+        "(no lon/lat-grid latitude distortion, no nested loop)" ->
+        fmt(SpatialJoins.withinDistanceMetersJoin(
+          imagesPq.select(col("image_id"), col("lon"), col("lat")),
+          spark.range(20).select(col("id").as("qid"),
+            (rand(3) * 340 - 170).as("qlon"), (rand(4) * 160 - 80).as("qlat")),
+          radiusMeters = 50000.0)))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

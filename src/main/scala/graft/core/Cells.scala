@@ -328,6 +328,49 @@ object Cells {
     out.toArray
   }
 
+  /** Cells at `targetLevel` whose bound intersects the spherical CAP of
+    * `radiusMeters` around (lonDeg, latDeg) — a guaranteed superset of
+    * the cells containing any point within the radius.
+    *
+    * Unlike ring expansion (`ringUnion`), which counts lattice steps,
+    * this is correct across cube-face corners and at any scale: the cap
+    * is bounded by latitude `±r/R` (a great circle must traverse that
+    * much latitude) and by longitude `±(r/R)/cos(φ*)` where
+    * `φ* = |lat| + r/R` bounds the maximum latitude ANY path of length r
+    * from the center can reach (the poleward bulge of a connecting arc is
+    * covered — a path cannot gain more latitude than its length); near
+    * the poles the longitude span saturates to full. The box test then
+    * drives the same hierarchical [[coverWhere]] pruning as box covers.
+    * Over-coverage is refined away by the caller's exact haversine. */
+  def capCover(lonDeg: Double, latDeg: Double, radiusMeters: Double,
+               targetLevel: Int): Array[Long] = {
+    val rRad = radiusMeters / Measure.EarthRadiusMeters
+    val dLatDeg = math.toDegrees(rRad)
+    val latLo = latDeg - dLatDeg
+    val latHi = latDeg + dLatDeg
+    val phiStar = math.toRadians(math.abs(latDeg)) + rRad
+    val fullLon = latLo <= -89.9999 || latHi >= 89.9999 ||
+      phiStar >= math.Pi / 2 - 1e-9
+    val dLonDeg =
+      if (fullLon) 180.0
+      else math.min(180.0, math.toDegrees(rRad / math.cos(phiStar)))
+    // wrap-split longitude intervals
+    val lonIntervals: Seq[(Double, Double)] =
+      if (dLonDeg >= 180.0) Seq((-180.0, 180.0))
+      else {
+        val lo = lonDeg - dLonDeg
+        val hi = lonDeg + dLonDeg
+        if (lo < -180 && hi > 180) Seq((-180.0, 180.0))
+        else if (lo < -180) Seq((-180.0, hi), (lo + 360.0, 180.0))
+        else if (hi > 180) Seq((lo, 180.0), (-180.0, hi - 360.0))
+        else Seq((lo, hi))
+      }
+    coverWhere(targetLevel) { (bMinLon, bMinLat, bMaxLon, bMaxLat) =>
+      bMinLat <= latHi && bMaxLat >= latLo &&
+        lonIntervals.exists { case (lo, hi) => bMinLon <= hi && bMaxLon >= lo }
+    }
+  }
+
   /** Cell cover of a geometry: envelope-based for points, edge/interior-
     * exact (still conservative) for lines and polygons via
     * [[Pip.boxIntersects]]. */

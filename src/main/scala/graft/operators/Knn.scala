@@ -43,18 +43,18 @@ object Knn {
     * (candidates come from the quasi-uniform spherical cell grid, not a
     * lon/lat lattice).
     *
-    * Hierarchical expansion instead of ring growth: every round keeps a
-    * CONSTANT ring (`ringUnion(parent(qcell, L), 4)` ≈ 81 cells per open
-    * query) and coarsens the level by 2, so the guaranteed covered radius
-    * QUADRUPLES per round while per-round candidate-cell count stays flat
-    * — no O(r²) ring explosion, rounds = O(log(distance to the k-th
-    * neighbor)), and level 0 covers the whole sphere (termination even
-    * for a query whose neighbors are antipodal). A query retires when its
-    * k-th distance is ≤ (ring-1) × (a conservative LOWER bound of the
-    * cell width at the round's level): any point within that distance is
-    * at most `ring` cell steps away, hence inside the ring union. Same
-    * one-heavy-job-per-round, checkpointed-results discipline as
-    * [[knnJoin]].
+    * Hierarchical expansion on spherical CAPS: round i covers the cap of
+    * radius r_i around each open query via `st_cellcapcover` at a level
+    * matched to r_i (cells comparable to the radius → bounded cover
+    * size), with r quadrupling and the level coarsening by 2 per round —
+    * covered radius quadruples at flat per-round cost, rounds =
+    * O(log(distance to the k-th neighbor)), and the final cap covers the
+    * whole sphere (termination even for antipodal neighbors). A query
+    * retires when its k-th distance is ≤ r_i: the cap cover is a
+    * GUARANTEED superset of the cells within r_i (lattice-ring stepping
+    * is NOT sound across cube-face corners — the q84 sf0.1 sweep caught
+    * that). Same one-heavy-job-per-round, checkpointed-results
+    * discipline as [[knnJoin]].
     *
     * @param startLevel finest cell level (match expected neighbor
     *        distance: level 12 ≈ 1 km cells; too fine only adds rounds)
@@ -66,9 +66,9 @@ object Knn {
     Geo.register(spark)
     import spark.implicits._
     require(startLevel >= 0 && startLevel <= 28)
-    val Ring = 4
     def minWidthMeters(level: Int): Double =
       graft.core.Cells.minEdgeMetersLowerBound(level)
+    val halfSphere = math.Pi * graft.core.Measure.EarthRadiusMeters
 
     val celled = points.withColumn("__pcell", call_function("st_cellid",
       col("lon").cast("double"), col("lat").cast("double"), lit(startLevel)))
@@ -77,11 +77,11 @@ object Knn {
         celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else celled
 
-    def roundTopk(remaining: DataFrame, level: Int): DataFrame = {
+    def roundTopk(remaining: DataFrame, level: Int,
+                  radius: Double): DataFrame = {
       val cand = remaining.withColumn("__ccell",
-        explode(call_function("st_cellringunion",
-          call_function("st_cellparent", col("__qcell"), lit(level)),
-          lit(Ring))))
+        explode(call_function("st_cellcapcover",
+          $"qlon", $"qlat", lit(radius), lit(level))))
       val joined = pts
         .withColumn("__cell",
           call_function("st_cellparent", col("__pcell"), lit(level)))
@@ -97,36 +97,39 @@ object Knn {
     def finished(topk: DataFrame, doneIds: DataFrame): DataFrame =
       topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
         .withColumnRenamed("__dist", "dist_m")
-        .drop("__cell", "__ccell", "__qcell", "__pcell", "qlon", "qlat")
+        .drop("__cell", "__ccell", "__pcell", "qlon", "qlat")
 
     var remaining = queries.select(col("qid"),
         col("qlon").cast("double").as("qlon"),
         col("qlat").cast("double").as("qlat"))
-      .withColumn("__qcell", call_function("st_cellid",
-        col("qlon"), col("qlat"), lit(startLevel)))
       .localCheckpoint(eager = true)
     var level = startLevel
+    // round-0 cap: a few cells at startLevel; radius then quadruples in
+    // lockstep with the level coarsening by 2, so cover size stays flat
+    var radius = 2.0 * minWidthMeters(startLevel)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = false
     while (!done && !remaining.isEmpty) {
-      val topk = roundTopk(remaining, level).localCheckpoint(eager = true)
-      val bound =
-        if (level == 0) Double.MaxValue // whole sphere covered
-        else (Ring - 1).toDouble * minWidthMeters(level)
+      val finalRound = radius >= halfSphere
+      val r = if (finalRound) halfSphere + 1.0 else radius // full sphere
+      val topk = roundTopk(remaining, level, r).localCheckpoint(eager = true)
+      // retirement: the cap cover is a superset of all cells within r, so
+      // a k-th distance <= r certifies the true top-k
       val doneIds = topk.groupBy($"qid")
         .agg(count(lit(1)).as("__n"), max($"__dist").as("__kth"))
-        .filter($"__n" >= k && $"__kth" <= bound)
+        .filter($"__n" >= k && ($"__kth" <= r || lit(finalRound)))
         .select($"qid")
       parts += finished(topk, doneIds)
       remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
         .localCheckpoint(eager = true)
-      if (level == 0) done = true
+      if (finalRound) done = true
       level = math.max(0, level - 2)
+      radius *= 4.0
     }
     if (persistPoints) pts.unpersist(blocking = false)
     require(remaining.isEmpty, "spherical kNN join did not converge")
     if (parts.isEmpty)
-      finished(roundTopk(remaining, startLevel),
+      finished(roundTopk(remaining, startLevel, radius),
         remaining.select($"qid")).limit(0)
     else parts.reduce(_ unionByName _)
   }

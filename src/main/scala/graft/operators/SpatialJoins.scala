@@ -117,9 +117,12 @@ object SpatialJoins {
     * quasi-uniform spherical CELL grid, not a lon/lat grid).
     *
     * Shape: points key to their cell at a radius-matched level; queries
-    * explode to `ringUnion(cell, k)` where k × min-cell-edge covers the
-    * radius (k = 1 in the normal regime). Hash equi-join on the cell,
-    * exact haversine refine. Queries must carry (qid, qlon, qlat). */
+    * explode to the spherical-CAP cell cover (`st_cellcapcover` — a
+    * GUARANTEED superset of the cells within the radius; lattice-ring
+    * stepping is NOT sound across cube-face corners and missed pairs at
+    * continental radii before the q84 sf0.1 sweep caught it). Hash
+    * equi-join on the cell, exact haversine refine. Queries must carry
+    * (qid, qlon, qlat). */
   def withinDistanceMetersJoin(points: DataFrame, queries: DataFrame,
                                radiusMeters: Double, lonCol: String = "lon",
                                latCol: String = "lat"): DataFrame = {
@@ -127,16 +130,13 @@ object SpatialJoins {
     Geo.register(points.sparkSession)
     var level = 20
     while (level > 0 && minCellEdgeMeters(level) < radiusMeters) level -= 1
-    val k = math.max(1,
-      math.ceil(radiusMeters / minCellEdgeMeters(level)).toInt)
     val pts = points.withColumn("__cell", call_function("st_cellid",
       col(lonCol).cast("double"), col(latCol).cast("double"), lit(level)))
     val cand = queries
       .select(col("qid"), col("qlon").cast("double").as("qlon"),
         col("qlat").cast("double").as("qlat"))
-      .withColumn("__ccell", explode(call_function("st_cellringunion",
-        call_function("st_cellid", col("qlon"), col("qlat"), lit(level)),
-        lit(k))))
+      .withColumn("__ccell", explode(call_function("st_cellcapcover",
+        col("qlon"), col("qlat"), lit(radiusMeters), lit(level))))
     pts.join(cand, col("__cell") === col("__ccell"))
       .withColumn("dist_m", call_function("st_distancesphere",
         col(lonCol).cast("double"), col(latCol).cast("double"),

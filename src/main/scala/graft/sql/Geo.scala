@@ -202,6 +202,11 @@ object Geo {
     "st_cellneighbors" -> (a => geo(longArray, "cellNeighbors", a, Seq(LongType))),
     "st_cellringunion" -> (a => geo(longArray, "cellRingUnion", a, Seq(LongType, IntegerType))),
     "st_cellcover" -> (a => geo(longArray, "cellCover", a, Seq(G, IntegerType))),
+    // spherical-cap cover: guaranteed superset of cells within radius
+    // meters of (lon, lat) — correct across cube-face corners, unlike
+    // ring stepping (the q84 coverage fix)
+    "st_cellcapcover" -> (a => geo(longArray, "cellCapCover", a,
+      Seq(DoubleType, DoubleType, DoubleType, IntegerType))),
     "st_cellcoverbox" -> (a => geo(longArray, "cellCoverBox", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType))),
     // --- tiles

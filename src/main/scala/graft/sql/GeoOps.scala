@@ -321,6 +321,11 @@ object GeoOps {
   def cellRingUnion(id: Long, k: Int): ArrayData =
     GeoStruct.longArray(Cells.ringUnion(id, k))
 
+  /** Spherical-cap cell cover (guaranteed superset; see Cells.capCover). */
+  def cellCapCover(lon: Double, lat: Double, radiusMeters: Double,
+                   level: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    GeoStruct.longArray(Cells.capCover(lon, lat, radiusMeters, level))
+
   def cellCoverBox(minLon: Double, minLat: Double, maxLon: Double,
                    maxLat: Double, level: Int): ArrayData =
     GeoStruct.longArray(Cells.coverBox(minLon, minLat, maxLon, maxLat, level))

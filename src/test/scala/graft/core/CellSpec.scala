@@ -100,6 +100,50 @@ class CellSpec extends AnyFunSuite {
     }
   }
 
+  test("capCover contains every cell holding a point within the radius") {
+    // random caps at every scale (including continental radii at coarse
+    // levels, the regime where lattice-ring stepping breaks across
+    // cube-face corners — the q84 sf0.1 regression): sample points inside
+    // the cap by (bearing, distance) destination formula and require the
+    // cover to contain each sample's cell
+    val rnd = new scala.util.Random(71)
+    val R = Measure.EarthRadiusMeters
+    def dest(lon: Double, lat: Double, bearingRad: Double, distM: Double) = {
+      val d = distM / R
+      val p1 = math.toRadians(lat); val l1 = math.toRadians(lon)
+      val p2 = math.asin(math.sin(p1) * math.cos(d) +
+        math.cos(p1) * math.sin(d) * math.cos(bearingRad))
+      val l2 = l1 + math.atan2(
+        math.sin(bearingRad) * math.sin(d) * math.cos(p1),
+        math.cos(d) - math.sin(p1) * math.sin(p2))
+      val lonOut = math.toDegrees(l2)
+      (((lonOut + 540.0) % 360.0) - 180.0, math.toDegrees(p2))
+    }
+    for (_ <- 0 until 60) {
+      val qlon = rnd.nextDouble() * 360 - 180
+      val qlat = rnd.nextDouble() * 178 - 89
+      val level = rnd.nextInt(10) // coarse to medium
+      val radius = (0.3 + 3.0 * rnd.nextDouble()) *
+        Cells.minEdgeMetersLowerBound(level)
+      val cover = Cells.capCover(qlon, qlat, radius, level).toSet
+      for (_ <- 0 until 25) {
+        val (plon, plat) = dest(qlon, qlat,
+          rnd.nextDouble() * 2 * math.Pi, rnd.nextDouble() * radius)
+        val cell = Cells.cellId(plon, plat, level)
+        assert(cover.contains(cell),
+          s"cap ($qlon,$qlat,r=$radius,L=$level) missing cell of ($plon,$plat)")
+      }
+    }
+    // the exact q84 miss: continental radius at level 1, pair straddling
+    // a cube-face corner region across the antimeridian
+    val cover24 = Cells.capCover(163.0499999, -43.4500001, 2000000.0, 1).toSet
+    assert(cover24.contains(Cells.cellId(-177.8364, -54.1018, 1)))
+    val cover21 = Cells.capCover(121.0499999, -6.4500001, 2000000.0, 1).toSet
+    assert(cover21.contains(Cells.cellId(136.3286, 2.7755, 1)))
+    // whole-sphere cap terminates with all cells at the level
+    assert(Cells.capCover(0, 0, math.Pi * R + 1, 2).length == 6 * 16)
+  }
+
   test("tile ids roundtrip and cover exactly") {
     val r = new Random(42)
     (1 to 1000).foreach { _ =>

@@ -245,12 +245,6 @@ object Cells {
 
   // ---------------------------------------------------- covering
 
-  /** Conservative lon/lat bound of a cell from 9 boundary samples, padded by
-    * 30% of the span per axis to absorb great-circle edge bulge. Cells
-    * containing a pole (center cells of faces 2/5) get the full lng range. */
-  /** Conservative lon/lat bound of a cell (padded; pole/antimeridian cells
-    * widen to the full range). Public so covers can test geometry
-    * intersection against it. */
   /** Conservative LOWER bound of the minimum cell edge length in METERS
     * at a level. Single source of truth for every ring-coverage guarantee
     * (meters-radius join, spherical kNN retirement bound): those proofs
@@ -260,7 +254,36 @@ object Cells {
   def minEdgeMetersLowerBound(level: Int): Double =
     0.5 * (math.Pi / 2) * Measure.EarthRadiusMeters / (1L << level)
 
+  /** Conservative lon/lat bound of a cell from 9 boundary samples, padded
+    * by 30% of the span per axis to absorb great-circle edge bulge; cells
+    * containing a pole (center cells of faces 2/5) and antimeridian
+    * crossers widen to the full lon range. Public so covers can test
+    * geometry intersection against it — every cover's soundness
+    * ([[coverBox]], [[capCover]], [[coverGeom]]) rests on this bound
+    * being a superset of the cell.
+    *
+    * Pure per cell id and hot in cover descents (every query row's cover
+    * re-tests the same coarse cells), so results go through a small
+    * per-thread direct-mapped cache. */
   def cellLonLatBound(id: Long): (Double, Double, Double, Double) = {
+    val cache = boundCache.get()
+    val slot = (java.lang.Long.hashCode(id) & (BoundCacheSize - 1)) * 5
+    if (java.lang.Double.doubleToRawLongBits(cache(slot)) == id &&
+        id != 0L) // slot 0 sentinel: id 0 is not a valid cell
+      return (cache(slot + 1), cache(slot + 2), cache(slot + 3), cache(slot + 4))
+    val r = cellLonLatBoundUncached(id)
+    cache(slot) = java.lang.Double.longBitsToDouble(id)
+    cache(slot + 1) = r._1; cache(slot + 2) = r._2
+    cache(slot + 3) = r._3; cache(slot + 4) = r._4
+    r
+  }
+
+  private val BoundCacheSize = 1 << 12
+  private val boundCache = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](BoundCacheSize * 5)
+  }
+
+  private def cellLonLatBoundUncached(id: Long): (Double, Double, Double, Double) = {
     val (face, i0, j0) = toFaceIj(id)
     val lvl = level(id)
     val size = 1 << (MaxLevel - lvl)

@@ -44,7 +44,8 @@ object GeoJson {
     if (g.dims == Dims.XYM || g.dims == Dims.XYZM)
       throw new IllegalArgumentException(
         "GeoJSON positions are [x, y] or [x, y, z]: M ordinates have no " +
-          "RFC 7946 representation (st_castdims to xy/xyz first)")
+          "RFC 7946 representation (st_castdims to xy first — casting to " +
+          "xyz NaN-fills z, and JSON has no NaN)")
     sb.append("{\"type\":\"").append(typeName(g.geomType)).append("\",")
     if (g.geomType == GeomTypes.Collection) {
       sb.append("\"geometries\":[")
@@ -101,7 +102,12 @@ object GeoJson {
     }
     g.geomType match {
       case GeomTypes.Point =>
-        if (g.isEmpty) sb.append("[]") else pos(0)
+        // an all-NaN position is the WKB/native spelling of POINT EMPTY
+        // (Wkb writes NaN coords; castDims NaN-fills) — map it to the
+        // GeoJSON empty form instead of tripping the finite-number guard
+        val allNaN = !g.isEmpty &&
+          (0 until s).forall(j => java.lang.Double.isNaN(g.coords(j)))
+        if (g.isEmpty || allNaN) sb.append("[]") else pos(0)
       case GeomTypes.LineString | GeomTypes.MultiPoint =>
         seq(0, g.numCoords)
       case GeomTypes.Polygon | GeomTypes.MultiLineString =>

@@ -114,10 +114,14 @@ object Knn {
       val r = if (finalRound) halfSphere + 1.0 else radius // full sphere
       val topk = roundTopk(remaining, level, r).localCheckpoint(eager = true)
       // retirement: the cap cover is a superset of all cells within r, so
-      // a k-th distance <= r certifies the true top-k
+      // a k-th distance <= r certifies the true top-k. The FINAL round's
+      // cap is the whole sphere: whatever a query has then IS its global
+      // top-k — retire with a partial result when the dataset holds fewer
+      // than k points (standard kNN semantics), never a fake
+      // "did not converge" failure
       val doneIds = topk.groupBy($"qid")
         .agg(count(lit(1)).as("__n"), max($"__dist").as("__kth"))
-        .filter($"__n" >= k && ($"__kth" <= r || lit(finalRound)))
+        .filter(($"__n" >= k && $"__kth" <= r) || lit(finalRound))
         .select($"qid")
       parts += finished(topk, doneIds)
       remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
@@ -127,7 +131,8 @@ object Knn {
       radius *= 4.0
     }
     if (persistPoints) pts.unpersist(blocking = false)
-    require(remaining.isEmpty, "spherical kNN join did not converge")
+    // queries still remaining after the full-sphere round matched ZERO
+    // points (empty/degenerate dataset) — their correct output is no rows
     if (parts.isEmpty)
       finished(roundTopk(remaining, startLevel, radius),
         remaining.select($"qid")).limit(0)

@@ -218,7 +218,12 @@ object ArrowIpc {
     fs.mkdirs(root)
     val ext = if (stream) "arrows" else "arrow"
     val counts = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val tmp = f"$path/.part-$idx%05d.$ext.inprogress"
+      // attempt id in the tmp name: concurrent attempts of the same
+      // partition (speculation, zombie tasks) must never write the same
+      // in-progress path — rename into the final name stays last-wins
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = f"$path/.part-$idx%05d-a$attempt.$ext.inprogress"
       val fin = f"$path/part-$idx%05d.$ext"
       val n = writeFile(tmp, schema, fieldMeta, rows, batchRows, stream, entries)
       val taskFs = new HPath(path).getFileSystem(toConf(entries))
@@ -305,6 +310,12 @@ object ArrowIpc {
   def arrowSchemaOf(path: String): ArrowSchema =
     arrowSchemaWith(path, new Configuration())
 
+  /** Session-aware variant: uses the session's Hadoop configuration, so
+    * object-store paths (spark.hadoop.* credentials) resolve like every
+    * other entry point. */
+  def arrowSchemaOf(spark: SparkSession, path: String): ArrowSchema =
+    arrowSchemaWith(path, toConf(confEntries(spark)))
+
   private def arrowSchemaWith(path: String, conf: Configuration): ArrowSchema = {
     val file = listIpcFiles(path, conf).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .arrow/.arrows files under $path"))
@@ -321,6 +332,11 @@ object ArrowIpc {
   def fieldMetadata(path: String): Map[String, Map[String, String]] =
     fieldMetadataOf(arrowSchemaOf(path))
 
+  /** Session-aware variant (see [[arrowSchemaOf]]). */
+  def fieldMetadata(spark: SparkSession,
+                    path: String): Map[String, Map[String, String]] =
+    fieldMetadataOf(arrowSchemaOf(spark, path))
+
   private def fieldMetadataOf(schema: ArrowSchema): Map[String, Map[String, String]] =
     schema.getFields.asScala.toSeq.map { f =>
       f.getName -> Option(f.getMetadata).map(_.asScala.toMap).getOrElse(Map.empty[String, String])
@@ -331,8 +347,14 @@ object ArrowIpc {
     * file's batches. Raw layout — geoarrow-tagged columns stay in their
     * native nested layout; [[readGeo]] decodes them. */
   def read(spark: SparkSession, path: String,
-           requireSuccess: Boolean = true): DataFrame = {
-    val entries = confEntries(spark)
+           requireSuccess: Boolean = true): DataFrame =
+    readWith(spark, path, requireSuccess, confEntries(spark),
+      arrowSchema = None)
+
+  private def readWith(spark: SparkSession, path: String,
+                       requireSuccess: Boolean,
+                       entries: Map[String, String],
+                       arrowSchema: Option[ArrowSchema]): DataFrame = {
     val conf = toConf(entries)
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
@@ -345,7 +367,8 @@ object ArrowIpc {
           "(pass requireSuccess = false for foreign-written directories)")
     val files = listIpcFiles(path, conf)
     require(files.nonEmpty, s"no .arrow/.arrows files under $path")
-    val sparkSchema = toSparkSchema(arrowSchemaWith(path, conf))
+    val sparkSchema = toSparkSchema(
+      arrowSchema.getOrElse(arrowSchemaWith(path, conf)))
     val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { file =>
       readFileRows(file, sparkSchema, entries)
     }
@@ -419,9 +442,12 @@ object ArrowIpc {
   def readGeo(spark: SparkSession, path: String,
               requireSuccess: Boolean = true): DataFrame = {
     Geo.register(spark)
-    val metaByCol = fieldMetadataOf(
-      arrowSchemaWith(path, toConf(confEntries(spark))))
-    var df = read(spark, path, requireSuccess)
+    // one conf flatten + ONE schema fetch feed both the metadata scan and
+    // the read (each re-fetch is extra LIST/GET round-trips on a store)
+    val entries = confEntries(spark)
+    val schema = arrowSchemaWith(path, toConf(entries))
+    val metaByCol = fieldMetadataOf(schema)
+    var df = readWith(spark, path, requireSuccess, entries, Some(schema))
     metaByCol.foreach { case (name, meta) =>
       meta.get("ARROW:extension:name")
         .filter(_.startsWith("geoarrow.")).foreach { extName =>

@@ -103,5 +103,9 @@ class GeoJsonSpec extends AnyFunSuite {
       GeoJson.write(Wkt.parse("POINT (nan 1)")))
     intercept[IllegalArgumentException](
       GeoJson.write(Wkt.parse("POINT (inf 1)")))
+    // …but the ALL-NaN position is the WKB spelling of POINT EMPTY and
+    // must serialize as the empty form, not throw
+    val viaWkb = Wkb.parse(Wkb.write(Wkt.parse("POINT EMPTY")))
+    assert(GeoJson.write(viaWkb) == """{"type":"Point","coordinates":[]}""")
   }
 }

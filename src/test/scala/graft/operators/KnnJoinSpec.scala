@@ -80,4 +80,17 @@ class KnnJoinSpec extends AnyFunSuite {
     val anti = got.filter(_._1 == 101L).map(_._3)
     assert(anti.contains(9004L) && anti.contains(9005L), anti.toString)
   }
+
+  test("spherical kNN: dataset smaller than k returns the partial top-k") {
+    val pts = Seq((1L, 10.0, 20.0), (2L, 30.0, -40.0)).toDF("pid", "lon", "lat")
+    val qs = Seq((1L, 0.0, 0.0), (2L, 170.0, 60.0)).toDF("qid", "qlon", "qlat")
+    val out = Knn.knnMetersJoin(pts, qs, k = 5, startLevel = 6,
+        tieCols = Seq("pid"))
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
+    // every query gets BOTH points (all that exist), ranked — not a
+    // "did not converge" failure
+    assert(out.length == 4)
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).toSet == Set(1L, 2L) })
+  }
 }

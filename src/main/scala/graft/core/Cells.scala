@@ -266,21 +266,30 @@ object Cells {
     * re-tests the same coarse cells), so results go through a small
     * per-thread direct-mapped cache. */
   def cellLonLatBound(id: Long): (Double, Double, Double, Double) = {
+    // keys live in a parallel long[] — NEVER bit-cast a cell id into a
+    // double slot: face-3 ids land in the NaN payload range, and the JVM
+    // may canonicalize NaN bits on a double store/load, which could alias
+    // a different cell id and silently return wrong bounds (cover
+    // soundness rests on this lookup being exact)
+    val keys = boundKeyCache.get()
     val cache = boundCache.get()
-    val slot = (java.lang.Long.hashCode(id) & (BoundCacheSize - 1)) * 5
-    if (java.lang.Double.doubleToRawLongBits(cache(slot)) == id &&
-        id != 0L) // slot 0 sentinel: id 0 is not a valid cell
-      return (cache(slot + 1), cache(slot + 2), cache(slot + 3), cache(slot + 4))
+    val slot = java.lang.Long.hashCode(id) & (BoundCacheSize - 1)
+    val v = slot * 4
+    if (keys(slot) == id && id != 0L) // slot 0 sentinel: id 0 is not a valid cell
+      return (cache(v), cache(v + 1), cache(v + 2), cache(v + 3))
     val r = cellLonLatBoundUncached(id)
-    cache(slot) = java.lang.Double.longBitsToDouble(id)
-    cache(slot + 1) = r._1; cache(slot + 2) = r._2
-    cache(slot + 3) = r._3; cache(slot + 4) = r._4
+    keys(slot) = id
+    cache(v) = r._1; cache(v + 1) = r._2
+    cache(v + 2) = r._3; cache(v + 3) = r._4
     r
   }
 
   private val BoundCacheSize = 1 << 12
+  private val boundKeyCache = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](BoundCacheSize)
+  }
   private val boundCache = new ThreadLocal[Array[Double]] {
-    override def initialValue(): Array[Double] = new Array[Double](BoundCacheSize * 5)
+    override def initialValue(): Array[Double] = new Array[Double](BoundCacheSize * 4)
   }
 
   private def cellLonLatBoundUncached(id: Long): (Double, Double, Double, Double) = {

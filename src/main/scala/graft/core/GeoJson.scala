@@ -216,7 +216,13 @@ object GeoJson {
       while (pos < s.length && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0)
         pos += 1
       if (pos == start) fail("expected number")
-      java.lang.Double.parseDouble(s.substring(start, pos))
+      val tok = s.substring(start, pos)
+      // parseDouble throws NumberFormatException on malformed tokens like
+      // '1e+' or '1.2.3' — surface it as a POSITIONED parse error so the
+      // try-variants and parseFeature's geometry fallback (which catch
+      // IllegalArgumentException only) treat it like every syntax error
+      try java.lang.Double.parseDouble(tok)
+      catch { case _: NumberFormatException => fail(s"malformed number '$tok'") }
     }
 
     /** Skips any JSON value (foreign members). */

@@ -13,7 +13,6 @@ import org.apache.arrow.vector.ipc.message.MessageSerializer
 import org.apache.arrow.vector.ipc.ReadChannel
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
-import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -157,18 +156,6 @@ object ArrowIpc {
     }
   }
 
-  /** Arrow `getObject` result -> Spark external value for `dt`. */
-  private def fromArrow(value: Any, dt: DataType): Any = (value, dt) match {
-    case (null, _) => null
-    case (t: org.apache.arrow.vector.util.Text, StringType) => t.toString
-    case (l: java.util.List[_], ArrayType(et, _)) =>
-      l.asScala.toSeq.map(fromArrow(_, et))
-    case (m: java.util.Map[_, _], st: StructType) =>
-      Row.fromSeq(st.fields.toSeq.map(f =>
-        fromArrow(m.asInstanceOf[java.util.Map[String, Any]].get(f.name), f.dataType)))
-    case (v, _) => v
-  }
-
   // ------------------------------------------------ hadoop configuration
 
   /** The session's full Hadoop configuration flattened to a serializable
@@ -217,6 +204,9 @@ object ArrowIpc {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
     val ext = if (stream) "arrows" else "arrow"
+    // df.rdd severs whole-stage codegen AT THE SINK BOUNDARY only — the
+    // upstream plan still runs codegen'd; acceptable for a terminal sink
+    // (the rows must box into the Arrow vector writers regardless)
     val counts = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       // attempt id in the tmp name: concurrent attempts of the same
       // partition (speculation, zombie tasks) must never write the same
@@ -232,7 +222,12 @@ object ArrowIpc {
         s"ArrowIpc: task commit rename failed for $fin")
       Iterator.single(n)
     }.collect() // one count per partition — bounded
-    require(counts.nonEmpty || df.isEmpty)
+    // zero-partition input (e.g. an emptied Dataset): emit one schema-only
+    // part file so the directory round-trips — a _SUCCESS-stamped dir with
+    // no part files would make read()/readGeo() of a clean empty write fail
+    if (counts.isEmpty)
+      writeFile(f"$path/part-00000.$ext", schema, fieldMeta,
+        Iterator.empty, batchRows, stream, entries)
     fs.create(new HPath(root, "_SUCCESS"), true).close()
   }
 
@@ -292,15 +287,59 @@ object ArrowIpc {
       .map(_.toString)
   }
 
-  private def readAllBytes(file: String, conf: Configuration): Array[Byte] = {
+  /** SeekableByteChannel over a Hadoop FSDataInputStream — the Arrow file
+    * reader seeks footer/batches THROUGH the filesystem instead of
+    * materializing the whole part into a byte array. Kills the former
+    * ≤2 GiB part cap and bounds task memory by one record batch, not one
+    * file. Reads are positioned (pread) so no seek state races. */
+  private[sources] final class HadoopSeekableChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      if (!open) throw new java.nio.channels.ClosedChannelException
+      if (pos >= length) return -1
+      val want = math.min(dst.remaining().toLong, length - pos).toInt
+      if (want == 0) return 0
+      // bounded by the caller's buffer (one Arrow message/body chunk),
+      // never by file size
+      val tmp = new Array[Byte](want)
+      var done = 0
+      while (done < want) {
+        val n = in.read(pos + done, tmp, done, want - done)
+        require(n >= 0, s"unexpected EOF at ${pos + done}")
+        done += n
+      }
+      dst.put(tmp, 0, want)
+      pos += want
+      want
+    }
+    override def position(): Long = pos
+    override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+      pos = newPosition; this
+    }
+    override def size(): Long = length
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+  }
+
+  /** Record-batch count of an IPC FILE-format part — footer-only read
+    * (the file reader seeks to the footer; no batch bodies touched). */
+  def batchCount(file: String, hadoopConf: Map[String, String] = Map.empty): Int = {
+    val conf = toConf(hadoopConf)
     val p = new HPath(file)
     val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen
-    require(len <= Int.MaxValue, s"IPC part file too large: $file")
-    val buf = new Array[Byte](len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    buf
+    val alloc = new RootAllocator()
+    try {
+      val reader = new ArrowFileReader(
+        new HadoopSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen), alloc)
+      try reader.getRecordBlocks.size finally reader.close()
+    } finally alloc.close()
   }
 
   /** The Arrow schema of an IPC file/dir — genuinely schema-bytes-only:
@@ -347,14 +386,16 @@ object ArrowIpc {
     * file's batches. Raw layout — geoarrow-tagged columns stay in their
     * native nested layout; [[readGeo]] decodes them. */
   def read(spark: SparkSession, path: String,
-           requireSuccess: Boolean = true): DataFrame =
+           requireSuccess: Boolean = true,
+           maxBatchesPerTask: Int = 0): DataFrame =
     readWith(spark, path, requireSuccess, confEntries(spark),
-      arrowSchema = None)
+      arrowSchema = None, maxBatchesPerTask = maxBatchesPerTask)
 
   private def readWith(spark: SparkSession, path: String,
                        requireSuccess: Boolean,
                        entries: Map[String, String],
-                       arrowSchema: Option[ArrowSchema]): DataFrame = {
+                       arrowSchema: Option[ArrowSchema],
+                       maxBatchesPerTask: Int = 0): DataFrame = {
     val conf = toConf(entries)
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
@@ -369,43 +410,149 @@ object ArrowIpc {
     require(files.nonEmpty, s"no .arrow/.arrows files under $path")
     val sparkSchema = toSparkSchema(
       arrowSchema.getOrElse(arrowSchemaWith(path, conf)))
-    val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { file =>
-      readFileRows(file, sparkSchema, entries)
-    }
+    // default split: one task per file (parquet part-file shape, zero
+    // extra round trips). maxBatchesPerTask > 0 additionally splits
+    // FILE-format parts at record-batch boundaries (footer-only read per
+    // file at plan time) so one fat part can't serialize a stage — the
+    // stream format has no footer and never splits.
+    val splits: Seq[(String, Int, Int)] =
+      if (maxBatchesPerTask <= 0) files.map(f => (f, 0, Int.MaxValue))
+      else files.flatMap { f =>
+        if (f.endsWith(".arrows")) Seq((f, 0, Int.MaxValue))
+        else {
+          val n = batchCount(f, entries)
+          (0 until math.max(n, 1) by maxBatchesPerTask).map(s0 =>
+            (f, s0, math.min(n, s0 + maxBatchesPerTask)))
+        }
+      }
+    val rdd = spark.sparkContext.parallelize(splits, math.max(splits.size, 1))
+      .flatMap { case (file, from, until) =>
+        readFileRows(file, sparkSchema, entries, from, until)
+      }
     spark.createDataFrame(rdd, sparkSchema)
   }
 
-  /** Reads one IPC file into external Rows (executor-side). */
-  def readFileRows(file: String, sparkSchema: StructType,
-                   hadoopConf: Map[String, String] = Map.empty): Iterator[Row] = {
-    val fileConf = toConf(hadoopConf)
-    // materialize per file: vectors must close before the task ends, and a
-    // part file is one partition's worth of rows by construction
-    val alloc = new RootAllocator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try {
-      val reader =
-        if (file.endsWith(".arrows"))
-          new ArrowStreamReader(
-            new java.io.ByteArrayInputStream(readAllBytes(file, fileConf)), alloc)
-        else
-          new ArrowFileReader(
-            new ByteArrayReadableSeekableByteChannel(
-              readAllBytes(file, fileConf)), alloc)
-      try {
-        val root = reader.getVectorSchemaRoot
-        while (reader.loadNextBatch()) {
-          var i = 0
-          while (i < root.getRowCount) {
-            out += Row.fromSeq(sparkSchema.fields.toSeq.zipWithIndex.map {
-              case (f, c) => fromArrow(root.getVector(c).getObject(i), f.dataType)
-            })
-            i += 1
-          }
+  // ---- columnar decode: typed per-vector readers, built once per file —
+  // values come out through the vectors' typed accessors, NOT per-value
+  // `getObject` (which boxes through Text/JsonStringHashMap and re-walks
+  // the type per cell)
+  private def vectorReader(v: ValueVector, dt: DataType): Int => Any =
+    (v, dt) match {
+      case (x: BigIntVector, LongType) =>
+        i => if (x.isNull(i)) null else x.get(i)
+      case (x: IntVector, IntegerType) =>
+        i => if (x.isNull(i)) null else x.get(i)
+      case (x: Float8Vector, DoubleType) =>
+        i => if (x.isNull(i)) null else x.get(i)
+      case (x: Float4Vector, FloatType) =>
+        i => if (x.isNull(i)) null else x.get(i)
+      case (x: BitVector, BooleanType) =>
+        i => if (x.isNull(i)) null else x.get(i) == 1
+      case (x: VarCharVector, StringType) =>
+        i => if (x.isNull(i)) null else new String(x.get(i), StandardCharsets.UTF_8)
+      case (x: VarBinaryVector, BinaryType) =>
+        i => if (x.isNull(i)) null else x.get(i)
+      case (x: ListVector, ArrayType(et, _)) =>
+        val elem = vectorReader(x.getDataVector, et)
+        i => if (x.isNull(i)) null
+        else {
+          val start = x.getElementStartIndex(i)
+          val end = x.getElementEndIndex(i)
+          val out = new Array[Any](end - start)
+          var j = start
+          while (j < end) { out(j - start) = elem(j); j += 1 }
+          out.toSeq
         }
-      } finally reader.close()
-    } finally alloc.close()
-    out.iterator
+      case (x: StructVector, st: StructType) =>
+        val kids = x.getChildrenFromFields
+        val readers = st.fields.indices.map(c =>
+          vectorReader(kids.get(c), st.fields(c).dataType)).toArray
+        i => if (x.isNull(i)) null
+        else {
+          val vals = new Array[Any](readers.length)
+          var c = 0
+          while (c < readers.length) { vals(c) = readers(c)(i); c += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      case (other, t) => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported vector ${other.getClass} for Spark type $t")
+    }
+
+  /** Reads record batches `[batchFrom, batchUntil)` of one IPC file as a
+    * LAZY row iterator (executor-side): batches stream through the
+    * filesystem channel one at a time — task memory is bounded by one
+    * batch, never the file (a >2 GiB part reads fine). Cleanup runs at
+    * iterator exhaustion AND on task completion (early-terminated limits
+    * don't leak vectors). Batch ranges apply to the FILE format (footer
+    * random access); the stream format reads sequentially in full. */
+  def readFileRows(file: String, sparkSchema: StructType,
+                   hadoopConf: Map[String, String] = Map.empty,
+                   batchFrom: Int = 0,
+                   batchUntil: Int = Int.MaxValue): Iterator[Row] = {
+    val fileConf = toConf(hadoopConf)
+    val p = new HPath(file)
+    val fs = p.getFileSystem(fileConf)
+    val alloc = new RootAllocator()
+    var closed = false
+    var reader: org.apache.arrow.vector.ipc.ArrowReader = null
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      if (reader != null) reader.close()
+      alloc.close()
+    }
+    try {
+      val isStream = file.endsWith(".arrows")
+      require(!isStream || batchFrom == 0,
+        "stream-format parts have no footer and cannot start mid-file")
+      val fileBlocks =
+        if (isStream) { reader = new ArrowStreamReader(fs.open(p), alloc); null }
+        else {
+          val r = new ArrowFileReader(
+            new HadoopSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen), alloc)
+          reader = r
+          val all = r.getRecordBlocks
+          all.subList(math.min(batchFrom, all.size),
+            math.min(batchUntil, all.size))
+        }
+      val root = reader.getVectorSchemaRoot
+      val readers = sparkSchema.fields.indices.map(c =>
+        vectorReader(root.getVector(c), sparkSchema.fields(c).dataType)).toArray
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+      new Iterator[Row] {
+        private var rowIdx = 0
+        private var rowCount = 0
+        private var blockIdx = 0
+        private def advance(): Boolean = {
+          val loaded =
+            if (fileBlocks == null) reader.loadNextBatch()
+            else if (blockIdx < fileBlocks.size()) {
+              val ok = reader.asInstanceOf[ArrowFileReader]
+                .loadRecordBatch(fileBlocks.get(blockIdx))
+              blockIdx += 1
+              ok
+            } else false
+          if (loaded) { rowIdx = 0; rowCount = root.getRowCount }
+          loaded
+        }
+        override def hasNext: Boolean = {
+          if (closed) return false
+          while (rowIdx >= rowCount) {
+            if (!advance()) { closeAll(); return false }
+          }
+          true
+        }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val i = rowIdx
+          rowIdx += 1
+          val vals = new Array[Any](readers.length)
+          var c = 0
+          while (c < readers.length) { vals(c) = readers(c)(i); c += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
+    } catch { case t: Throwable => closeAll(); throw t }
   }
 
   // -------------------------------------------- geoarrow extension layer

@@ -95,6 +95,13 @@ class GeoJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GeoJson.parse("""{"type":"Point","coordinates":[1,2]} junk"""))
     intercept[IllegalArgumentException]( // mixed 2D/3D positions
       GeoJson.parse("""{"type":"LineString","coordinates":[[0,0],[1,1,1]]}"""))
+    // malformed numbers must raise the parser's POSITIONED error, not a
+    // bare NumberFormatException (the try-variants and parseFeature's
+    // geometry fallback catch IllegalArgumentException only)
+    for (bad <- Seq("1e+", "1.2.3", "--5", "."))
+      assert(intercept[IllegalArgumentException](GeoJson.parse(
+        s"""{"type":"Point","coordinates":[$bad,2]}"""))
+        .getMessage.contains("GeoJSON parse error"), bad)
     // M ordinates have no GeoJSON representation
     intercept[IllegalArgumentException](
       GeoJson.write(Wkt.parse("POINT M (1 2 3)")))

@@ -83,13 +83,28 @@ object Pipeline {
       .withColumn("snapshot_id", lit(snapshotId))
     manifest.write.mode(SaveMode.Append).parquet(s"$tableDir/manifests")
     // snapshot log (Iceberg-style metadata trail)
-    val dir = Paths.get(tableDir)
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("snapshots.jsonl"),
-      s"""{"snapshot_id":$snapshotId,"ts":${System.currentTimeMillis()}}""" + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendLogLine(tableDir,
+      s"""{"snapshot_id":$snapshotId,"ts":${System.currentTimeMillis()}}""")
     manifest
   }
+
+  private val logLock = new Object
+  /** Atomic append to `snapshots.jsonl`: one O_APPEND channel write per
+    * line (the kernel advances the offset atomically per write call, so
+    * cross-process appends of whole lines never interleave bytes) plus a
+    * JVM-wide lock serializing same-process writers. Replaces the former
+    * Files.writeString APPEND, whose concurrent appends could tear. */
+  private[pipeline] def appendLogLine(tableDir: String, line: String): Unit =
+    logLock.synchronized {
+      val dir = Paths.get(tableDir)
+      Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve("snapshots.jsonl"), StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+      try ch.write(java.nio.ByteBuffer.wrap(
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      finally ch.close()
+    }
 
   /** Buckets already committed across all snapshots of the table. */
   def processedBuckets(spark: SparkSession, tableDir: String): DataFrame = {
@@ -175,7 +190,8 @@ object Pipeline {
     * compacted manifest (one row per bucket). */
   def compactSnapshots(spark: SparkSession, tableDir: String,
                        upToSnapshotId: Long,
-                       filesPerBucket: Int = 1): DataFrame = {
+                       filesPerBucket: Int = 1,
+                       beforeManifestSwap: () => Unit = () => ()): DataFrame = {
     import java.nio.file.{Files => F}
     val dataDir = Paths.get(tableDir, "data")
     // 1. rewrite the squashed range, partitioned by bucket only, to a temp
@@ -213,27 +229,55 @@ object Pipeline {
     F.createDirectories(dataDir)
     F.move(tmp, target)
     // 3. rewrite manifests: squashed range aggregated to one row per
-    // bucket, later snapshots kept verbatim (same rename-aside discipline)
+    // bucket, later snapshots kept verbatim (same rename-aside discipline),
+    // FENCED against concurrent writers: a writeSnapshot can append
+    // manifest part files between our read and the directory swap, and an
+    // unfenced swap would silently drop those rows (resume would then
+    // re-process that snapshot's buckets — duplicate data). The merge
+    // records the manifests listing BEFORE reading, re-lists immediately
+    // before the swap, and re-runs the merge on any change, so every
+    // appended row lands in the merged output. Bounded retries — sustained
+    // append traffic during compaction means the maintenance job is
+    // racing live writers and should back off (on an object store this
+    // whole block is the catalog's CAS commit).
     val manifestsDir = Paths.get(tableDir, "manifests")
-    val m = spark.read.parquet(manifestsDir.toString)
-    val squashed = m.filter(col("snapshot_id") <= upToSnapshotId)
-      .groupBy(col("bucket"))
-      .agg(sum("rows").as("rows"), sum("bytes").as("bytes"),
-        min("min_key").as("min_key"), max("max_key").as("max_key"))
-      .withColumn("snapshot_id", lit(upToSnapshotId))
-      .select(m.columns.map(col): _*)
-    val newManifest = squashed.unionByName(
-      m.filter(col("snapshot_id") > upToSnapshotId))
+    def manifestParts(): Set[String] = {
+      val s = F.list(manifestsDir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
     val mTmp = Paths.get(tableDir, s"manifests_tmp_$upToSnapshotId")
-    newManifest.write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
+    var attempts = 0
+    var fenced = false
+    while (!fenced) {
+      attempts += 1
+      require(attempts <= 5,
+        "compactSnapshots: manifests kept changing under concurrent " +
+          "writers across 5 merge attempts — quiesce writers and retry")
+      val listingAtRead = manifestParts()
+      val m = spark.read.parquet(manifestsDir.toString)
+      val squashed = m.filter(col("snapshot_id") <= upToSnapshotId)
+        .groupBy(col("bucket"))
+        .agg(sum("rows").as("rows"), sum("bytes").as("bytes"),
+          min("min_key").as("min_key"), max("max_key").as("max_key"))
+        .withColumn("snapshot_id", lit(upToSnapshotId))
+        .select(m.columns.map(col): _*)
+      val newManifest = squashed.unionByName(
+        m.filter(col("snapshot_id") > upToSnapshotId))
+      newManifest.write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
+      if (attempts == 1) beforeManifestSwap() // test seam: inject a racer
+      // the fence: any part file appended since the pre-read listing is
+      // not guaranteed to be in mTmp — merge again over the fresh listing
+      fenced = manifestParts() == listingAtRead
+    }
     val mAside = aside.resolve("manifests_old")
     F.move(manifestsDir, mAside)
     F.move(mTmp, manifestsDir)
     // both swaps landed — the aside copies are now the only stale state
     deleteRecursively(aside)
-    Files.writeString(Paths.get(tableDir).resolve("snapshots.jsonl"),
-      s"""{"compacted_to":$upToSnapshotId,"ts":${System.currentTimeMillis()}}""" + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendLogLine(tableDir,
+      s"""{"compacted_to":$upToSnapshotId,"ts":${System.currentTimeMillis()}}""")
     spark.read.parquet(manifestsDir.toString)
       .filter(col("snapshot_id") === upToSnapshotId)
   }

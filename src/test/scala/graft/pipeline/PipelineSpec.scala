@@ -183,6 +183,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readSnapshot(spark, dir, 4L).count() == 3010L)
   }
 
+  test("compaction fences a concurrent snapshot append: manifest rows survive, resume skips its buckets") {
+    val dir = freshDir("fence")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 2000L), "lon", "lat", zoom = 3)
+    val first = images.filter(pmod(col("bucket"), lit(2)) === 0)
+    val second = images.filter(pmod(col("bucket"), lit(2)) === 1)
+    Pipeline.writeSnapshot(first, dir, 1L)
+    // a writer commits snapshot 2 AFTER compaction has read + merged the
+    // manifests but BEFORE the directory swap — exactly the window where
+    // the unfenced swap lost the appended manifest rows
+    var appended = false
+    Pipeline.compactSnapshots(spark, dir, 1L, beforeManifestSwap = () => {
+      Pipeline.writeSnapshot(second, dir, 2L)
+      appended = true
+    })
+    assert(appended)
+    val m = spark.read.parquet(s"$dir/manifests")
+    // snapshot 2's manifest rows survived the compaction swap
+    assert(m.filter(col("snapshot_id") === 2L).count() > 0)
+    assert(m.agg(sum("rows")).collect()(0).getLong(0) == 2000L)
+    // resume does NOT re-process the racer's buckets (they are manifested)
+    assert(Pipeline.remainingInput(images, dir).count() == 0)
+    // and the table itself holds both halves, time-travel intact
+    assert(Pipeline.readSnapshot(spark, dir, 2L).count() == 2000L)
+    assert(Pipeline.readSnapshot(spark, dir, 1L).count() == first.count())
+  }
+
+  test("snapshot log appends are whole-line atomic under concurrent writers") {
+    // hammer the log-append primitive from many threads (what concurrent
+    // writeSnapshot commits reduce to); every line must come out complete —
+    // no interleaved bytes, no torn lines. Concurrent DATA writes to one
+    // table dir remain serialized by the caller (Spark's FileOutputCommitter
+    // shares _temporary/), which is why the log append is the fence point.
+    val dir = freshDir("log")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val threads = (1 to 8).map { t =>
+      new Thread(() => (0 until 25).foreach { i =>
+        Pipeline.appendLogLine(dir,
+          s"""{"snapshot_id":${t * 100 + i},"ts":${"9" * (t * 2)}1}""")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "snapshots.jsonl"))
+    assert(lines.size() == 200)
+    lines.forEach { l =>
+      assert(l.matches("""\{"snapshot_id":\d+,"ts":\d+\}"""), l)
+    }
+  }
+
   test("stage metrics listener records pipeline stage volumes") {
     val dir = freshDir("metrics")
     val images = Pipeline.withBucket(

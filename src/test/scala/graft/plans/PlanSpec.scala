@@ -87,4 +87,55 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted.contains("PushedFilters: [IsNotNull(phash), GreaterThan(phash,1000)]"),
       formatted)
   }
+
+  // Every `WindowExec: No Partition Defined` warning the Verify run emits
+  // maps to one of the rank-filtered windows asserted here: the rank<=k
+  // filter inserts a PARTIAL WindowGroupLimit below the exchange, so each
+  // upstream partition forwards at most k rows (per group) — the single
+  // reducer receives O(partitions * k), never the corpus. The warning is
+  // therefore benign by construction; these asserts keep it that way.
+  private def assertGroupLimited(plan: String, what: String): Unit = {
+    assert(plan.contains("WindowGroupLimit"),
+      s"$what: expected map-side top-k pruning (WindowGroupLimit):\n$plan")
+    assert(plan.contains("Partial"),
+      s"$what: expected a PARTIAL (pre-exchange) group limit:\n$plan")
+  }
+
+  test("Vocab.topTokens global rank window prunes map-side") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 13} tok${i % 3}"))
+      .toDF("doc_id", "text").repartition(4)
+    val plan = graft.operators.Vocab.topTokens(docs, "text", "doc_id", k = 10)
+      .queryExecution.executedPlan.toString
+    // the global (partition-less) rank window gets rewritten even more
+    // aggressively than WindowGroupLimit: LimitPushDownThroughWindow turns
+    // rank<=k over a total order into TakeOrderedAndProject(limit=k) — a
+    // distributed top-k where every partition forwards at most k rows and
+    // no global-window exchange of the token counts exists at all
+    assert(plan.contains("TakeOrderedAndProject(limit=10") ||
+      plan.contains("WindowGroupLimit"),
+      s"Vocab.topTokens: expected a bounded global top-k:\n$plan")
+  }
+
+  test("ANN sq8 + projected rerank windows prune map-side") {
+    import spark.implicits._
+    import graft.sql.GeoOps
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        ((GeoOps.splitmix64(i * 8L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val queries = vecs.take(3).toDF("qid", "qvec")
+    val sq8 = graft.operators.Ann.sq8TopK(df, queries, "embedding",
+      "vec_id", "qid", "qvec", k = 5).queryExecution.executedPlan.toString
+    assertGroupLimited(sq8, "Ann.sq8TopK")
+    // both windows (candidate scan + exact rerank) must be group-limited
+    assert(sq8.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, sq8)
+    val proj = graft.operators.Ann.projectedTopK(df, queries, "embedding",
+      "vec_id", "qid", "qvec", k = 5, projDim = 4, rerank = 2)
+      .queryExecution.executedPlan.toString
+    assertGroupLimited(proj, "Ann.projectedTopK")
+    assert(proj.linesIterator.count(_.contains("WindowGroupLimit")) >= 2, proj)
+  }
 }

@@ -1271,6 +1271,43 @@ object SparkEntry {
           col("env")("xmax").as("xmax"), col("env")("ymax").as("ymax"))
         .orderBy("n_nationkey")
     },
+    "q90_dsv2_geoparquet" -> { (s, d) =>
+      prep(s, d)
+      // SQL-user entry (`spark.read.format("geoparquet")` — the DSv2
+      // registration; reference entry is `open_dataset(path)`): write the
+      // point layer as WKB GeoParquet, read it back through the FORMAT
+      // path with a pushed-down filter, decode the WKB in SQL. WKB is
+      // lossless, so coordinates equal the generating arithmetic
+      // bit-for-bit and the oracle recomputes the filter from source.
+      val dir = pipelineDir("q90")
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("geom", call_function("st_point", col("lon"), col("lat")))
+        .select("l_orderkey", "l_linenumber", "geom")
+      graft.sources.GeoParquet.write(pts, "geom", dir)
+      s.read.format("geoparquet").load(dir)
+        .filter(col("l_orderkey") % 5 === 0)
+        .withColumn("geom", call_function("st_geomfromwkb", col("geom")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          call_function("st_x", col("geom")).as("px"),
+          call_function("st_y", col("geom")).as("py"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q91_dsv2_arrowipc" -> { (s, d) =>
+      prep(s, d)
+      // the arrowipc DSv2 scan with record-batch task splitting: IPC part
+      // files -> format("arrowipc") read (decode-level column pruning,
+      // maxBatchesPerTask splits) -> per-group aggregation. Aggregates are
+      // order-independent (count/min/max/int-sum), so the oracle is exact.
+      val dir = pipelineDir("q91")
+      graft.sources.ArrowIpc.write(s.sql(ptsCteOn("lineitem_par")), dir,
+        batchRows = 4096)
+      s.read.format("arrowipc").option("maxBatchesPerTask", 4).load(dir)
+        .groupBy(pmod(col("l_orderkey"), lit(100L)).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+          sum(col("l_linenumber")).cast("long").as("sum_ln"))
+        .orderBy("grp")
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
     // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
@@ -1734,6 +1771,17 @@ object SparkEntry {
       s"""SELECT n_nationkey, xmin, ymin, xmin + 20.0 AS xmax,
          |  ymin + 25.0 AS ymax
          |FROM ($RectsCte) ORDER BY n_nationkey""".stripMargin,
+    // DSv2 format paths: WKB / IPC round-trips are lossless, so both
+    // oracles recompute from the generating arithmetic
+    "q90_dsv2_geoparquet" ->
+      s"""SELECT l_orderkey, l_linenumber, lon AS px, lat AS py
+         |FROM ($PtsCte) WHERE l_orderkey % 5 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q91_dsv2_arrowipc" ->
+      s"""SELECT l_orderkey % 100 AS grp, count(*) AS n,
+         |  min(lon) AS min_lon, max(lon) AS max_lon,
+         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+         |FROM ($PtsCte) GROUP BY grp ORDER BY grp""".stripMargin,
     // exact-dup PAIRS (streaming join-back shape, no per-group id lists);
     // dup rows planted so the gate can't pass vacuously
     "q73_exact_dupes" ->

@@ -397,39 +397,54 @@ object ArrowIpc {
                        arrowSchema: Option[ArrowSchema],
                        maxBatchesPerTask: Int = 0): DataFrame = {
     val conf = toConf(entries)
-    val root = new HPath(path)
-    val fs = root.getFileSystem(conf)
     // a markerless directory is (likely) a job that died mid-write — the
     // task-commit renames keep files whole, but not the file SET; foreign
     // directories (pyarrow dumps) pass requireSuccess = false explicitly
-    if (requireSuccess && fs.getFileStatus(root).isDirectory)
-      require(fs.exists(new HPath(root, "_SUCCESS")),
-        s"no _SUCCESS marker at $path — incomplete write? " +
-          "(pass requireSuccess = false for foreign-written directories)")
-    val files = listIpcFiles(path, conf)
-    require(files.nonEmpty, s"no .arrow/.arrows files under $path")
+    if (requireSuccess) checkSuccessMarker(path, entries)
     val sparkSchema = toSparkSchema(
       arrowSchema.getOrElse(arrowSchemaWith(path, conf)))
-    // default split: one task per file (parquet part-file shape, zero
-    // extra round trips). maxBatchesPerTask > 0 additionally splits
-    // FILE-format parts at record-batch boundaries (footer-only read per
-    // file at plan time) so one fat part can't serialize a stage — the
-    // stream format has no footer and never splits.
-    val splits: Seq[(String, Int, Int)] =
-      if (maxBatchesPerTask <= 0) files.map(f => (f, 0, Int.MaxValue))
-      else files.flatMap { f =>
-        if (f.endsWith(".arrows")) Seq((f, 0, Int.MaxValue))
-        else {
-          val n = batchCount(f, entries)
-          (0 until math.max(n, 1) by maxBatchesPerTask).map(s0 =>
-            (f, s0, math.min(n, s0 + maxBatchesPerTask)))
-        }
-      }
+    val splits = planSplits(path, entries, maxBatchesPerTask)
     val rdd = spark.sparkContext.parallelize(splits, math.max(splits.size, 1))
       .flatMap { case (file, from, until) =>
         readFileRows(file, sparkSchema, entries, from, until)
       }
     spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Task splits for a dataset: default one task per file (parquet
+    * part-file shape, zero extra round trips). `maxBatchesPerTask > 0`
+    * additionally splits FILE-format parts at record-batch boundaries
+    * (footer-only read per file at plan time) so one fat part can't
+    * serialize a stage — the stream format has no footer and never
+    * splits. Shared by [[read]] and the `arrowipc` DataSourceV2 scan. */
+  private[sources] def planSplits(path: String, entries: Map[String, String],
+                 maxBatchesPerTask: Int): Seq[(String, Int, Int)] = {
+    val files = listIpcFiles(path, toConf(entries))
+    require(files.nonEmpty, s"no .arrow/.arrows files under $path")
+    if (maxBatchesPerTask <= 0) files.map(f => (f, 0, Int.MaxValue))
+    else files.flatMap { f =>
+      if (f.endsWith(".arrows")) Seq((f, 0, Int.MaxValue))
+      else {
+        val n = batchCount(f, entries)
+        (0 until math.max(n, 1) by maxBatchesPerTask).map(s0 =>
+          (f, s0, math.min(n, s0 + maxBatchesPerTask)))
+      }
+    }
+  }
+
+  /** The Spark schema of an IPC dataset (schema-bytes-only read). */
+  def sparkSchemaOf(spark: SparkSession, path: String): StructType =
+    toSparkSchema(arrowSchemaOf(spark, path))
+
+  private[sources] def checkSuccessMarker(path: String,
+                                          entries: Map[String, String]): Unit = {
+    val conf = toConf(entries)
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.getFileStatus(root).isDirectory)
+      require(fs.exists(new HPath(root, "_SUCCESS")),
+        s"no _SUCCESS marker at $path — incomplete write? " +
+          "(pass requireSuccess = false for foreign-written directories)")
   }
 
   // ---- columnar decode: typed per-vector readers, built once per file —
@@ -515,8 +530,14 @@ object ArrowIpc {
             math.min(batchUntil, all.size))
         }
       val root = reader.getVectorSchemaRoot
-      val readers = sparkSchema.fields.indices.map(c =>
-        vectorReader(root.getVector(c), sparkSchema.fields(c).dataType)).toArray
+      // columns resolve BY NAME, so `sparkSchema` may be any subset of the
+      // file's columns (the DSv2 scan prunes here: unneeded columns are
+      // never decoded — batch bodies still transfer, but no per-value work)
+      val readers = sparkSchema.fields.map { f =>
+        val v = root.getVector(f.name)
+        require(v != null, s"column ${f.name} not present in $file")
+        vectorReader(v, f.dataType)
+      }
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
       new Iterator[Row] {

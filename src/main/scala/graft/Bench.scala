@@ -131,12 +131,15 @@ object Bench {
     def effOf(n: Int): Double =
       if (times(n).isEmpty || times(n * 4).isEmpty) 0.0
       else times(n).min / (4.0 * times(n * 4).min)
+    // OUTCOME-INDEPENDENT protocol (a stopping rule conditioned on the
+    // reported efficiency would bias the min-based estimate upward):
+    // fixed 3 interleaved rounds, plus up to 3 replacement rounds granted
+    // ONLY by the noise signal — hypervisor steal jiffies observed DURING
+    // the round — never by the metric itself. Full distribution ships in
+    // the JSON either way.
     var round = 0
-    // up to 9 rounds, early exit once a burst-free pair has been observed;
-    // a short backoff after a steal-polluted round (observed windows where
-    // interference runs 4x for minutes) costs little and often lands the
-    // next round in a quieter slice
-    while (round < 9 && (round < 2 || math.max(effOf(4), effOf(8)) < 0.82)) {
+    var extra = 0
+    while (round < 3 + extra) {
       val stealBefore = stealJiffies()
       coreCounts.foreach { cores =>
         val s = session(cores)
@@ -145,8 +148,11 @@ object Bench {
         times(cores) = times(cores) :+ secs
       }
       round += 1
-      if (round >= 2 && math.max(effOf(4), effOf(8)) < 0.82 &&
-        stealJiffies() - stealBefore > 20000) Thread.sleep(45000)
+      val stealDelta = stealJiffies() - stealBefore
+      if (stealDelta > 20000 && extra < 3) {
+        extra += 1
+        Thread.sleep(30000) // back off into a quieter co-tenant window
+      }
     }
     val nCores = if (effOf(8) > effOf(4)) 8 else 4
     val scaling = times.map { case (cores, ts) =>
@@ -164,15 +170,14 @@ object Bench {
     val rows3 = benchRows * rep3
     val times3 = scala.collection.mutable.Map(
       nCores -> Vector.empty[Double], (nCores * 4) -> Vector.empty[Double])
-    // same steal-noise discipline as the 1x block: interleaved rounds,
-    // minima, and retry rounds while the ratio looks burst-polluted —
-    // min-of-2 at 3x replicate was the one leg without retries, and a
-    // single co-tenant burst on the 4N side sank the whole block
-    def eff3Of: Double =
-      if (times3(nCores).isEmpty || times3(nCores * 4).isEmpty) 0.0
-      else times3(nCores).min / (4.0 * times3(nCores * 4).min)
+    // same OUTCOME-INDEPENDENT discipline as the 1x block: fixed 2
+    // interleaved rounds, up to 2 replacements granted only by the steal
+    // signal (never by the computed ratio — that stopping rule biased the
+    // min-based estimate and was retired)
     var r3 = 0
-    while (r3 < 4 && (r3 < 2 || eff3Of < 0.8)) {
+    var extra3 = 0
+    while (r3 < 2 + extra3) {
+      val stealBefore3 = stealJiffies()
       for (cores <- Seq(nCores, nCores * 4)) {
         val s = session(cores)
         val (_, secs) = time(flagship(s, inputPath, rep3))
@@ -180,12 +185,44 @@ object Bench {
         times3(cores) = times3(cores) :+ secs
       }
       r3 += 1
+      if (stealJiffies() - stealBefore3 > 20000 && extra3 < 2) {
+        extra3 += 1
+        Thread.sleep(30000)
+      }
     }
     val tput3N = rows3 / times3(nCores).min
     val tput34N = rows3 / times3(nCores * 4).min
     val efficiency3 = tput34N / (4.0 * tput3N)
     // throughput holding at 3x: rows/sec at 4N cores, 3x vs 1x input
     val holdRatio = tput34N / tput4N
+
+    // ---- absolute scale notch: the SAME job at 10x the bench input
+    // (~1.9B rows at sf0.1) on the 4N side — "survives 100x" measured,
+    // not argued: per-row throughput must hold as input grows an order of
+    // magnitude (a spill, a driver loop, or an O(n log n) shuffle would
+    // all show up as a sagging hold ratio). The N leg is skipped — it
+    // alone would quadruple the block's wall clock; hold-at-constant-
+    // cores is the criterion's substance, and the N/4N ratio is already
+    // measured at 1x and 3x. Two rounds, min, steal-based replacement.
+    val rep10 = replicate * 10
+    val rows10 = benchRows * rep10
+    var times10 = Vector.empty[Double]
+    var r10 = 0
+    var extra10 = 0
+    while (r10 < 2 + extra10) {
+      val stealBefore10 = stealJiffies()
+      val s = session(nCores * 4)
+      val (_, secs) = time(flagship(s, inputPath, rep10))
+      s.stop()
+      times10 = times10 :+ secs
+      r10 += 1
+      if (stealJiffies() - stealBefore10 > 20000 && extra10 < 1) {
+        extra10 += 1
+        Thread.sleep(30000)
+      }
+    }
+    val tput10 = rows10 / times10.min
+    val hold10 = tput10 / tput4N
 
     // ---- per-query timings at the driver's parallelism
     val spark = session(cpus)
@@ -198,7 +235,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"spatial-join+tile-assignment throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$effRows,"n_cores":$nCores,"throughput_rows_per_sec":{"localN":${tputN.toLong},"local4N":${tput4N.toLong}},"flagship_secs":{"localN":${scaling(nCores)._2}%.3f,"local4N":${scaling(nCores * 4)._2}%.3f},"flagship_times":{"c4":[${scaling(4)._3.map(t => f"$t%.2f").mkString(",")}],"c8":[${scaling(8)._3.map(t => f"$t%.2f").mkString(",")}],"c16":[${scaling(16)._3.map(t => f"$t%.2f").mkString(",")}],"c32":[${scaling(32)._3.map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency%.3f,"scale3x":{"rows":$rows3,"throughput_rows_per_sec":{"localN":${tput3N.toLong},"local4N":${tput34N.toLong}},"secs":{"localN":[${times3(nCores).map(t => f"$t%.2f").mkString(",")}],"local4N":[${times3(nCores * 4).map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency3%.3f,"throughput_hold_vs_1x":$holdRatio%.3f},"steal_jiffies_during_bench":${stealJiffies() - steal0}}""")
+      f"""{"metric":"spatial-join+tile-assignment throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$effRows,"n_cores":$nCores,"throughput_rows_per_sec":{"localN":${tputN.toLong},"local4N":${tput4N.toLong}},"flagship_secs":{"localN":${scaling(nCores)._2}%.3f,"local4N":${scaling(nCores * 4)._2}%.3f},"flagship_times":{"c4":[${scaling(4)._3.map(t => f"$t%.2f").mkString(",")}],"c8":[${scaling(8)._3.map(t => f"$t%.2f").mkString(",")}],"c16":[${scaling(16)._3.map(t => f"$t%.2f").mkString(",")}],"c32":[${scaling(32)._3.map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency%.3f,"scale3x":{"rows":$rows3,"throughput_rows_per_sec":{"localN":${tput3N.toLong},"local4N":${tput34N.toLong}},"secs":{"localN":[${times3(nCores).map(t => f"$t%.2f").mkString(",")}],"local4N":[${times3(nCores * 4).map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency3%.3f,"throughput_hold_vs_1x":$holdRatio%.3f},"scale10x":{"rows":$rows10,"cores":${nCores * 4},"secs":[${times10.map(t => f"$t%.2f").mkString(",")}],"throughput_rows_per_sec":${tput10.toLong},"throughput_hold_vs_1x":$hold10%.3f},"steal_jiffies_during_bench":${stealJiffies() - steal0}}""")
     spark.stop()
   }
 }

@@ -1308,6 +1308,66 @@ object SparkEntry {
           sum(col("l_linenumber")).cast("long").as("sum_ln"))
         .orderBy("grp")
     },
+    "q92_decontam_norm" -> { (s, d) =>
+      prep(s, d)
+      // normalized decontamination: the benchmark slice leaks into the
+      // corpus PERTURBED (re-cased + trailing punctuation) — verbatim
+      // 8-gram matching misses it; the normalize pass (case-fold +
+      // punct->space + whitespace collapse) must flag every planted row.
+      // The oracle mirrors the normalization op-for-op in DuckDB.
+      val docs = s.table("documents")
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat(upper(col("text")), lit(" !!!")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.decontaminate(
+          corpus, docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 8, normalize = true)
+        .orderBy("doc_id")
+    },
+    "q93_geojson_fc" -> { (s, d) =>
+      prep(s, d)
+      // whole-file FeatureCollection round-trip (the single-.geojson
+      // interop path; unsplittable by construction — GeoJSONSeq is the
+      // scale path): one driver-assembled document, read back through the
+      // st_geojson_fc codec. Lossless (shortest-round-trip digits), so
+      // the oracle is the generating CTE. Input capped to a deterministic
+      // 10% slice — the document parses as ONE task by definition, and a
+      // single-file .geojson is a small-file format (the cap keeps the
+      // sf0.1 bench sweep measuring the codec, not one straggler task).
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .filter(col("l_orderkey") % 10 === 0)
+        .withColumn("geom", call_function("st_point", col("lon"), col("lat")))
+        .select("l_orderkey", "l_linenumber", "geom")
+      val file = pipelineDir("q93") + ".geojson"
+      graft.sources.GeoJsonFc.write(pts, "geom", file)
+      graft.sources.GeoJsonFc.read(s, file)
+        .select(
+          get_json_object(col("properties"), "$.l_orderkey")
+            .cast("long").as("l_orderkey"),
+          get_json_object(col("properties"), "$.l_linenumber")
+            .cast("long").as("l_linenumber"),
+          call_function("st_x", col("geom")).as("lon"),
+          call_function("st_y", col("geom")).as("lat"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q94_knn_adaptive" -> { (s, d) =>
+      prep(s, d)
+      // adaptive-start spherical kNN: per-query start level from the
+      // density sketch. EXACTNESS gate — results must equal brute-force
+      // haversine top-5 (same oracle as q88) no matter which start level
+      // each query picked; only the round schedule may differ.
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+      val qs = s.sql("""SELECT n_nationkey AS qid,
+        |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 + 7.0 AS qlon,
+        |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 + 12.5 AS qlat
+        |FROM nation""".stripMargin)
+      graft.operators.Knn.knnMetersJoinAdaptive(pts, qs, k = 5,
+          tieCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("qid", "rank")
+    },
     // ---- flagship --------------------------------------------------
     "q60_flagship" -> { (s, _) => entry(s) },
     // flagship-shaped but fully oracled: PIP join + z8 tile assignment +
@@ -1782,6 +1842,35 @@ object SparkEntry {
          |  min(lon) AS min_lon, max(lon) AS max_lon,
          |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
          |FROM ($PtsCte) GROUP BY grp ORDER BY grp""".stripMargin,
+    // normalized decontamination: perturbed corpus + the same case-fold/
+    // punct-strip/collapse normalization replicated in DuckDB regex
+    "q92_decontam_norm" ->
+      """WITH c AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 97 = 0
+        |    THEN upper(text) || ' !!!' ELSE text END AS text
+        |  FROM documents),
+        |cn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+        |  FROM c),
+        |bn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i + 1:i + 8], ' ')) AS gram
+        |  FROM (
+        |    SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM cn)
+        |    WHERE len(t) >= 8)),
+        |b AS (
+        |  SELECT DISTINCT md5(array_to_string(t[i + 1:i + 8], ' ')) AS gram
+        |  FROM (
+        |    SELECT t, unnest(generate_series(0, len(t) - 8)) AS i
+        |    FROM (SELECT string_split(text, ' ') AS t FROM bn)
+        |    WHERE len(t) >= 8))
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN b ON b.gram = g.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // exact-dup PAIRS (streaming join-back shape, no per-group id lists);
     // dup rows planted so the gate can't pass vacuously
     "q73_exact_dupes" ->
@@ -2141,6 +2230,24 @@ object SparkEntry {
          |    PARTITION BY qid ORDER BY dist, l_orderkey, l_linenumber) AS rank
          |  FROM d)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // adaptive kNN must produce the identical exact top-5 (q88's oracle)
+    "q94_knn_adaptive" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+         |qs AS (SELECT n_nationkey AS qid,
+         |  CAST(n_nationkey AS DOUBLE) * 14.0 - 179.9500001 + 7.0 AS qlon,
+         |  (CAST(n_nationkey AS DOUBLE) * 41.0) % 160.0 - 79.9500001 + 12.5 AS qlat
+         |FROM nation),
+         |d AS (SELECT qid, l_orderkey, l_linenumber,
+         |  2.0 * 6371008.8 * asin(least(1.0, sqrt(
+         |    pow(sin(radians(lat - qlat) / 2), 2) +
+         |    cos(radians(qlat)) * cos(radians(lat)) *
+         |      pow(sin(radians(lon - qlon) / 2), 2)))) AS dist
+         |  FROM pts, qs)
+         |SELECT qid, rank, l_orderkey, l_linenumber FROM (
+         |  SELECT qid, l_orderkey, l_linenumber, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dist, l_orderkey, l_linenumber) AS rank
+         |  FROM d)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // projected ANN: JL projection (q86 replica as arrays) -> projected
     // cosine top-12 candidates -> exact full-dim cosine top-3
     "q87_ann_projected" ->
@@ -2272,6 +2379,11 @@ object SparkEntry {
     "q81_geojsonseq" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  lon, lat FROM ($PtsCte)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // FeatureCollection round-trip is lossless: oracle = the same CTE
+    "q93_geojson_fc" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  lon, lat FROM ($PtsCte) WHERE l_orderkey % 10 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->

@@ -155,6 +155,22 @@ object GeoJson {
   final case class Feature(geometry: Geom, propertiesJson: String,
                            id: Option[String])
 
+  /** One RFC 7946 FeatureCollection document -> its features, in file
+    * order. A bare Feature or geometry object is accepted as a singleton
+    * collection (tools emit all three at the top level). NOTE a
+    * FeatureCollection is ONE JSON document — whole-file parse by
+    * construction; GeoJSONSeq is the splittable/scalable spelling. */
+  def parseFeatureCollection(s: String): Array[Feature] = {
+    val p = new Parser(s)
+    p.skipWs()
+    val fs = p.parseFeatureCollection()
+    p.skipWs()
+    if (p.pos < s.length)
+      throw new IllegalArgumentException(
+        s"trailing characters after GeoJSON document at ${p.pos}")
+    fs
+  }
+
   /** Minimal recursive-descent JSON reader specialized to RFC 7946
     * geometry objects: accepts any member order, skips foreign members
     * (`bbox`, …) per spec §6.1. */
@@ -323,6 +339,51 @@ object GeoJson {
       expect('}')
       if (typ != "Feature") fail("expected a Feature or geometry object")
       GeoJson.Feature(geom, props, id)
+    }
+
+    /** FeatureCollection, or Feature / bare geometry as a singleton. */
+    def parseFeatureCollection(): Array[GeoJson.Feature] = {
+      val save = pos
+      try parseCollectionObject()
+      catch {
+        case _: IllegalArgumentException =>
+          pos = save
+          Array(parseFeature())
+      }
+    }
+
+    private def parseCollectionObject(): Array[GeoJson.Feature] = {
+      expect('{')
+      var typ: String = null
+      var feats: Array[GeoJson.Feature] = null
+      if (peek() != '}') {
+        var more = true
+        while (more) {
+          val key = parseString()
+          expect(':')
+          key match {
+            case "type" => typ = parseString()
+            case "features" =>
+              expect('[')
+              val buf = scala.collection.mutable.ArrayBuffer.empty[GeoJson.Feature]
+              if (peek() != ']') {
+                var m2 = true
+                while (m2) {
+                  buf += parseFeature()
+                  if (peek() == ',') { pos += 1 } else m2 = false
+                }
+              }
+              expect(']')
+              feats = buf.toArray
+            case _ => skipValue() // bbox and other foreign members
+          }
+          if (peek() == ',') { pos += 1 } else more = false
+        }
+      }
+      expect('}')
+      if (typ != "FeatureCollection") fail("expected a FeatureCollection")
+      if (feats == null) fail("FeatureCollection missing \"features\"")
+      feats
     }
 
     def parseGeometry(): Geom = {

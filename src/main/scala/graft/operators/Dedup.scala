@@ -234,10 +234,20 @@ object Dedup {
     * the corpus and broadcasts, so the corpus side is a map-side hash
     * semi-join. Returns (idCol, n_shared) for flagged corpus docs. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
-                    idCol: String, n: Int = 8): DataFrame = {
+                    idCol: String, n: Int = 8,
+                    normalize: Boolean = false): DataFrame = {
     require(n >= 1)
+    // `normalize`: case-fold + punctuation->space + whitespace collapse
+    // BEFORE n-gramming — verbatim-only matching misses trivially
+    // perturbed leakage (an eval answer re-cased or re-punctuated slips a
+    // strict filter); real pipelines always fold first. All built-ins, so
+    // the normalized pass stays one codegen'd projection over the scan.
+    val textExpr =
+      if (!normalize) col(textCol)
+      else trim(regexp_replace(regexp_replace(lower(col(textCol)),
+        lit("[\\p{Punct}]"), lit(" ")), lit("\\s+"), lit(" ")))
     def grams(df: DataFrame): DataFrame = df
-      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("__t", split(textExpr, " "))
       .filter(size(col("__t")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__t) - $n), " +

@@ -61,21 +61,111 @@ object Knn {
     * @return qid, rank, dist_m + point payload columns */
   def knnMetersJoin(points: DataFrame, queries: DataFrame, k: Int,
                     startLevel: Int = 12, tieCols: Seq[String] = Seq(),
-                    persistPoints: Boolean = true): DataFrame = {
+                    persistPoints: Boolean = true,
+                    onRound: (Int, Int, Long) => Unit = null): DataFrame = {
     val spark = points.sparkSession
     Geo.register(spark)
-    import spark.implicits._
     require(startLevel >= 0 && startLevel <= 28)
-    def minWidthMeters(level: Int): Double =
-      graft.core.Cells.minEdgeMetersLowerBound(level)
-    val halfSphere = math.Pi * graft.core.Measure.EarthRadiusMeters
-
     val celled = points.withColumn("__pcell", call_function("st_cellid",
       col("lon").cast("double"), col("lat").cast("double"), lit(startLevel)))
     val pts =
       if (persistPoints)
         celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else celled
+    val out = metersLoop(pts, queries, k, startLevel, tieCols, onRound)
+    if (persistPoints) pts.unpersist(blocking = false)
+    out
+  }
+
+  /** Adaptive-start spherical kNN: per-query starting level chosen from a
+    * bounded density sketch, so a large mixed query set doesn't pay
+    * max-rounds in dense regions OR giant round-0 candidate joins in
+    * sparse ones (the fixed-`startLevel` failure modes at 10^5+ queries).
+    *
+    * The sketch is points-per-cell at `sketchLevel` — at most 6·4^level
+    * rows (24,576 at level 6), aggregated in ONE map-side-combined pass
+    * and broadcast; each query reads its local density rho from its
+    * sketch cell and picks the start radius where the expected round-0
+    * candidate count is ~4k (`r = sqrt(4k·cellArea/(pi·count))`), clamped
+    * to even levels in [0, maxStartLevel]. Queries in an EMPTY sketch
+    * cell start at the sketch level itself (their k-th neighbor is at
+    * least cell-scale away — starting finer only adds rounds).
+    *
+    * Points are celled ONCE at `maxStartLevel` and the single persisted
+    * projection is shared by every level group (each round joins on
+    * `st_cellparent(__pcell, level)`, which is valid for any level ≤ the
+    * celling level). Results are EXACT and identical to [[knnMetersJoin]]
+    * — the start level affects only the round schedule (q94 oracles this
+    * against brute force). `onRound` (level, retired-count) feeds the
+    * bench's rounds histogram; null skips the extra count. */
+  def knnMetersJoinAdaptive(points: DataFrame, queries: DataFrame, k: Int,
+                            tieCols: Seq[String] = Seq(),
+                            persistPoints: Boolean = true,
+                            sketchLevel: Int = 6, maxStartLevel: Int = 14,
+                            onRound: (Int, Int, Long) => Unit = null): DataFrame = {
+    val spark = points.sparkSession
+    Geo.register(spark)
+    require(sketchLevel >= 0 && sketchLevel <= maxStartLevel &&
+      maxStartLevel <= 28)
+    val lonD = col("lon").cast("double")
+    val latD = col("lat").cast("double")
+    val sketch = points
+      .groupBy(call_function("st_cellid", lonD, latD, lit(sketchLevel))
+        .as("__scell"))
+      .agg(count(lit(1)).as("__scount"))
+    // expected round-0 candidates ≈ rho·pi·r² = 4k  =>  r² = 4k·area/(pi·n)
+    // radius(L) = 2·minWidth(L) = 2C/2^L  =>  L = floor(log2(2C / r))
+    val cellArea = 4.0 * math.Pi *
+      graft.core.Measure.EarthRadiusMeters * graft.core.Measure.EarthRadiusMeters /
+      (6.0 * math.pow(4.0, sketchLevel))
+    val c2 = 2.0 * graft.core.Cells.minEdgeMetersLowerBound(0)
+    val qcell = call_function("st_cellid",
+      col("qlon").cast("double"), col("qlat").cast("double"), lit(sketchLevel))
+    val rQ = sqrt(lit(4.0 * k * cellArea / math.Pi) / col("__scount"))
+    val lvlExpr = when(col("__scount").isNull, lit(sketchLevel))
+      .otherwise(least(lit(maxStartLevel), greatest(lit(0),
+        floor(log2(lit(c2) / rQ)).cast("int"))))
+    val leveled = queries
+      .select(col("qid"), col("qlon").cast("double").as("qlon"),
+        col("qlat").cast("double").as("qlat"))
+      .withColumn("__scell", qcell)
+      .join(broadcast(sketch), Seq("__scell"), "left")
+      // even levels only: the loop coarsens by 2 per round, so odd starts
+      // would double the number of distinct level groups for no gain
+      .withColumn("__lvl",
+        (lvlExpr.cast("int") / 2).cast("int") * 2)
+      .drop("__scell", "__scount")
+      .localCheckpoint(eager = true)
+    val levels = leveled.select(col("__lvl")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ maxStartLevel/2+1
+    val celled = points.withColumn("__pcell", call_function("st_cellid",
+      lonD, latD, lit(maxStartLevel)))
+    val pts =
+      if (persistPoints)
+        celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else celled
+    val parts =
+      if (levels.isEmpty) // empty query set: typed empty result
+        Seq(metersLoop(pts, leveled.drop("__lvl"), k, sketchLevel, tieCols,
+          null))
+      else levels.toSeq.map { lvl =>
+        metersLoop(pts, leveled.filter(col("__lvl") === lvl).drop("__lvl"),
+          k, lvl, tieCols, onRound)
+      }
+    if (persistPoints) pts.unpersist(blocking = false)
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The shared spherical-expansion loop: `pts` must carry `__pcell` at a
+    * level ≥ `startLevel`. See [[knnMetersJoin]] for the algorithm. */
+  private def metersLoop(pts: DataFrame, queries: DataFrame, k: Int,
+                         startLevel: Int, tieCols: Seq[String],
+                         onRound: (Int, Int, Long) => Unit): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    def minWidthMeters(level: Int): Double =
+      graft.core.Cells.minEdgeMetersLowerBound(level)
+    val halfSphere = math.Pi * graft.core.Measure.EarthRadiusMeters
 
     def roundTopk(remaining: DataFrame, level: Int,
                   radius: Double): DataFrame = {
@@ -88,6 +178,18 @@ object Knn {
         .join(cand, $"__cell" === $"__ccell")
         .withColumn("__dist", call_function("st_distancesphere",
           $"lon".cast("double"), $"lat".cast("double"), $"qlon", $"qlat"))
+        // drop beyond-radius candidates BEFORE the top-k sort. Semantics-
+        // preserving: a query retires only when its k-th distance <= r, so
+        // the retained top-k is identical for every query that retires
+        // this round, and non-retired partials are discarded. Without
+        // this, a coarse-round cover cell PARTIALLY inside the radius
+        // feeds its whole population to the sort — a dense city 200 km
+        // outside an ocean query's 156 km radius is still inside its
+        // level-6 cover, and 10^5 such queries spilled a 75 GB sort (the
+        // 10^5-query bench caught it). The filter is codegen'd against
+        // the join output, so the sort input is now O(rho * pi * r^2) per
+        // query — the density bound the round schedule was designed for.
+        .filter($"__dist" <= radius)
       val w = Window.partitionBy($"qid")
         .orderBy($"__dist" +: tieCols.map(col): _*)
       joined
@@ -104,6 +206,7 @@ object Knn {
         col("qlat").cast("double").as("qlat"))
       .localCheckpoint(eager = true)
     var level = startLevel
+    var round = 0
     // round-0 cap: a few cells at startLevel; radius then quadruples in
     // lockstep with the level coarsening by 2, so cover size stays flat
     var radius = 2.0 * minWidthMeters(startLevel)
@@ -124,13 +227,14 @@ object Knn {
         .filter(($"__n" >= k && $"__kth" <= r) || lit(finalRound))
         .select($"qid")
       parts += finished(topk, doneIds)
+      if (onRound != null) onRound(round, level, doneIds.count())
       remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
         .localCheckpoint(eager = true)
       if (finalRound) done = true
       level = math.max(0, level - 2)
       radius *= 4.0
+      round += 1
     }
-    if (persistPoints) pts.unpersist(blocking = false)
     // queries still remaining after the full-sphere round matched ZERO
     // points (empty/degenerate dataset) — their correct output is no rows
     if (parts.isEmpty)
@@ -166,10 +270,16 @@ object Knn {
     def roundTopk(remaining: DataFrame, r: Int): DataFrame = {
       val cand = remaining.withColumn("__ccell",
         explode(call_function("st_gridring", col("__qcell"), lit(r))))
+      val bound = (r - 1).toDouble * res
       val joined = pts.join(cand, $"__cell" === $"__ccell")
         .withColumn("__dist2",
           ($"lon" - $"qlon") * ($"lon" - $"qlon") +
             ($"lat" - $"qlat") * ($"lat" - $"qlat"))
+        // beyond-bound candidates can't retire a query this round and
+        // can't appear in a retired query's top-k (kth <= bound) — drop
+        // them before the sort (see metersLoop: the spherical twin of
+        // this filter killed a 75 GB spill at 10^5 queries)
+        .filter($"__dist2" <= lit(bound * bound))
       val w = Window.partitionBy($"qid")
         .orderBy($"__dist2" +: tieCols.map(col): _*)
       joined

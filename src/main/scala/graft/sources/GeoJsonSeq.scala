@@ -54,11 +54,67 @@ object GeoJsonSeq {
     // would emit an empty line, and read()'s blank-line filter would
     // silently DROP the row (the parser accepts geometry:null, so the
     // round-trip must keep it)
-    df.select(concat(
-        lit("{\"type\":\"Feature\",\"geometry\":"),
-        coalesce(call_function("st_asgeojson", col(geomCol), lit(precision)),
-          lit("null")),
-        lit(",\"properties\":"), props, lit("}")).as("value"))
+    df.select(featureJsonFor(df, geomCol, precision).as("value"))
       .write.mode("overwrite").text(path)
+  }
+
+  private[sources] def featureJsonFor(df: DataFrame, geomCol: String,
+                          precision: Int): org.apache.spark.sql.Column = {
+    val propCols = df.columns.filter(_ != geomCol)
+    val props =
+      if (propCols.isEmpty) lit("{}")
+      else to_json(struct(propCols.map(col): _*))
+    concat(
+      lit("{\"type\":\"Feature\",\"geometry\":"),
+      coalesce(call_function("st_asgeojson", col(geomCol), lit(precision)),
+        lit("null")),
+      lit(",\"properties\":"), props, lit("}"))
+  }
+}
+
+/** Whole-file `FeatureCollection` GeoJSON — the most common single-file
+  * `.geojson` in the wild (what QGIS/geojson.io/most web APIs emit).
+  * A FeatureCollection is ONE JSON document, so it is UNSPLITTABLE by
+  * construction: each file parses as a single task, and the writer
+  * assembles the document driver-side. This is the small-file interop
+  * path only — [[GeoJsonSeq]] (one feature per line) is the scale path. */
+object GeoJsonFc {
+
+  /** Reads `.geojson` FeatureCollection file(s) at `path` (a file or a
+    * directory of files — files parallelize, features within a file do
+    * not) into (geomCol, properties, feature_id), reusing the GeoJSONSeq
+    * feature codec. */
+  def read(spark: SparkSession, path: String,
+           geomCol: String = "geom"): DataFrame = {
+    Geo.register(spark)
+    spark.read.option("wholetext", true).text(path)
+      .select(explode(call_function("st_geojson_fc", col("value"))).as("__f"))
+      .select(col("__f")("geometry").as(geomCol),
+        col("__f")("properties").as("properties"),
+        col("__f")("id").as("feature_id"))
+  }
+
+  /** Writes ONE FeatureCollection document (driver-assembled — see class
+    * doc; refuse-at-scale is deliberate: `limit` guards against feeding a
+    * lake-sized table into a single JSON file by accident). */
+  def write(df: DataFrame, geomCol: String, path: String,
+            precision: Int = -1, limit: Int = 1 << 20): Unit = {
+    Geo.register(df.sparkSession)
+    val features = df
+      .select(GeoJsonSeq.featureJsonFor(df, geomCol, precision).as("value"))
+      .collect()
+    require(features.length <= limit,
+      s"GeoJsonFc.write: ${features.length} features exceeds limit=$limit — " +
+        "a FeatureCollection is one JSON document; use GeoJsonSeq at scale")
+    val sb = new java.lang.StringBuilder(features.length * 64 + 64)
+    sb.append("{\"type\":\"FeatureCollection\",\"features\":[")
+    var i = 0
+    while (i < features.length) {
+      if (i > 0) sb.append(',')
+      sb.append(features(i).getString(0))
+      i += 1
+    }
+    sb.append("]}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 }

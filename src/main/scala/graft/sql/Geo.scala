@@ -120,6 +120,11 @@ object Geo {
       "geoJsonFeature", a, Seq(StringType))),
     "st_trygeojson_feature" -> (a => geo(GeoOps.geoJsonFeatureType,
       "tryGeoJsonFeature", a, Seq(StringType), nullable = true)),
+    // whole-file FeatureCollection -> array<feature struct> (explode it)
+    "st_geojson_fc" -> (a => geo(
+      org.apache.spark.sql.types.ArrayType(GeoOps.geoJsonFeatureType,
+        containsNull = false),
+      "geoJsonFeatures", a, Seq(StringType))),
     "st_isvalidwkt" -> (a => geo(BooleanType, "isValidWkt", a, Seq(StringType))),
     "st_isvalidwkb" -> (a => geo(BooleanType, "isValidWkb", a, Seq(BinaryType))),
     // --- kernels / accessors

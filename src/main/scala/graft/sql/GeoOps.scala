@@ -74,6 +74,25 @@ object GeoOps {
   def tryGeoJsonFeature(s: UTF8String): InternalRow =
     try geoJsonFeature(s) catch { case _: Exception => null }
 
+  /** One whole-file FeatureCollection document -> array of features (file
+    * order). Whole-document parse by construction — the splittable path
+    * is GeoJSONSeq (one feature per line). */
+  def geoJsonFeatures(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val fs = GeoJson.parseFeatureCollection(s.toString)
+    val rows = new Array[Any](fs.length)
+    var i = 0
+    while (i < fs.length) {
+      val f = fs(i)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          if (f.geometry == null) null else GeoStruct.encode(f.geometry),
+          UTF8String.fromString(f.propertiesJson),
+          f.id.map(UTF8String.fromString).orNull))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** Great-circle meters (haversine, mean-radius sphere). */
   def distanceSphere(lon1: Double, lat1: Double, lon2: Double,
                      lat2: Double): Double =

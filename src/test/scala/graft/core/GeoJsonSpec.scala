@@ -95,6 +95,24 @@ class GeoJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GeoJson.parse("""{"type":"Point","coordinates":[1,2]} junk"""))
     intercept[IllegalArgumentException]( // mixed 2D/3D positions
       GeoJson.parse("""{"type":"LineString","coordinates":[[0,0],[1,1,1]]}"""))
+    // FeatureCollection: file order, foreign members, mixed feature forms
+    val fc = GeoJson.parseFeatureCollection(
+      """{"bbox":[0,0,3,4],"type":"FeatureCollection","features":[
+        | {"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},
+        |  "properties":{"a":1},"id":"f1"},
+        | {"type":"Point","coordinates":[3,4]},
+        | {"type":"Feature","geometry":null,"properties":null}]}""".stripMargin)
+    assert(fc.length == 3)
+    assert(Wkt.write(fc(0).geometry) == "POINT (1 2)" && fc(0).id.contains("f1"))
+    assert(Wkt.write(fc(1).geometry) == "POINT (3 4)")
+    assert(fc(2).geometry == null)
+    // bare Feature / bare geometry = singleton collection; empty features ok
+    assert(GeoJson.parseFeatureCollection(
+      """{"type":"Point","coordinates":[5,6]}""").length == 1)
+    assert(GeoJson.parseFeatureCollection(
+      """{"type":"FeatureCollection","features":[]}""").isEmpty)
+    intercept[IllegalArgumentException](GeoJson.parseFeatureCollection(
+      """{"type":"FeatureCollection"}"""))
     // malformed numbers must raise the parser's POSITIONED error, not a
     // bare NumberFormatException (the try-variants and parseFeature's
     // geometry fallback catch IllegalArgumentException only)

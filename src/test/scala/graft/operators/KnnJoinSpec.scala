@@ -81,6 +81,44 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(anti.contains(9004L) && anti.contains(9005L), anti.toString)
   }
 
+  test("adaptive-start spherical kNN is exact and matches the fixed-level path") {
+    // skewed density: a dense town (2000 points in ~1 degree) + a sparse
+    // global scatter — exactly the mix where one fixed start level is
+    // wrong for somebody. Results must equal knnMetersJoin's bit-for-bit;
+    // dense-region queries should START finer than sparse ones.
+    val pts = ((0 until 2000).map { i =>
+      val h = GeoOps.splitmix64(42L + i)
+      (i.toLong,
+        10.0 + java.lang.Long.remainderUnsigned(h, 10000L) / 10000.0,
+        50.0 + java.lang.Long.remainderUnsigned(
+          java.lang.Long.divideUnsigned(h, 10000L), 10000L) / 10000.0)
+    } ++ (0 until 100).map { i =>
+      val h = GeoOps.splitmix64(900L + i)
+      (2000L + i,
+        java.lang.Long.remainderUnsigned(h, 3600000L) / 10000.0 - 180.0,
+        java.lang.Long.remainderUnsigned(
+          java.lang.Long.divideUnsigned(h, 3600000L), 1600000L) / 10000.0 - 80.0)
+    }).toDF("pid", "lon", "lat")
+    val qs = Seq(
+      (1L, 10.5, 50.5),    // inside the dense town
+      (2L, -120.0, -30.0), // sparse ocean
+      (3L, 10.5, 49.0),    // near the town but outside it
+      (4L, 170.0, 75.0)    // sparse arctic
+    ).toDF("qid", "qlon", "qlat")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    val adaptive = Knn.knnMetersJoinAdaptive(pts, qs, k = 4,
+        tieCols = Seq("pid"), onRound = (r, lvl, n) => rounds += ((r, lvl, n)))
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect().toSet
+    val fixed = Knn.knnMetersJoin(pts, qs, k = 4, startLevel = 10,
+        tieCols = Seq("pid"))
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect().toSet
+    assert(adaptive == fixed)
+    assert(adaptive.size == 16)
+    // the density split actually produced distinct start levels
+    val startLevels = rounds.filter(_._1 == 0).map(_._2).toSet
+    assert(startLevels.size >= 2, s"expected multiple start levels: $rounds")
+  }
+
   test("spherical kNN: dataset smaller than k returns the partial top-k") {
     val pts = Seq((1L, 10.0, 20.0), (2L, 30.0, -40.0)).toDF("pid", "lon", "lat")
     val qs = Seq((1L, 0.0, 0.0), (2L, 170.0, 60.0)).toDF("qid", "qlon", "qlat")

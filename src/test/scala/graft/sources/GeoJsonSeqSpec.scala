@@ -62,4 +62,32 @@ class GeoJsonSeqSpec extends AnyFunSuite {
       GeoJsonSeq.read(spark, dir.toString, strict = true).collect()
     }
   }
+
+  test("FeatureCollection file: write one document, read it back losslessly") {
+    graft.sql.Geo.register(spark)
+    val df = spark.sql(
+      """SELECT id, concat('name', id) AS name,
+        |  st_geomfromwkt(concat('POINT (', CAST(CAST(id AS DOUBLE) / 7.0 AS STRING),
+        |    ' ', CAST(CAST(id AS DOUBLE) / 3.0 AS STRING), ')')) AS geom
+        |FROM range(50)""".stripMargin)
+    val file = java.nio.file.Files.createTempDirectory("geojson_fc")
+      .resolve("all.geojson").toString
+    GeoJsonFc.write(df, "geom", file)
+    // one valid JSON document, FeatureCollection-typed
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+    assert(text.startsWith("{\"type\":\"FeatureCollection\",\"features\":["))
+    val back = GeoJsonFc.read(spark, file)
+    assert(back.count() == 50)
+    val got = back.select(
+        get_json_object(col("properties"), "$.id").cast("long").as("id"),
+        call_function("st_x", col("geom")).as("x"),
+        call_function("st_y", col("geom")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == (0 until 50).map(i =>
+      (i.toLong, i / 7.0, i / 3.0)))
+    // the size guard refuses lake-scale misuse
+    intercept[IllegalArgumentException](
+      GeoJsonFc.write(df, "geom", file, limit = 10))
+  }
 }

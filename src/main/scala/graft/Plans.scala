@@ -123,6 +123,26 @@ object Plans {
       .withColumn("geom", call_function("st_point", col("lon"), col("lat")))
     graft.sources.GeoParquet.write(geoDf, "geom", gpDir)
     val gpBack = graft.sources.GeoParquet.read(spark, gpDir, "geom")
+
+    // DataSourceV2 format names: pruning/pushdown must reach the scan
+    val ipcDir = "target/plans_arrowipc"
+    graft.sources.ArrowIpc.write(
+      imagesPq.select("image_id", "lon", "lat"), ipcDir)
+    val gjDir = "target/plans_geojsonseq"
+    graft.sources.GeoJsonSeq.write(
+      geoDf.select("image_id", "geom"), "geom", gjDir)
+    val dsv2Sections = Seq(
+      "DSv2 geoparquet: parquet pushdown/pruning inherited verbatim " +
+        "(PushedFilters + 2-column ReadSchema on a 7-column table)" ->
+        fmt(spark.read.format("geoparquet").load(gpDir)
+          .filter(col("w") > 4).select("image_id", "w")),
+      "DSv2 arrowipc: decode-level column pruning (ReadSchema in the " +
+        "BatchScan description)" ->
+        fmt(spark.read.format("arrowipc").load(ipcDir).select("lon")),
+      "DSv2 geojsonseq: byte-offset split planning + pruned decode (a " +
+        "properties-only projection never encodes geometry structs)" ->
+        fmt(spark.read.format("geojsonseq").load(gjDir)
+          .select("properties")))
     val pngDf = ImagesTable.generate(spark, 100L, png = true)
     val metaDf = graft.operators.Multimodal.withImageMeta(pngDf, "bytes")
     val metaCounts = metaDf.groupBy("detected_fmt", "decoded_w").count().collect()
@@ -135,7 +155,7 @@ object Plans {
     sb.append("- `PushedFilters` + pruned `ReadSchema` on parquet scans\n")
     sb.append("- `WholeStageCodegen` spans covering the `static_invoke` kernels\n")
     sb.append("- `partial_count` before the exchange (map-side combine)\n\n")
-    sections.foreach { case (title, plan) =>
+    (sections ++ dsv2Sections).foreach { case (title, plan) =>
       sb.append(s"## $title\n\n```\n$plan```\n\n")
     }
     sb.append("## GeoParquet round trip (WKB interchange)\n\n```\n")

@@ -1308,6 +1308,27 @@ object SparkEntry {
           sum(col("l_linenumber")).cast("long").as("sum_ln"))
         .orderBy("grp")
     },
+    "q95_dsv2_geojsonseq" -> { (s, d) =>
+      prep(s, d)
+      // format("geojsonseq") DSv2: byte-offset split planning (forced here
+      // with a small maxSplitBytes so the sweep exercises the straddling-
+      // line protocol, not just one-task-per-file), decode-level pruning,
+      // same lossless ndjson as q81 — so the oracle is the generating CTE.
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("geom", call_function("st_point", col("lon"), col("lat")))
+        .select("l_orderkey", "l_linenumber", "geom")
+      val dir = pipelineDir("q95")
+      graft.sources.GeoJsonSeq.write(pts, "geom", dir)
+      s.read.format("geojsonseq").option("maxSplitBytes", 1 << 20).load(dir)
+        .select(
+          get_json_object(col("properties"), "$.l_orderkey")
+            .cast("long").as("l_orderkey"),
+          get_json_object(col("properties"), "$.l_linenumber")
+            .cast("long").as("l_linenumber"),
+          call_function("st_x", col("geom")).as("lon"),
+          call_function("st_y", col("geom")).as("lat"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2377,6 +2398,11 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // GeoJSONSeq round-trip is lossless: oracle = the generating CTE
     "q81_geojsonseq" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  lon, lat FROM ($PtsCte)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // DSv2 scan over the same lossless ndjson: oracle = the same CTE
+    "q95_dsv2_geojsonseq" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  lon, lat FROM ($PtsCte)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,

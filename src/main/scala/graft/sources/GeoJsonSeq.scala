@@ -100,11 +100,14 @@ object GeoJsonFc {
   def write(df: DataFrame, geomCol: String, path: String,
             precision: Int = -1, limit: Int = 1 << 20): Unit = {
     Geo.register(df.sparkSession)
+    // limit+1 BEFORE the collect — the guard must fire before the driver
+    // materializes a lake-sized table, not after
     val features = df
       .select(GeoJsonSeq.featureJsonFor(df, geomCol, precision).as("value"))
+      .limit(limit + 1)
       .collect()
     require(features.length <= limit,
-      s"GeoJsonFc.write: ${features.length} features exceeds limit=$limit — " +
+      s"GeoJsonFc.write: feature count exceeds limit=$limit — " +
         "a FeatureCollection is one JSON document; use GeoJsonSeq at scale")
     val sb = new java.lang.StringBuilder(features.length * 64 + 64)
     sb.append("{\"type\":\"FeatureCollection\",\"features\":[")

@@ -143,3 +143,185 @@ private[sources] class ArrowIpcReaderFactory(schema: StructType,
     }
   }
 }
+
+/** GeoJSONSeq DataSourceV2 — `spark.read.format("geojsonseq").load(dir)`,
+  * the SQL-surface twin of [[GeoJsonSeq.read]]. Line-delimited text is
+  * splittable at ARBITRARY byte offsets, so partitions are planned at
+  * `maxSplitBytes` boundaries within each file (Hadoop `LineRecordReader`
+  * owns the straddling-line protocol: a split starting past 0 skips its
+  * first partial line and reads one line past its end) — a single 1-TB
+  * ndjson dump fans out across the cluster like parquet does. Compressed
+  * files fall back to one split per file unless the codec is splittable.
+  * Fixed schema (the format is schema-free by design): geom struct +
+  * raw properties JSON + feature id; column pruning skips the geometry
+  * ENCODE for pruned geometry (the line must still parse — there is no
+  * columnar projection inside a JSON line). `strict=false` skips
+  * unparseable lines (dirty-lake mode, same contract as the object API). */
+class GeoJsonSeqDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geojsonseq"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: util.Map[String, String]): String = {
+    val o = new CaseInsensitiveStringMap(options)
+    val p = o.get("path")
+    require(p != null && p.nonEmpty, "geojsonseq: use .load(<path>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoJsonSeqScan.schema // schema-free format: fixed, no file access
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GeoJsonSeqTable(pathOf(properties),
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class GeoJsonSeqTable(path: String,
+                                       options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"geojsonseq $path"
+  override def schema(): StructType = GeoJsonSeqScan.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoJsonSeqScanBuilder(path, options)
+}
+
+private[sources] class GeoJsonSeqScanBuilder(path: String,
+                                             options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GeoJsonSeqScan.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(GeoJsonSeqScan.schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = {
+    val defaultSplit =
+      SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    new GeoJsonSeqScan(path, required,
+      options.getBoolean("strict", true),
+      options.getLong("maxSplitBytes", defaultSplit))
+  }
+}
+
+private[sources] object GeoJsonSeqScan {
+  import org.apache.spark.sql.types.{StringType, StructField}
+  /** (geom, properties, feature_id) — same shape as [[GeoJsonSeq.read]]. */
+  val schema: StructType = StructType(Seq(
+    StructField("geom", graft.sql.GeoStruct.dataType, nullable = true),
+    StructField("properties", StringType, nullable = true),
+    StructField("feature_id", StringType, nullable = true)))
+}
+
+private[sources] class GeoJsonSeqScan(path: String, required: StructType,
+                                      strict: Boolean, maxSplitBytes: Long)
+    extends Scan with Batch {
+  private val entries: Map[String, String] = {
+    val c = SparkSession.active.sessionState.newHadoopConf()
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"geojsonseq $path ReadSchema: ${required.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.getFileStatus(root).isFile) Seq(fs.getFileStatus(root))
+      else fs.listStatus(root).toSeq
+        // Spark listing convention: _metadata/_SUCCESS and dotfiles hidden
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+    val codecs =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    require(maxSplitBytes > 0, s"maxSplitBytes must be > 0: $maxSplitBytes")
+    files.flatMap { st =>
+      val codec = codecs.getCodec(st.getPath)
+      val splittable = codec == null ||
+        codec.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]
+      if (!splittable || st.getLen <= maxSplitBytes)
+        Seq(GeoJsonSeqInputPartition(st.getPath.toString, 0L, st.getLen))
+      else
+        (0L until st.getLen by maxSplitBytes).map(off =>
+          GeoJsonSeqInputPartition(st.getPath.toString, off,
+            math.min(maxSplitBytes, st.getLen - off)))
+    }.map(p => p: InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonSeqReaderFactory(required, strict, entries)
+}
+
+private[sources] case class GeoJsonSeqInputPartition(file: String, start: Long,
+                                                     length: Long)
+    extends InputPartition
+
+private[sources] class GeoJsonSeqReaderFactory(required: StructType,
+                                               strict: Boolean,
+                                               entries: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GeoJsonSeqInputPartition]
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+      new org.apache.hadoop.fs.Path(part.file), part.start, part.length,
+      Array.empty[String])
+    val lines = new org.apache.hadoop.mapreduce.lib.input.LineRecordReader()
+    lines.initialize(split,
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID()))
+    // ordinal plan: for each required column, which feature field feeds it
+    val ordinals: Array[Int] = required.fieldNames.map {
+      case "geom" => 0
+      case "properties" => 1
+      case "feature_id" => 2
+      case other => throw new IllegalArgumentException(
+        s"geojsonseq: unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (lines.nextKeyValue()) {
+          val line = lines.getCurrentValue.toString.trim
+          if (line.nonEmpty) {
+            val f =
+              try graft.core.GeoJson.parseFeature(line)
+              catch {
+                case e: Exception =>
+                  if (strict) throw new IllegalArgumentException(
+                    s"geojsonseq: unparseable line in ${part.file}: " +
+                      s"${e.getMessage}", e)
+                  else null
+              }
+            if (f != null) {
+              val vals = new Array[Any](ordinals.length)
+              var i = 0
+              while (i < ordinals.length) {
+                vals(i) = ordinals(i) match {
+                  // pruned geometry never pays the struct encode
+                  case 0 => if (f.geometry == null) null
+                    else graft.sql.GeoStruct.encode(f.geometry)
+                  case 1 => org.apache.spark.unsafe.types.UTF8String
+                    .fromString(f.propertiesJson)
+                  case _ => f.id.map(
+                    org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+                }
+                i += 1
+              }
+              current =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+              return true
+            }
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = lines.close()
+    }
+  }
+}

@@ -114,9 +114,13 @@ class KnnJoinSpec extends AnyFunSuite {
       .select("qid", "rank", "pid").as[(Long, Int, Long)].collect().toSet
     assert(adaptive == fixed)
     assert(adaptive.size == 16)
-    // the density split actually produced distinct start levels
-    val startLevels = rounds.filter(_._1 == 0).map(_._2).toSet
-    assert(startLevels.size >= 2, s"expected multiple start levels: $rounds")
+    // the density split actually produced distinct behavior: dense-region
+    // queries retire at a finer level than sparse ones (rounds are GLOBAL
+    // in the unified staged-activation loop, so entry levels surface as
+    // the levels where retirements land, not as distinct round-0 rows)
+    val retiredLevels = rounds.filter(_._3 > 0).map(_._2).toSet
+    assert(retiredLevels.size >= 2,
+      s"expected retirements at multiple levels: $rounds")
   }
 
   test("spherical kNN: dataset smaller than k returns the partial top-k") {

@@ -90,4 +90,46 @@ class GeoJsonSeqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GeoJsonFc.write(df, "geom", file, limit = 10))
   }
+
+  test("DSv2 format(\"geojsonseq\"): splits, pruning, strict modes") {
+    graft.sql.Geo.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geojsonseq_v2").toString
+    val df = spark.sql(
+      """SELECT id, concat('n', id) AS name,
+        |  st_point(CAST(id AS DOUBLE) / 4, CAST(id AS DOUBLE) - 50) AS geom
+        |FROM range(200)""".stripMargin)
+    GeoJsonSeq.write(df, "geom", dir)
+    // same rows as the object API
+    val v2 = spark.read.format("geojsonseq").load(dir)
+    assert(v2.schema == GeoJsonSeqScan.schema)
+    val got = v2.select(
+        get_json_object(col("properties"), "$.id").cast("long").as("id"),
+        call_function("st_x", col("geom")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == (0L until 200L).map(i => (i, i / 4.0)).toSet)
+    // byte-offset splitting: a tiny maxSplitBytes forces many partitions
+    // over the same files; LineRecordReader's straddle protocol must not
+    // duplicate or drop boundary lines
+    val split = spark.read.format("geojsonseq")
+      .option("maxSplitBytes", 256).load(dir)
+    assert(split.rdd.getNumPartitions > 4)
+    assert(split.select(get_json_object(col("properties"), "$.id")
+        .cast("long")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 200L))
+    // column pruning reaches the scan (visible in the v2 description) and
+    // a properties-only projection must not decode geometry structs
+    val pruned = v2.select("properties")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("ReadSchema: struct<properties:string>"), desc)
+    // strict gates: dirty line fails strict (default), skips lenient
+    val dirty = java.nio.file.Files.createTempDirectory("geojsonseq_v2d")
+    java.nio.file.Files.writeString(dirty.resolve("part-0.json"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"k":1}}
+        |nope
+        |""".stripMargin)
+    intercept[Exception](
+      spark.read.format("geojsonseq").load(dirty.toString).collect())
+    assert(spark.read.format("geojsonseq").option("strict", false)
+      .load(dirty.toString).count() == 1)
+  }
 }

@@ -76,29 +76,40 @@ object KnnBench {
     def hist(buf: Seq[(Int, Int, Long)]): String =
       buf.map { case (r, lvl, n) => s"[$r,$lvl,$n]" }.mkString("[", ",", "]")
 
+    // (count, content checksum) — a bare row count is VACUOUS as an
+    // exactness gate here (with >= k points every variant returns exactly
+    // nQ*k rows, wrong neighbors included); the order-independent hash sum
+    // over (qid, rank, image_id) pins the actual assignment
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("qid"), col("rank"), col("image_id")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     // adaptive (histogram collected in the same run; the per-round
     // doneIds.count() is a tiny job on a checkpointed <=k-rows-per-query
     // frame — disclosed, not hidden)
     val aRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-    val (aCount, aSecs) = time {
-      Knn.knnMetersJoinAdaptive(pts, qs, k = 5, tieCols = Seq("image_id"),
-        onRound = (r, l, n) => aRounds += ((r, l, n))).count()
+    val ((aCount, aSig), aSecs) = time {
+      sig(Knn.knnMetersJoinAdaptive(pts, qs, k = 5, tieCols = Seq("image_id"),
+        onRound = (r, l, n) => aRounds += ((r, l, n))))
     }
     // fixed fine (the q88 default shape) and fixed coarse, same histogram
     val f12Rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-    val (f12Count, f12Secs) = time {
-      Knn.knnMetersJoin(pts, qs, k = 5, startLevel = 12,
+    val ((f12Count, f12Sig), f12Secs) = time {
+      sig(Knn.knnMetersJoin(pts, qs, k = 5, startLevel = 12,
         tieCols = Seq("image_id"),
-        onRound = (r, l, n) => f12Rounds += ((r, l, n))).count()
+        onRound = (r, l, n) => f12Rounds += ((r, l, n))))
     }
     val f8Rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-    val (f8Count, f8Secs) = time {
-      Knn.knnMetersJoin(pts, qs, k = 5, startLevel = 8,
+    val ((f8Count, f8Sig), f8Secs) = time {
+      sig(Knn.knnMetersJoin(pts, qs, k = 5, startLevel = 8,
         tieCols = Seq("image_id"),
-        onRound = (r, l, n) => f8Rounds += ((r, l, n))).count()
+        onRound = (r, l, n) => f8Rounds += ((r, l, n))))
     }
-    require(aCount == f12Count && aCount == f8Count,
-      s"exactness violated: $aCount / $f12Count / $f8Count")
+    require(aCount == f12Count && aCount == f8Count &&
+      aSig == f12Sig && aSig == f8Sig,
+      s"exactness violated: rows $aCount/$f12Count/$f8Count " +
+        s"sig $aSig/$f12Sig/$f8Sig")
     println(
       f"""{"metric":"knn-meters 10^5 queries","n_points":$nPts,"n_queries":$nQ,"rows_out":$aCount,"adaptive":{"secs":$aSecs%.2f,"rounds":${hist(aRounds.toSeq)}},"fixed12":{"secs":$f12Secs%.2f,"rounds":${hist(f12Rounds.toSeq)}},"fixed8":{"secs":$f8Secs%.2f,"rounds":${hist(f8Rounds.toSeq)}}}""")
     spark.stop()

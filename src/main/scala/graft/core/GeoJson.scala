@@ -344,13 +344,23 @@ object GeoJson {
     /** FeatureCollection, or Feature / bare geometry as a singleton. */
     def parseFeatureCollection(): Array[GeoJson.Feature] = {
       val save = pos
+      committedToCollection = false
       try parseCollectionObject()
       catch {
-        case _: IllegalArgumentException =>
+        // fall back to singleton ONLY while the document could still be a
+        // bare Feature/geometry. Once the parse has seen
+        // "type":"FeatureCollection" or a "features" key, the document IS
+        // a collection and its error (with position) must surface — a
+        // blind fallback would re-parse from the start and report a
+        // useless "expected a Feature" at offset 0, masking which feature
+        // actually broke.
+        case _: IllegalArgumentException if !committedToCollection =>
           pos = save
           Array(parseFeature())
       }
     }
+
+    private var committedToCollection = false
 
     private def parseCollectionObject(): Array[GeoJson.Feature] = {
       expect('{')
@@ -362,8 +372,11 @@ object GeoJson {
           val key = parseString()
           expect(':')
           key match {
-            case "type" => typ = parseString()
+            case "type" =>
+              typ = parseString()
+              if (typ == "FeatureCollection") committedToCollection = true
             case "features" =>
+              committedToCollection = true
               expect('[')
               val buf = scala.collection.mutable.ArrayBuffer.empty[GeoJson.Feature]
               if (peek() != ']') {

@@ -191,7 +191,8 @@ object Pipeline {
   def compactSnapshots(spark: SparkSession, tableDir: String,
                        upToSnapshotId: Long,
                        filesPerBucket: Int = 1,
-                       beforeManifestSwap: () => Unit = () => ()): DataFrame = {
+                       beforeManifestSwap: () => Unit = () => (),
+                       afterFence: () => Unit = () => ()): DataFrame = {
     import java.nio.file.{Files => F}
     val dataDir = Paths.get(tableDir, "data")
     // 1. rewrite the squashed range, partitioned by bucket only, to a temp
@@ -250,6 +251,7 @@ object Pipeline {
     val mTmp = Paths.get(tableDir, s"manifests_tmp_$upToSnapshotId")
     var attempts = 0
     var fenced = false
+    var mergedParts = Set.empty[String] // the parts the final merge read
     while (!fenced) {
       attempts += 1
       require(attempts <= 5,
@@ -270,10 +272,31 @@ object Pipeline {
       // the fence: any part file appended since the pre-read listing is
       // not guaranteed to be in mTmp — merge again over the fresh listing
       fenced = manifestParts() == listingAtRead
+      if (fenced) mergedParts = listingAtRead
     }
+    afterFence() // test seam: racer in the fence-check -> swap window
     val mAside = aside.resolve("manifests_old")
     F.move(manifestsDir, mAside)
     F.move(mTmp, manifestsDir)
+    // post-swap reconciliation: the fence check and the directory move are
+    // not one atomic step, so a part committed in that window travels to
+    // the aside dir WITHOUT being merged — destroying the aside would
+    // destroy its rows (the exact loss the fence exists to prevent). Move
+    // any straggler verbatim into the new manifests dir before the aside
+    // dies: its rows belong to snapshots newer than the squash point, and
+    // the merge keeps such rows verbatim anyway, so a raw part file is
+    // exactly what the merged output would have contained. Rows can land
+    // late; they can never be lost.
+    locally {
+      val s = F.list(mAside)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !mergedParts.contains(n)
+        }
+        .foreach(p => F.move(p, manifestsDir.resolve(p.getFileName)))
+      finally s.close()
+    }
     // both swaps landed — the aside copies are now the only stale state
     deleteRecursively(aside)
     appendLogLine(tableDir,

@@ -302,16 +302,28 @@ object ArrowIpc {
       if (pos >= length) return -1
       val want = math.min(dst.remaining().toLong, length - pos).toInt
       if (want == 0) return 0
-      // bounded by the caller's buffer (one Arrow message/body chunk),
-      // never by file size
-      val tmp = new Array[Byte](want)
-      var done = 0
-      while (done < want) {
-        val n = in.read(pos + done, tmp, done, want - done)
-        require(n >= 0, s"unexpected EOF at ${pos + done}")
-        done += n
+      if (dst.hasArray) {
+        // heap-backed destination: pread straight into it, zero copies
+        val base = dst.arrayOffset() + dst.position()
+        var done = 0
+        while (done < want) {
+          val n = in.read(pos + done, dst.array(), base + done, want - done)
+          require(n >= 0, s"unexpected EOF at ${pos + done}")
+          done += n
+        }
+        dst.position(dst.position() + want)
+      } else {
+        // direct buffer: one bounce array, sized by the caller's buffer
+        // (one Arrow message/body chunk), never by file size
+        val tmp = new Array[Byte](want)
+        var done = 0
+        while (done < want) {
+          val n = in.read(pos + done, tmp, done, want - done)
+          require(n >= 0, s"unexpected EOF at ${pos + done}")
+          done += n
+        }
+        dst.put(tmp, 0, want)
       }
-      dst.put(tmp, 0, want)
       pos += want
       want
     }
@@ -422,13 +434,28 @@ object ArrowIpc {
     val files = listIpcFiles(path, toConf(entries))
     require(files.nonEmpty, s"no .arrow/.arrows files under $path")
     if (maxBatchesPerTask <= 0) files.map(f => (f, 0, Int.MaxValue))
-    else files.flatMap { f =>
-      if (f.endsWith(".arrows")) Seq((f, 0, Int.MaxValue))
-      else {
-        val n = batchCount(f, entries)
-        (0 until math.max(n, 1) by maxBatchesPerTask).map(s0 =>
-          (f, s0, math.min(n, s0 + maxBatchesPerTask)))
-      }
+    else {
+      // one footer read per FILE-format part to learn its batch count —
+      // parallelized on the driver: sequential round trips would make
+      // planning latency linear in file count on an object store
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, files.size)))
+      try {
+        val counts = files.map { f =>
+          f -> (if (f.endsWith(".arrows")) null
+                else pool.submit(new java.util.concurrent.Callable[Int] {
+                  override def call(): Int = batchCount(f, entries)
+                }))
+        }
+        counts.flatMap { case (f, fut) =>
+          if (fut == null) Seq((f, 0, Int.MaxValue))
+          else {
+            val n = fut.get()
+            (0 until math.max(n, 1) by maxBatchesPerTask).map(s0 =>
+              (f, s0, math.min(n, s0 + maxBatchesPerTask)))
+          }
+        }
+      } finally pool.shutdown()
     }
   }
 
@@ -517,8 +544,11 @@ object ArrowIpc {
     }
     try {
       val isStream = file.endsWith(".arrows")
-      require(!isStream || batchFrom == 0,
-        "stream-format parts have no footer and cannot start mid-file")
+      // a stream has no footer: it can neither start mid-file nor honor an
+      // upper bound — a silent full-file read for a bounded request would
+      // duplicate rows under caller-side splitting, so refuse both
+      require(!isStream || (batchFrom == 0 && batchUntil == Int.MaxValue),
+        "stream-format parts have no footer and cannot serve a batch range")
       val fileBlocks =
         if (isStream) { reader = new ArrowStreamReader(fs.open(p), alloc); null }
         else {

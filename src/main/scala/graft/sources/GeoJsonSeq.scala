@@ -45,10 +45,6 @@ object GeoJsonSeq {
   def write(df: DataFrame, geomCol: String, path: String,
             precision: Int = -1): Unit = {
     Geo.register(df.sparkSession)
-    val propCols = df.columns.filter(_ != geomCol)
-    val props =
-      if (propCols.isEmpty) lit("{}")
-      else to_json(struct(propCols.map(col): _*))
     // null geometries serialize as the spec's "geometry": null — a bare
     // st_asgeojson(null) would null the whole concat, the text writer
     // would emit an empty line, and read()'s blank-line filter would
@@ -118,6 +114,13 @@ object GeoJsonFc {
       i += 1
     }
     sb.append("]}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    // through the Hadoop FS so any scheme read() accepts, write() accepts
+    // too — java.nio would mangle an hdfs://... URI into a local path
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -39,6 +39,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GeoParquetDataSource
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2 {
   override def shortName(): String = "geoparquet"
+  // WRITES refuse loudly: `df.write.format("geoparquet")` routes through
+  // the v1 fallback format, which would emit plain parquet with NO `geo`
+  // footer — a file advertised as GeoParquet that isn't one. The object
+  // API (GeoParquet.write) is the path that attaches the metadata.
+  override def fallbackFileFormat
+      : Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat] =
+    classOf[GeoParquetReadOnlyFileFormat]
+}
+
+/** Read-compatible parquet format whose WRITE path refuses: see
+  * [[GeoParquetDataSource.fallbackFileFormat]]. */
+class GeoParquetReadOnlyFileFormat
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "format(\"geoparquet\") is read-only: a bare parquet write would " +
+        "lack the 'geo' footer metadata. Use " +
+        "graft.sources.GeoParquet.write(df, geomCol, path) instead.")
 }
 
 /** Arrow IPC DataSourceV2 (public connector API): one input partition per
@@ -231,11 +254,24 @@ private[sources] class GeoJsonSeqScan(path: String, required: StructType,
     val fs = root.getFileSystem(conf)
     val files: Seq[org.apache.hadoop.fs.FileStatus] =
       if (fs.getFileStatus(root).isFile) Seq(fs.getFileStatus(root))
-      else fs.listStatus(root).toSeq
-        // Spark listing convention: _metadata/_SUCCESS and dotfiles hidden
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .sortBy(_.getPath.getName)
+      else {
+        // RECURSIVE walk — a dir-of-dirs layout (partitioned text write)
+        // must contribute every nested file, not silently drop subtrees.
+        // Spark listing convention: _metadata/_SUCCESS and dotfiles are
+        // hidden, and a hidden SEGMENT hides its whole subtree.
+        val rootDepth = root.toUri.getPath.split("/").length
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          val segs = st.getPath.toUri.getPath.split("/").drop(rootDepth)
+          if (st.isFile &&
+            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+            buf += st
+        }
+        buf.sortBy(_.getPath.toString).toSeq
+      }
     val codecs =
       new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
     require(maxSplitBytes > 0, s"maxSplitBytes must be > 0: $maxSplitBytes")

@@ -113,6 +113,20 @@ class GeoJsonSpec extends AnyFunSuite {
       """{"type":"FeatureCollection","features":[]}""").isEmpty)
     intercept[IllegalArgumentException](GeoJson.parseFeatureCollection(
       """{"type":"FeatureCollection"}"""))
+    // a COMMITTED FeatureCollection (type seen, or a features key) whose
+    // Nth feature is broken must surface the REAL positioned error — not
+    // fall back to singleton re-parse and report a useless "expected a
+    // Feature" at offset 0 that masks which feature broke
+    val masked = intercept[IllegalArgumentException](
+      GeoJson.parseFeatureCollection(
+        """{"type":"FeatureCollection","features":[
+          | {"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":null},
+          | {"type":"Feature","geometry":{"type":"Point","coordinates":[1e+,2]},"properties":null}]}"""
+          .stripMargin))
+    assert(masked.getMessage.contains("GeoJSON parse error"), masked.getMessage)
+    // position points inside the SECOND feature, not at the document start
+    assert("error at (\\d+)".r.findFirstMatchIn(masked.getMessage)
+      .exists(_.group(1).toInt > 60), masked.getMessage)
     // malformed numbers must raise the parser's POSITIONED error, not a
     // bare NumberFormatException (the try-variants and parseFeature's
     // geometry fallback catch IllegalArgumentException only)

@@ -210,6 +210,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readSnapshot(spark, dir, 1L).count() == first.count())
   }
 
+  test("compaction rescues a manifest part committed between the fence check and the swap") {
+    // the fence re-list and the directory move are not one atomic step: a
+    // part committed in that residual window travels to the aside dir
+    // unmerged, and destroying the aside would destroy its rows. The
+    // post-swap reconciliation must move it verbatim into the new
+    // manifests dir before the aside dies.
+    val dir = freshDir("fence2")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 2000L), "lon", "lat", zoom = 3)
+    val first = images.filter(pmod(col("bucket"), lit(2)) === 0)
+    val second = images.filter(pmod(col("bucket"), lit(2)) === 1)
+    Pipeline.writeSnapshot(first, dir, 1L)
+    var appended = false
+    Pipeline.compactSnapshots(spark, dir, 1L, afterFence = () => {
+      Pipeline.writeSnapshot(second, dir, 2L)
+      appended = true
+    })
+    assert(appended)
+    val m = spark.read.parquet(s"$dir/manifests")
+    // snapshot 2's manifest rows were rescued from the aside dir
+    assert(m.filter(col("snapshot_id") === 2L).count() > 0)
+    assert(m.agg(sum("rows")).collect()(0).getLong(0) == 2000L)
+    // resume does NOT re-process the racer's buckets
+    assert(Pipeline.remainingInput(images, dir).count() == 0)
+    assert(Pipeline.readSnapshot(spark, dir, 2L).count() == 2000L)
+  }
+
   test("snapshot log appends are whole-line atomic under concurrent writers") {
     // hammer the log-append primitive from many threads (what concurrent
     // writeSnapshot commits reduce to); every line must come out complete —

@@ -50,6 +50,17 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(pruned.count() == 499)
     // v2 path, not a v1 fallback relation
     assert(formatted.contains("BatchScan"), formatted)
+
+    // WRITES refuse loudly: a bare format("geoparquet") write would emit
+    // plain parquet with no `geo` footer — a file claiming to be
+    // GeoParquet that isn't. The error points at the object API.
+    val err = intercept[Exception] {
+      df.drop("geom").write.format("geoparquet").mode("overwrite")
+        .save(tmp("geoparquet_w"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("GeoParquet.write")), err.toString)
   }
 
   test("arrowipc format: round-trip, decode-level pruning, batch splitting, _SUCCESS gate") {

@@ -131,5 +131,20 @@ class GeoJsonSeqSpec extends AnyFunSuite {
       spark.read.format("geojsonseq").load(dirty.toString).collect())
     assert(spark.read.format("geojsonseq").option("strict", false)
       .load(dirty.toString).count() == 1)
+    // nested part directories contribute their files (recursive listing —
+    // a dir-of-dirs layout must not silently lose subtrees), while hidden
+    // segments (_temporary and friends) hide their whole subtree
+    val nested = java.nio.file.Files.createTempDirectory("geojsonseq_v2n")
+    java.nio.file.Files.createDirectories(nested.resolve("sub/a"))
+    java.nio.file.Files.createDirectories(nested.resolve("_temporary"))
+    val feat =
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"k":%d}}
+        |""".stripMargin
+    java.nio.file.Files.writeString(nested.resolve("top.json"), feat.format(1))
+    java.nio.file.Files.writeString(nested.resolve("sub/a/deep.json"),
+      feat.format(2))
+    java.nio.file.Files.writeString(nested.resolve("_temporary/part.json"),
+      feat.format(3))
+    assert(spark.read.format("geojsonseq").load(nested.toString).count() == 2)
   }
 }

@@ -86,6 +86,57 @@ object Bench {
       line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
     } catch { case _: Exception => -1L }
 
+  /** One timed flagship leg, with the hypervisor steal observed DURING
+    * that leg as a rate (jiffies per wall-second). Quiet co-tenant windows
+    * measure < 1 jiffy/s on this box; the windows that depressed the
+    * round-4/5 efficiency readings measured 60-130/s (NOTES.md env fact
+    * 3 — and steal understates the damage: host frequency/scheduling
+    * effects hit the wide-parallelism leg hardest). */
+  private def timedLeg(cores: Int, inputPath: String,
+                       rep: Int): (Double, Double) = {
+    val s0 = stealJiffies()
+    val s = session(cores)
+    val (_, secs) = time(flagship(s, inputPath, rep))
+    s.stop()
+    val rate = if (s0 < 0) -1.0 else (stealJiffies() - s0) / secs
+    (secs, rate)
+  }
+
+  /** A leg run is dirty when steal during it exceeded this rate. 8/s sits
+    * an order of magnitude above quiet windows (<1/s) and an order below
+    * the contended ones (60+/s), so the classifier has margin both ways.
+    * Contention only ever INFLATES a leg's time, so minima are still taken
+    * over ALL runs (a dirty run can never undercut a clean one); the
+    * dirty flag exists only to decide, outcome-independently, which legs
+    * deserve a replacement measurement. */
+  private val DirtyStealRate = 8.0
+
+  /** Targeted, OUTCOME-INDEPENDENT replacement: a leg whose EVERY run was
+    * dirty gets re-measured (after a backoff into a hopefully quieter
+    * window) until one clean run exists, the wave limit, or the shared
+    * budget runs out. Selection is keyed ONLY on the steal signal — never
+    * on the timing or the efficiency ratio (a metric-conditioned stopping
+    * rule biases the min-based estimate; see ADVICE round 4). The previous
+    * protocol granted whole extra ROUNDS on a 20k-jiffy-per-round absolute
+    * threshold — ~180 jiffies/s, nearly 3x the worst window actually
+    * observed, so it never fired while a 67/s window sank the 4N leg 15%. */
+  private def replaceDirtyLegs(
+      runs: scala.collection.mutable.Map[Int, Vector[(Double, Double)]],
+      inputPath: String, rep: Int, maxWaves: Int, budget0: Int): Unit = {
+    var budget = budget0
+    var wave = 0
+    def allDirty(c: Int): Boolean =
+      runs(c).nonEmpty && runs(c).forall(_._2 > DirtyStealRate)
+    while (wave < maxWaves && budget > 0 && runs.keys.exists(allDirty)) {
+      Thread.sleep(45000) // back off into a quieter co-tenant window
+      for (cores <- runs.keys.toSeq.sorted if allDirty(cores) && budget > 0) {
+        runs(cores) = runs(cores) :+ timedLeg(cores, inputPath, rep)
+        budget -= 1
+      }
+      wave += 1
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val steal0 = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,38 +177,26 @@ object Bench {
     locally { // one-time JIT warmup at 1x
       val s = session(16); flagship(s, inputPath); s.stop()
     }
-    val times = scala.collection.mutable.Map(
-      coreCounts.map(_ -> Vector.empty[Double]): _*)
+    val runs = scala.collection.mutable.Map(
+      coreCounts.map(_ -> Vector.empty[(Double, Double)]): _*)
     def effOf(n: Int): Double =
-      if (times(n).isEmpty || times(n * 4).isEmpty) 0.0
-      else times(n).min / (4.0 * times(n * 4).min)
+      if (runs(n).isEmpty || runs(n * 4).isEmpty) 0.0
+      else runs(n).map(_._1).min / (4.0 * runs(n * 4).map(_._1).min)
     // OUTCOME-INDEPENDENT protocol (a stopping rule conditioned on the
     // reported efficiency would bias the min-based estimate upward):
-    // fixed 3 interleaved rounds, plus up to 3 replacement rounds granted
-    // ONLY by the noise signal — hypervisor steal jiffies observed DURING
-    // the round — never by the metric itself. Full distribution ships in
-    // the JSON either way.
-    var round = 0
-    var extra = 0
-    while (round < 3 + extra) {
-      val stealBefore = stealJiffies()
-      coreCounts.foreach { cores =>
-        val s = session(cores)
-        val (_, secs) = time(flagship(s, inputPath, replicate))
-        s.stop()
-        times(cores) = times(cores) :+ secs
-      }
-      round += 1
-      val stealDelta = stealJiffies() - stealBefore
-      if (stealDelta > 20000 && extra < 3) {
-        extra += 1
-        Thread.sleep(30000) // back off into a quieter co-tenant window
-      }
-    }
+    // fixed 3 interleaved rounds, then steal-rate-keyed per-leg
+    // replacement (see replaceDirtyLegs). Full distribution, with per-run
+    // steal rates, ships in the JSON either way.
+    for (_ <- 0 until 3; cores <- coreCounts)
+      runs(cores) = runs(cores) :+ timedLeg(cores, inputPath, replicate)
+    replaceDirtyLegs(runs, inputPath, replicate, maxWaves = 3, budget0 = 8)
     val nCores = if (effOf(8) > effOf(4)) 8 else 4
-    val scaling = times.map { case (cores, ts) =>
+    val scaling = runs.map { case (cores, rs) =>
+      val ts = rs.map(_._1)
       cores -> (effRows / ts.min, ts.min, ts)
     }.toMap
+    def ratesOf(c: Int): String =
+      runs(c).map(r => f"${r._2}%.1f").mkString("[", ",", "]")
     val tputN = scaling(nCores)._1.toDouble
     val tput4N = scaling(nCores * 4)._1.toDouble
     val efficiency = tput4N / (4.0 * tputN)
@@ -168,28 +207,17 @@ object Bench {
     // rounds, minima taken (same steal-noise discipline as above).
     val rep3 = replicate * 3
     val rows3 = benchRows * rep3
-    val times3 = scala.collection.mutable.Map(
-      nCores -> Vector.empty[Double], (nCores * 4) -> Vector.empty[Double])
+    val runs3 = scala.collection.mutable.Map(
+      nCores -> Vector.empty[(Double, Double)],
+      (nCores * 4) -> Vector.empty[(Double, Double)])
     // same OUTCOME-INDEPENDENT discipline as the 1x block: fixed 2
-    // interleaved rounds, up to 2 replacements granted only by the steal
-    // signal (never by the computed ratio — that stopping rule biased the
+    // interleaved rounds, then steal-rate-keyed per-leg replacement
+    // (never keyed on the computed ratio — that stopping rule biased the
     // min-based estimate and was retired)
-    var r3 = 0
-    var extra3 = 0
-    while (r3 < 2 + extra3) {
-      val stealBefore3 = stealJiffies()
-      for (cores <- Seq(nCores, nCores * 4)) {
-        val s = session(cores)
-        val (_, secs) = time(flagship(s, inputPath, rep3))
-        s.stop()
-        times3(cores) = times3(cores) :+ secs
-      }
-      r3 += 1
-      if (stealJiffies() - stealBefore3 > 20000 && extra3 < 2) {
-        extra3 += 1
-        Thread.sleep(30000)
-      }
-    }
+    for (_ <- 0 until 2; cores <- Seq(nCores, nCores * 4))
+      runs3(cores) = runs3(cores) :+ timedLeg(cores, inputPath, rep3)
+    replaceDirtyLegs(runs3, inputPath, rep3, maxWaves = 2, budget0 = 3)
+    val times3 = runs3.map { case (c, rs) => c -> rs.map(_._1) }
     val tput3N = rows3 / times3(nCores).min
     val tput34N = rows3 / times3(nCores * 4).min
     val efficiency3 = tput34N / (4.0 * tput3N)
@@ -203,24 +231,16 @@ object Bench {
     // all show up as a sagging hold ratio). The N leg is skipped — it
     // alone would quadruple the block's wall clock; hold-at-constant-
     // cores is the criterion's substance, and the N/4N ratio is already
-    // measured at 1x and 3x. Two rounds, min, steal-based replacement.
+    // measured at 1x and 3x. Two rounds, min, steal-rate replacement.
     val rep10 = replicate * 10
     val rows10 = benchRows * rep10
-    var times10 = Vector.empty[Double]
-    var r10 = 0
-    var extra10 = 0
-    while (r10 < 2 + extra10) {
-      val stealBefore10 = stealJiffies()
-      val s = session(nCores * 4)
-      val (_, secs) = time(flagship(s, inputPath, rep10))
-      s.stop()
-      times10 = times10 :+ secs
-      r10 += 1
-      if (stealJiffies() - stealBefore10 > 20000 && extra10 < 1) {
-        extra10 += 1
-        Thread.sleep(30000)
-      }
-    }
+    val runs10 = scala.collection.mutable.Map(
+      (nCores * 4) -> Vector.empty[(Double, Double)])
+    for (_ <- 0 until 2)
+      runs10(nCores * 4) = runs10(nCores * 4) :+
+        timedLeg(nCores * 4, inputPath, rep10)
+    replaceDirtyLegs(runs10, inputPath, rep10, maxWaves = 1, budget0 = 1)
+    val times10 = runs10(nCores * 4).map(_._1)
     val tput10 = rows10 / times10.min
     val hold10 = tput10 / tput4N
 
@@ -235,7 +255,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"spatial-join+tile-assignment throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$effRows,"n_cores":$nCores,"throughput_rows_per_sec":{"localN":${tputN.toLong},"local4N":${tput4N.toLong}},"flagship_secs":{"localN":${scaling(nCores)._2}%.3f,"local4N":${scaling(nCores * 4)._2}%.3f},"flagship_times":{"c4":[${scaling(4)._3.map(t => f"$t%.2f").mkString(",")}],"c8":[${scaling(8)._3.map(t => f"$t%.2f").mkString(",")}],"c16":[${scaling(16)._3.map(t => f"$t%.2f").mkString(",")}],"c32":[${scaling(32)._3.map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency%.3f,"scale3x":{"rows":$rows3,"throughput_rows_per_sec":{"localN":${tput3N.toLong},"local4N":${tput34N.toLong}},"secs":{"localN":[${times3(nCores).map(t => f"$t%.2f").mkString(",")}],"local4N":[${times3(nCores * 4).map(t => f"$t%.2f").mkString(",")}]},"scaling_efficiency":$efficiency3%.3f,"throughput_hold_vs_1x":$holdRatio%.3f},"scale10x":{"rows":$rows10,"cores":${nCores * 4},"secs":[${times10.map(t => f"$t%.2f").mkString(",")}],"throughput_rows_per_sec":${tput10.toLong},"throughput_hold_vs_1x":$hold10%.3f},"steal_jiffies_during_bench":${stealJiffies() - steal0}}""")
+      f"""{"metric":"spatial-join+tile-assignment throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$effRows,"n_cores":$nCores,"throughput_rows_per_sec":{"localN":${tputN.toLong},"local4N":${tput4N.toLong}},"flagship_secs":{"localN":${scaling(nCores)._2}%.3f,"local4N":${scaling(nCores * 4)._2}%.3f},"flagship_times":{"c4":[${scaling(4)._3.map(t => f"$t%.2f").mkString(",")}],"c8":[${scaling(8)._3.map(t => f"$t%.2f").mkString(",")}],"c16":[${scaling(16)._3.map(t => f"$t%.2f").mkString(",")}],"c32":[${scaling(32)._3.map(t => f"$t%.2f").mkString(",")}]},"flagship_steal_rates":{"c4":${ratesOf(4)},"c8":${ratesOf(8)},"c16":${ratesOf(16)},"c32":${ratesOf(32)}},"dirty_steal_rate":$DirtyStealRate,"scaling_efficiency":$efficiency%.3f,"scale3x":{"rows":$rows3,"throughput_rows_per_sec":{"localN":${tput3N.toLong},"local4N":${tput34N.toLong}},"secs":{"localN":[${times3(nCores).map(t => f"$t%.2f").mkString(",")}],"local4N":[${times3(nCores * 4).map(t => f"$t%.2f").mkString(",")}]},"steal_rates":{"localN":[${runs3(nCores).map(r => f"${r._2}%.1f").mkString(",")}],"local4N":[${runs3(nCores * 4).map(r => f"${r._2}%.1f").mkString(",")}]},"scaling_efficiency":$efficiency3%.3f,"throughput_hold_vs_1x":$holdRatio%.3f},"scale10x":{"rows":$rows10,"cores":${nCores * 4},"secs":[${times10.map(t => f"$t%.2f").mkString(",")}],"steal_rates":[${runs10(nCores * 4).map(r => f"${r._2}%.1f").mkString(",")}],"throughput_rows_per_sec":${tput10.toLong},"throughput_hold_vs_1x":$hold10%.3f},"steal_jiffies_during_bench":${stealJiffies() - steal0}}""")
     spark.stop()
   }
 }

@@ -1329,6 +1329,29 @@ object SparkEntry {
           call_function("st_y", col("geom")).as("lat"))
         .orderBy("l_orderkey", "l_linenumber")
     },
+    "q96_img_psnr" -> { (s, d) =>
+      prep(s, d)
+      // the north rule's per-row image invariant as engine ops: a REAL
+      // decode -> pixel-perturb -> PNG re-encode -> decode -> compare
+      // chain. img_perturb moves every channel by exactly delta (away
+      // from the nearer rail, so nothing clamps) => img_mse == delta^2
+      // in closed form, and the PSNR>=40dB gate flips between delta=2
+      // (42.1 dB) and delta=3 (38.6 dB) — far from float noise. delta=0
+      // exercises the identical-image +Infinity path end-to-end.
+      s.sql("""SELECT doc_id, img_mse(orig, pert) AS mse,
+        |  img_psnr(orig, pert) >= CAST(40.0 AS DOUBLE) AS pass40
+        |FROM (SELECT doc_id, orig,
+        |    img_perturb(orig, CAST(doc_id % 6 AS INT)) AS pert
+        |  FROM (SELECT doc_id,
+        |      make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+        |    FROM (SELECT doc_id,
+        |      CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |      CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |      CAST(doc_id % 256 AS INT) AS v1,
+        |      CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |     FROM documents)))
+        |ORDER BY doc_id""".stripMargin)
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2411,6 +2434,14 @@ object SparkEntry {
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  lon, lat FROM ($PtsCte) WHERE l_orderkey % 10 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // decoded-pixel parity: MSE is delta^2 exactly (integer diffs, exact
+    // double division); pass40 is the PSNR>=40dB predicate, which over
+    // delta in 0..5 is simply delta<=2 (42.1 dB vs 38.6 dB either side)
+    "q96_img_psnr" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 6) * (doc_id % 6) AS DOUBLE) AS mse,
+        |  (doc_id % 6) <= 2 AS pass40
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->
       """WITH pts AS (

@@ -267,6 +267,14 @@ object Geo {
     // deterministic two-band PNG synthesis (oracle-checkable test images)
     "make_png" -> (a => inv(MediaOps.getClass, BinaryType, "makePng", a,
       Seq.fill(8)(IntegerType))),
+    // decoded-pixel parity kernels (the north rule's per-row image
+    // invariant as engine ops): exact MSE, PSNR dB, lossless perturbation
+    "img_mse" -> (a => inv(MediaOps.getClass, DoubleType, "imgMse", a,
+      Seq(BinaryType, BinaryType), nullable = true)),
+    "img_psnr" -> (a => inv(MediaOps.getClass, DoubleType, "imgPsnr", a,
+      Seq(BinaryType, BinaryType), nullable = true)),
+    "img_perturb" -> (a => inv(MediaOps.getClass, BinaryType, "imgPerturb",
+      a, Seq(BinaryType, IntegerType), nullable = true)),
     // --- audio/video kernels (real decoders: RIFF/WAVE PCM, YUV4MPEG2;
     // propagateNull=false on the metas: null payload yields "unknown")
     "wav_meta" -> (a => StaticInvoke(AvOps.getClass, AvOps.wavMetaType,

@@ -124,10 +124,7 @@ object MediaOps {
     * computed from real bytes. Undecodable payloads -> null. Image sides
     * are capped at 4096 so the cross-products stay within Long. */
   def imgPhash(bytes: Array[Byte]): java.lang.Long = {
-    if (bytes == null) return null
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = decodeImage(bytes)
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
@@ -162,6 +159,94 @@ object MediaOps {
       i += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** Full pixel decode via javax.imageio; null for undecodable payloads. */
+  private def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    if (bytes == null) return null
+    try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+  }
+
+  /** Mean squared error between two decoded images over all RGB channels —
+    * the north rule's per-row image invariant ("decoded-pixel allclose,
+    * PSNR>=40dB for lossy") as a first-class kernel instead of a test-only
+    * helper. Exact arithmetic: integer channel diffs accumulate in a Long
+    * (max 255²·3·4096² ≈ 3.3e12 < 2^53), one double division at the end —
+    * bit-reproducible, so analytically oracle-able (q96). Undecodable
+    * input or mismatched dimensions → null (a verification pipeline wants
+    * those rows FLAGGED, not crashed). */
+  def imgMse(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val ia = decodeImage(a); val ib = decodeImage(b)
+    if (ia == null || ib == null) return null
+    val w = ia.getWidth; val h = ia.getHeight
+    if (w != ib.getWidth || h != ib.getHeight ||
+      w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val ra = new Array[Int](w); val rb = new Array[Int](w)
+    var se = 0L
+    var y = 0
+    while (y < h) {
+      ia.getRGB(0, y, w, 1, ra, 0, w)
+      ib.getRGB(0, y, w, 1, rb, 0, w)
+      var x = 0
+      while (x < w) {
+        val pa = ra(x); val pb = rb(x)
+        val dr = ((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)
+        val dg = ((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)
+        val db = (pa & 0xff) - (pb & 0xff)
+        se += dr * dr + dg * dg + db * db
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Double.valueOf(se.toDouble / (3.0 * w * h))
+  }
+
+  /** Peak signal-to-noise ratio in dB over decoded pixels (8-bit peak):
+    * `10·log10(255² / MSE)`; identical images → +Infinity. The membership
+    * predicate `img_psnr(a, b) >= 40.0` is the north rule's lossy-payload
+    * gate and is ulp-robust wherever the true PSNR isn't within float
+    * noise of the threshold (the bit-exact companion is [[imgMse]]). */
+  def imgPsnr(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val mse = imgMse(a, b)
+    if (mse == null) return null
+    val m = mse.doubleValue
+    if (m == 0.0) java.lang.Double.valueOf(Double.PositiveInfinity)
+    else java.lang.Double.valueOf(10.0 * math.log10(65025.0 / m))
+  }
+
+  /** Deterministic lossless pixel perturbation: every channel moves by
+    * exactly `delta`, away from its nearer rail (v ≥ 128 goes down, else
+    * up) so no clamping ever occurs and the per-channel error is exactly
+    * ±delta — hence `img_mse(orig, img_perturb(orig, d)) == d²`
+    * analytically, which is what lets q96 oracle a real
+    * decode→pixel-op→encode→decode→compare chain in closed form.
+    * Re-encoded as PNG (lossless). Undecodable input → null. */
+  def imgPerturb(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    require(delta >= 0 && delta <= 127, s"perturb delta out of [0,127]: $delta")
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        def shift(v: Int): Int = if (v >= 128) v - delta else v + delta
+        row(x) = (shift((p >> 16) & 0xff) << 16) |
+          (shift((p >> 8) & 0xff) << 8) | shift(p & 0xff)
+        x += 1
+      }
+      out.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(128 + w * h / 8)
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic two-band RGB PNG: rows [0, h/2) are (r1,g1,b1), rows

@@ -218,6 +218,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.sql.MediaOps.imgPhash(null) == null)
   }
 
+  test("img_mse/img_psnr: decoded-pixel parity invariant (north rule)") {
+    import graft.sql.MediaOps
+    val png = MediaOps.makePng(24, 16, 200, 150, 100, 30, 60, 90)
+    // identical images: MSE 0, PSNR +inf
+    assert(MediaOps.imgMse(png, png).doubleValue == 0.0)
+    assert(MediaOps.imgPsnr(png, png).doubleValue.isPosInfinity)
+    // perturb by exactly delta per channel -> MSE = delta^2 in closed form
+    for (delta <- Seq(1, 2, 3, 5, 17)) {
+      val pert = MediaOps.imgPerturb(png, delta)
+      val mse = MediaOps.imgMse(png, pert).doubleValue
+      assert(mse == delta.toDouble * delta,
+        s"delta=$delta expected mse=${delta * delta}, got $mse")
+      val psnr = MediaOps.imgPsnr(png, pert).doubleValue
+      val expect = 10.0 * math.log10(65025.0 / (delta * delta))
+      assert(math.abs(psnr - expect) < 1e-12)
+    }
+    // the 40 dB gate: delta=2 passes (42.1 dB), delta=3 fails (38.6 dB)
+    assert(MediaOps.imgPsnr(png, MediaOps.imgPerturb(png, 2)) >= 40.0)
+    assert(MediaOps.imgPsnr(png, MediaOps.imgPerturb(png, 3)) < 40.0)
+    // channel values straddling the 128 rail never clamp
+    val edge = MediaOps.makePng(8, 8, 127, 128, 0, 255, 1, 254)
+    assert(MediaOps.imgMse(edge, MediaOps.imgPerturb(edge, 127)).doubleValue
+      == 127.0 * 127.0)
+    // mismatched dimensions / undecodable input -> null, not a crash
+    val other = MediaOps.makePng(8, 8, 1, 2, 3, 4, 5, 6)
+    assert(MediaOps.imgMse(png, other) == null)
+    assert(MediaOps.imgMse(png, "junk".getBytes) == null)
+    assert(MediaOps.imgPsnr(null, png) == null)
+    assert(MediaOps.imgPerturb("junk".getBytes, 1) == null)
+    // real JPEG recompression vs the 40 dB gate, discriminating actual
+    // encoder behavior: smooth content at max quality clears it (uniform
+    // blocks are DC-only, near-lossless); a hard COLOR band edge fails it
+    // at ANY quality because 4:2:0 chroma subsampling averages chroma
+    // across the edge (~32 dB even at q=1.0) — the gate catches real
+    // lossy damage, not just quantization strength
+    def encodeJpeg(src: java.awt.image.BufferedImage,
+                   quality: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), params)
+      writer.dispose()
+      bos.toByteArray
+    }
+    val flat = MediaOps.makePng(24, 16, 120, 130, 140, 120, 130, 140)
+    val flatImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(flat))
+    val psnrFlat = MediaOps.imgPsnr(flat, encodeJpeg(flatImg, 1.0f)).doubleValue
+    assert(psnrFlat >= 40.0, s"uniform q=1.0 JPEG PSNR $psnrFlat")
+    val bandImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val psnrBand = MediaOps.imgPsnr(png, encodeJpeg(bandImg, 1.0f)).doubleValue
+    assert(psnrBand < 40.0, s"color-band q=1.0 JPEG PSNR $psnrBand")
+  }
+
+  test("img_psnr binds as a codegen'd kernel in SQL") {
+    graft.sql.Geo.register(spark)
+    val row = spark.sql(
+      """SELECT img_mse(p, img_perturb(p, 4)) AS mse,
+        |  img_psnr(p, img_perturb(p, 4)) AS psnr
+        |FROM (SELECT make_png(16, 16, 10, 20, 30, 210, 220, 230) AS p)"""
+        .stripMargin)
+    // over literal input the optimizer constant-folds the whole chain
+    // (env fact 10) — assert kernel binding on the ANALYZED plan, where
+    // the StaticInvoke nodes are still visible
+    val analyzed = row.queryExecution.analyzed.toString
+    assert(analyzed.contains("imgMse") && analyzed.contains("imgPsnr") &&
+      analyzed.contains("imgPerturb"),
+      s"img_* must bind as StaticInvoke kernels:\n$analyzed")
+    val r = row.collect()(0)
+    assert(r.getDouble(0) == 16.0)
+    assert(math.abs(r.getDouble(1) - 10.0 * math.log10(65025.0 / 16.0)) < 1e-12)
+  }
+
   test("cast-elision rule folds idempotent cast chains") {
     graft.sql.Geo.register(spark)
     val df = spark.sql(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Knn, SpatialJoins}
+import graft.operators.{Ann, Dedup, Knn, SpatialJoins, TileRender}
 import graft.pipeline.Pipeline
 import graft.sources.ImagesTable
 import graft.sql.Geo
@@ -1352,6 +1352,52 @@ object SparkEntry {
         |     FROM documents)))
         |ORDER BY doc_id""".stripMargin)
     },
+    "q97_tile_render" -> { (s, d) =>
+      prep(s, d)
+      // distributed raster tile rendering, audited through REAL pixels:
+      // render every non-empty z4 tile as a 256x256 grayscale PNG
+      // (intensity = min(255, point count) per pixel), then DECODE each
+      // rendered PNG and report lit-pixel count + gray-channel sum. The
+      // oracle recomputes both from the raw coordinates with the same
+      // web-mercator pixel math — so the whole chain (pixel assignment,
+      // two-level aggregation, PNG encode, PNG decode) must agree with
+      // closed-form SQL, tile by tile.
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      TileRender.renderTiles(pts, "lon", "lat", zoom = 4, size = 256)
+        .selectExpr("x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("tx", "ty")
+    },
+    "q98_img_resize" -> { (s, d) =>
+      prep(s, d)
+      // nearest-neighbor resize, oracled in closed form: NN-resizing a
+      // two-band image to even target heights reproduces the two-band
+      // image at the target size EXACTLY (row y' samples src row
+      // floor(y'*h/h2), which preserves the band split when h and h2 are
+      // even), so the decoded-pixel MSE against a directly synthesized
+      // target is identically zero for both the 2x upscale and the 1/2
+      // downscale. Any dimension or pixel defect would surface as a
+      // nonzero (or null) MSE.
+      s.sql("""SELECT doc_id,
+        |  img_mse(img_resize(orig, wu, hu),
+        |          make_png(wu, hu, v1, v1, v1, v2, v2, v2)) AS mse_up,
+        |  img_mse(img_resize(orig, wd, hd),
+        |          make_png(wd, hd, v1, v1, v1, v2, v2, v2)) AS mse_dn
+        |FROM (SELECT doc_id, wu, hu, wd, hd, v1, v2,
+        |    make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+        |  FROM (SELECT doc_id,
+        |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |    CAST((doc_id % 5 + 1) * 16 AS INT) AS wu,
+        |    CAST((doc_id % 4 + 1) * 16 AS INT) AS hu,
+        |    CAST((doc_id % 5 + 1) * 4 AS INT) AS wd,
+        |    CAST((doc_id % 4 + 1) * 4 AS INT) AS hd,
+        |    CAST(doc_id % 256 AS INT) AS v1,
+        |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |   FROM documents))
+        |ORDER BY doc_id""".stripMargin)
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2441,6 +2487,34 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST((doc_id % 6) * (doc_id % 6) AS DOUBLE) AS mse,
         |  (doc_id % 6) <= 2 AS pass40
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // tile-render ground truth: the same web-mercator pixel math in SQL
+    // (lat/180*pi matches Java's toRadians operation order; floor == the
+    // kernel's toInt for the nonnegative fractions in play). lit pixels =
+    // occupied (tile, pixel) groups; gray sum = sum of clamped counts.
+    "q97_tile_render" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 16 AS fx,
+        |  (1.0 - ln(tan(lat / 180.0 * pi()) + 1.0 / cos(lat / 180.0 * pi()))
+        |     / pi()) / 2.0 * 16 AS fy
+        |  FROM pts),
+        |px AS (SELECT
+        |  CAST(floor(fx) AS INTEGER) AS tx, CAST(floor(fy) AS INTEGER) AS ty,
+        |  CAST(floor((fx - floor(fx)) * 256) AS INTEGER) AS ppx,
+        |  CAST(floor((fy - floor(fy)) * 256) AS INTEGER) AS ppy
+        |  FROM fr),
+        |cnt AS (SELECT tx, ty, ppx, ppy, count(*) AS n
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT tx, ty, CAST(count(*) AS BIGINT) AS lit_pixels,
+        |  CAST(sum(least(n, 255)) AS BIGINT) AS gray_sum
+        |FROM cnt GROUP BY tx, ty ORDER BY tx, ty""".stripMargin,
+    // NN resize reproduces the two-band synthesis exactly at even target
+    // heights -> both MSEs are identically zero (a dims or pixel defect
+    // would show as nonzero or null)
+    "q98_img_resize" ->
+      """SELECT doc_id, CAST(0.0 AS DOUBLE) AS mse_up,
+        |  CAST(0.0 AS DOUBLE) AS mse_dn
         |FROM documents ORDER BY doc_id""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->

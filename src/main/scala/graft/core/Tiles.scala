@@ -35,6 +35,25 @@ object Tiles {
   def tileId(lon: Double, lat: Double, zoom: Int): Long =
     pack(zoom, tileX(lon, zoom), tileY(lat, zoom))
 
+  /** Pixel index (`py * size + px`) of a point within its z/x/y tile when
+    * the tile is rasterized at `size`×`size`. Derives the pixel from the
+    * SAME fractional expressions as [[tileX]]/[[tileY]] (fraction past the
+    * truncated tile ordinate), so a point's pixel always lies inside the
+    * tile [[tileId]] assigns it to — the invariant the distributed renderer
+    * relies on when it groups by (tile, pixel). */
+  def tilePixel(lon: Double, lat: Double, zoom: Int, size: Int): Int = {
+    val n = 1 << zoom
+    val fx = (lon + 180.0) / 360.0 * n
+    val xi = math.max(0, math.min(n - 1, fx.toInt))
+    val px = math.max(0, math.min(size - 1, ((fx - xi) * size).toInt))
+    val clamped = math.max(-MaxLat, math.min(MaxLat, lat))
+    val latRad = math.toRadians(clamped)
+    val fy = (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n
+    val yi = math.max(0, math.min(n - 1, fy.toInt))
+    val py = math.max(0, math.min(size - 1, ((fy - yi) * size).toInt))
+    py * size + px
+  }
+
   /** Tile envelope: (minLon, minLat, maxLon, maxLat). */
   def tileEnvelope(id: Long): (Double, Double, Double, Double) = {
     val zz = z(id); val xx = x(id); val yy = y(id)

@@ -215,6 +215,8 @@ object Geo {
     "st_cellcoverbox" -> (a => geo(longArray, "cellCoverBox", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType))),
     // --- tiles
+    "st_tilepixel" -> (a => geo(IntegerType, "tilePixel", a,
+      Seq(DoubleType, DoubleType, IntegerType, IntegerType))),
     "st_tilezxy" -> (a => geo(LongType, "tileId", a,
       Seq(DoubleType, DoubleType, IntegerType))),
     "st_tilez" -> (a => geo(IntegerType, "tileZ", a, Seq(LongType))),
@@ -275,6 +277,16 @@ object Geo {
       Seq(BinaryType, BinaryType), nullable = true)),
     "img_perturb" -> (a => inv(MediaOps.getClass, BinaryType, "imgPerturb",
       a, Seq(BinaryType, IntegerType), nullable = true)),
+    // raster tile rendering + decoded-pixel audit kernels (q97) and
+    // nearest-neighbor resize (q98)
+    "tile_render" -> (a => inv(MediaOps.getClass, BinaryType, "tileRender",
+      a, Seq(IntegerType, ArrayType(LongType)))),
+    "img_channel_sum" -> (a => inv(MediaOps.getClass, LongType,
+      "imgChannelSum", a, Seq(BinaryType, IntegerType), nullable = true)),
+    "img_nonzero" -> (a => inv(MediaOps.getClass, LongType, "imgNonzero", a,
+      Seq(BinaryType), nullable = true)),
+    "img_resize" -> (a => inv(MediaOps.getClass, BinaryType, "imgResize", a,
+      Seq(BinaryType, IntegerType, IntegerType), nullable = true)),
     // --- audio/video kernels (real decoders: RIFF/WAVE PCM, YUV4MPEG2;
     // propagateNull=false on the metas: null payload yields "unknown")
     "wav_meta" -> (a => StaticInvoke(AvOps.getClass, AvOps.wavMetaType,

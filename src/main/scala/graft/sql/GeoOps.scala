@@ -360,6 +360,8 @@ object GeoOps {
   // ------------------------------------------------------------ tiles
 
   def tileId(lon: Double, lat: Double, z: Int): Long = Tiles.tileId(lon, lat, z)
+  def tilePixel(lon: Double, lat: Double, z: Int, size: Int): Int =
+    Tiles.tilePixel(lon, lat, z, size)
 
   /** Tile of a point geometry (join key for the contains-join rewrite). */
   def tileOfGeom(g: InternalRow, z: Int): Long =

@@ -249,6 +249,110 @@ object MediaOps {
     bos.toByteArray
   }
 
+  /** Rasterize one map tile from packed (pixel, count) cells into a
+    * grayscale PNG: each packed long is `pixelIndex << 32 | count`, the
+    * rendered intensity is `min(255, count)` replicated across R/G/B.
+    * TYPE_INT_RGB (not TYPE_BYTE_GRAY) deliberately: Java2D converts
+    * BYTE_GRAY through a linear color space on `getRGB`, which would
+    * distort the decoded values — RGB keeps the rendered counts
+    * bit-exact through an encode/decode round trip, which is what lets
+    * the renderer be oracled end-to-end (q97). Cells arrive via
+    * `collect_list`, so order is arbitrary — the fill is order-independent
+    * (each pixel appears once per (tile, pixel) group). */
+  def tileRender(size: Int, packed: ArrayData): Array[Byte] = {
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    val cells = packed.toLongArray()
+    var i = 0
+    while (i < cells.length) {
+      val v = cells(i)
+      val p = (v >>> 32).toInt
+      require(p < size * size, s"pixel index $p out of ${size}x$size tile")
+      val cnt = v & 0xffffffffL
+      val g = if (cnt > 255L) 255 else cnt.toInt
+      img.setRGB(p % size, p / size, (g << 16) | (g << 8) | g)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream(256 + size * size / 8)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Sum of one channel (0=R, 1=G, 2=B) over all decoded pixels. Long
+    * accumulator (max 255·4096² ≈ 4.3e9 overflows Int). Undecodable
+    * payload or bad channel → null. */
+  def imgChannelSum(bytes: Array[Byte], channel: Int): java.lang.Long = {
+    if (channel < 0 || channel > 2) return null
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val shift = (2 - channel) * 8
+    val row = new Array[Int](w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) { sum += (row(x) >> shift) & 0xff; x += 1 }
+      y += 1
+    }
+    java.lang.Long.valueOf(sum)
+  }
+
+  /** Count of decoded pixels with any nonzero RGB channel ("lit" pixels of
+    * a rendered tile). Undecodable payload → null. */
+  def imgNonzero(bytes: Array[Byte]): java.lang.Long = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val row = new Array[Int](w)
+    var lit = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) { if ((row(x) & 0xffffff) != 0) lit += 1; x += 1 }
+      y += 1
+    }
+    java.lang.Long.valueOf(lit)
+  }
+
+  /** Nearest-neighbor resize to exactly `w2`×`h2`, re-encoded as PNG
+    * (lossless). Source pixel of output (x, y) is
+    * (⌊x·w/w2⌋, ⌊y·h/h2⌋) — exact integer math, so the result is
+    * bit-reproducible and analytically oracle-able (q98: resizing a
+    * two-band image to even heights reproduces the two-band image at the
+    * new size exactly). Undecodable input → null. */
+  def imgResize(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    require(w2 > 0 && h2 > 0 && w2 <= 4096 && h2 <= 4096,
+      s"resize target out of (0,4096]: ${w2}x$h2")
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    val srcRow = new Array[Int](w)
+    val dstRow = new Array[Int](w2)
+    var y = 0
+    var lastSy = -1
+    while (y < h2) {
+      val sy = ((y.toLong * h) / h2).toInt
+      if (sy != lastSy) { img.getRGB(0, sy, w, 1, srcRow, 0, w); lastSy = sy }
+      var x = 0
+      while (x < w2) {
+        dstRow(x) = srcRow(((x.toLong * w) / w2).toInt) & 0xffffff
+        x += 1
+      }
+      out.setRGB(0, y, w2, 1, dstRow, 0, w2)
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(128 + w2 * h2 / 8)
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic two-band RGB PNG: rows [0, h/2) are (r1,g1,b1), rows
     * [h/2, h) are (r2,g2,b2). Real javax.imageio PNG encode — used to
     * synthesize oracle-checkable images in SQL (PNG is lossless, so the

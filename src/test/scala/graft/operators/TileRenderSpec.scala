@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tiles
+import graft.sql.MediaOps
+
+class TileRenderSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+  import spark.implicits._
+
+  private def decode(png: Array[Byte]) =
+    ImageIO.read(new ByteArrayInputStream(png))
+
+  test("tilePixel lands inside the tile tileId assigns (random sweep)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 5000) {
+      val lon = rnd.nextDouble() * 360.0 - 180.0
+      val lat = rnd.nextDouble() * 170.0 - 85.0
+      val z = rnd.nextInt(12)
+      val size = 256
+      val p = Tiles.tilePixel(lon, lat, z, size)
+      assert(p >= 0 && p < size * size, s"pixel $p out of range at z=$z")
+      // the pixel's world position must fall inside the assigned tile's
+      // envelope (fraction-past-truncation construction guarantees it)
+      val id = Tiles.tileId(lon, lat, z)
+      val (minLon, minLat, maxLon, maxLat) = Tiles.tileEnvelope(id)
+      assert(lon >= minLon && lon < maxLon + 1e-9)
+      assert(lat >= minLat - 1e-9 && lat <= maxLat + 1e-9)
+    }
+  }
+
+  test("tileRender paints exact clamped counts at exact pixels") {
+    // pixel 0 -> count 1, pixel (3,2)=2*8+3 -> count 300 (clamps to 255)
+    val packed = Array((0L << 32) | 1L, (19L << 32) | 300L)
+    val png = MediaOps.tileRender(8, graft.sql.GeoStruct.longArray(packed))
+    val img = decode(png)
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    assert((img.getRGB(0, 0) & 0xff) == 1)
+    assert((img.getRGB(3, 2) & 0xff) == 255)
+    var zeros = 0
+    for (y <- 0 until 8; x <- 0 until 8
+         if (x, y) != ((0, 0)) && (x, y) != ((3, 2)))
+      zeros += (img.getRGB(x, y) & 0xffffff)
+    assert(zeros == 0, "untouched pixels must be black")
+    // audit kernels agree with the analytic values
+    assert(MediaOps.imgNonzero(png) == 2L)
+    assert(MediaOps.imgChannelSum(png, 0) == 256L)
+  }
+
+  test("renderTiles: end-to-end distributed render, decoded-pixel exact") {
+    // two clusters in two different z2 tiles; three points share one pixel
+    val pts = Seq(
+      (10.0, 10.0), (10.0, 10.0), (10.0, 10.0), // same pixel, count 3
+      (12.0, 12.0),                             // same tile, other pixel
+      (-100.0, -40.0)                           // different tile
+    ).toDF("lon", "lat")
+    val out = TileRender.renderTiles(pts, "lon", "lat", zoom = 2, size = 64)
+      .collect().map(r => (r.getAs[Int]("x"), r.getAs[Int]("y")) ->
+        r.getAs[Array[Byte]]("png")).toMap
+    assert(out.size == 2)
+    val t1 = Tiles.tileId(10.0, 10.0, 2)
+    val key1 = (Tiles.x(t1), Tiles.y(t1))
+    val img1 = decode(out(key1))
+    val p1 = Tiles.tilePixel(10.0, 10.0, 2, 64)
+    assert((img1.getRGB(p1 % 64, p1 / 64) & 0xff) == 3)
+    val p2 = Tiles.tilePixel(12.0, 12.0, 2, 64)
+    assert((img1.getRGB(p2 % 64, p2 / 64) & 0xff) == 1)
+    assert(MediaOps.imgNonzero(out(key1)) == 2L)
+    val t2 = Tiles.tileId(-100.0, -40.0, 2)
+    assert(MediaOps.imgNonzero(out((Tiles.x(t2), Tiles.y(t2)))) == 1L)
+  }
+
+  test("renderTiles plan: kernels codegen'd, partial agg before shuffle") {
+    val pts = Seq((1.0, 2.0), (3.0, 4.0)).toDF("lon", "lat")
+    val plan = TileRender.renderTiles(pts, "lon", "lat", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"),
+      s"render must not sever codegen:\n$plan")
+    // the (tile, pixel) count must partially aggregate map-side so the
+    // only shuffle carries <= tiles x pixels rows, not input rows
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"expected a partial aggregate before the exchange:\n$plan")
+  }
+
+  test("imgResize: NN resize reproduces two-band synthesis exactly") {
+    val orig = MediaOps.makePng(12, 8, 10, 20, 30, 200, 100, 50)
+    for ((w2, h2) <- Seq((24, 16), (6, 4), (12, 8), (48, 2))) {
+      val resized = MediaOps.imgResize(orig, w2, h2)
+      val direct = MediaOps.makePng(w2, h2, 10, 20, 30, 200, 100, 50)
+      assert(MediaOps.imgMse(resized, direct) == 0.0,
+        s"NN resize to ${w2}x$h2 must be pixel-exact")
+    }
+    // odd target height: top band is ceil(h2*? ) rows by floor mapping —
+    // row 1 of a 3-row target samples src row floor(1*8/3)=2 (top band)
+    val odd = decode(MediaOps.imgResize(orig, 4, 3))
+    assert(((odd.getRGB(0, 0) >> 16) & 0xff) == 10)
+    assert(((odd.getRGB(0, 1) >> 16) & 0xff) == 10)
+    assert(((odd.getRGB(0, 2) >> 16) & 0xff) == 200)
+    assert(MediaOps.imgResize("not a png".getBytes, 4, 4) == null)
+  }
+
+  test("imgChannelSum / imgNonzero analytic on two-band synthesis") {
+    val png = MediaOps.makePng(4, 4, 10, 20, 30, 200, 100, 50)
+    assert(MediaOps.imgChannelSum(png, 0) == (10 * 8 + 200 * 8).toLong)
+    assert(MediaOps.imgChannelSum(png, 1) == (20 * 8 + 100 * 8).toLong)
+    assert(MediaOps.imgChannelSum(png, 2) == (30 * 8 + 50 * 8).toLong)
+    assert(MediaOps.imgChannelSum(png, 3) == null)
+    assert(MediaOps.imgNonzero(png) == 16L)
+    val black = MediaOps.makePng(4, 4, 0, 0, 0, 0, 0, 0)
+    assert(MediaOps.imgNonzero(black) == 0L)
+    assert(MediaOps.imgChannelSum(null, 0) == null)
+  }
+}

@@ -115,7 +115,11 @@ object Plans {
           imagesPq.select(col("image_id"), col("lon"), col("lat")),
           spark.range(20).select(col("id").as("qid"),
             (rand(3) * 340 - 170).as("qlon"), (rand(4) * 160 - 80).as("qlat")),
-          radiusMeters = 50000.0)))
+          radiusMeters = 50000.0)),
+      "Tile rendering: map-side (tile,pixel) partial combine bounds the " +
+        "only data-sized shuffle; per-tile render state <= size^2 longs" ->
+        fmt(graft.operators.TileRender.renderTiles(
+          imagesPq, "lon", "lat", zoom = 6, size = 256)))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

@@ -1398,6 +1398,22 @@ object SparkEntry {
         |   FROM documents))
         |ORDER BY doc_id""".stripMargin)
     },
+    "q99_tile_pyramid" -> { (s, d) =>
+      prep(s, d)
+      // full tile pyramid in one pass over the points: finest level
+      // aggregates world pixels directly; every coarser level is an exact
+      // integer halving of the one below (size is a power of two, so all
+      // pixel-math scalings are exact — the reduction is bit-identical to
+      // re-rendering each level from scratch). The oracle re-derives all
+      // three levels from raw coordinates by the same shifts.
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      TileRender.renderPyramid(pts, "lon", "lat",
+          minZoom = 2, maxZoom = 4, size = 256)
+        .selectExpr("z", "x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("z", "tx", "ty")
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2516,6 +2532,34 @@ object SparkEntry {
       """SELECT doc_id, CAST(0.0 AS DOUBLE) AS mse_up,
         |  CAST(0.0 AS DOUBLE) AS mse_dn
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // pyramid ground truth: world pixels at the finest level (same math as
+    // q97), then every coarser level by exact integer halving — all scalings
+    // are powers of two, so floor(wx/2.0) is exact
+    "q99_tile_pyramid" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 16 AS fx,
+        |  (1.0 - ln(tan(lat / 180.0 * pi()) + 1.0 / cos(lat / 180.0 * pi()))
+        |     / pi()) / 2.0 * 16 AS fy
+        |  FROM pts),
+        |wp AS (SELECT
+        |  CAST(floor(fx) AS BIGINT) * 256
+        |    + CAST(floor((fx - floor(fx)) * 256) AS BIGINT) AS wx,
+        |  CAST(floor(fy) AS BIGINT) * 256
+        |    + CAST(floor((fy - floor(fy)) * 256) AS BIGINT) AS wy
+        |  FROM fr),
+        |lv AS (
+        |  SELECT 4 AS z, wx, wy FROM wp
+        |  UNION ALL SELECT 3, CAST(floor(wx / 2.0) AS BIGINT),
+        |    CAST(floor(wy / 2.0) AS BIGINT) FROM wp
+        |  UNION ALL SELECT 2, CAST(floor(wx / 4.0) AS BIGINT),
+        |    CAST(floor(wy / 4.0) AS BIGINT) FROM wp),
+        |cnt AS (SELECT z, wx, wy, count(*) AS n FROM lv GROUP BY 1, 2, 3)
+        |SELECT z, CAST(floor(wx / 256.0) AS INTEGER) AS tx,
+        |  CAST(floor(wy / 256.0) AS INTEGER) AS ty,
+        |  CAST(count(*) AS BIGINT) AS lit_pixels,
+        |  CAST(sum(least(n, 255)) AS BIGINT) AS gray_sum
+        |FROM cnt GROUP BY 1, 2, 3 ORDER BY z, tx, ty""".stripMargin,
     // range join ground truth: DuckDB's native inequality join
     "q78_range_join" ->
       """WITH pts AS (

@@ -35,6 +35,30 @@ object Tiles {
   def tileId(lon: Double, lat: Double, zoom: Int): Long =
     pack(zoom, tileX(lon, zoom), tileY(lat, zoom))
 
+  /** Global (world) pixel column of a longitude at `zoom` with
+    * `size`×`size` tiles: `tileX * size + inTilePx`, using the SAME
+    * fractional expressions as [[tileX]]/[[tilePixel]] — so
+    * `worldPixelX / size == tileX` and `worldPixelX % size` is the
+    * in-tile pixel column, exactly. Halving a world pixel (`>> 1`) is
+    * exactly the world pixel one zoom level up, which is what lets a tile
+    * pyramid reduce level-by-level without re-touching the points. */
+  def worldPixelX(lon: Double, zoom: Int, size: Int): Long = {
+    val n = 1 << zoom
+    val fx = (lon + 180.0) / 360.0 * n
+    val xi = math.max(0, math.min(n - 1, fx.toInt))
+    xi.toLong * size + math.max(0, math.min(size - 1, ((fx - xi) * size).toInt))
+  }
+
+  /** Global (world) pixel row of a latitude — see [[worldPixelX]]. */
+  def worldPixelY(lat: Double, zoom: Int, size: Int): Long = {
+    val n = 1 << zoom
+    val clamped = math.max(-MaxLat, math.min(MaxLat, lat))
+    val latRad = math.toRadians(clamped)
+    val fy = (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n
+    val yi = math.max(0, math.min(n - 1, fy.toInt))
+    yi.toLong * size + math.max(0, math.min(size - 1, ((fy - yi) * size).toInt))
+  }
+
   /** Pixel index (`py * size + px`) of a point within its z/x/y tile when
     * the tile is rasterized at `size`×`size`. Derives the pixel from the
     * SAME fractional expressions as [[tileX]]/[[tileY]] (fraction past the

@@ -36,11 +36,68 @@ object TileRender {
     Geo.register(points.sparkSession)
     val lon = col(lonCol).cast("double")
     val lat = col(latCol).cast("double")
-    points
+    val counts = points
       .select(
         call_function("st_tilezxy", lon, lat, lit(zoom)).as("tile_id"),
         call_function("st_tilepixel", lon, lat, lit(zoom), lit(size)).as("pixel"))
       .groupBy("tile_id", "pixel").agg(count(lit(1)).as("n"))
+    renderCells(counts, size)
+  }
+
+  /** Render a full tile pyramid, zoom `maxZoom` down to `minZoom`, in ONE
+    * pass over the points: the finest level aggregates (world-pixel →
+    * count) directly, and every coarser level reduces the previous one by
+    * exact integer halving of the world pixel (`size` must be a power of
+    * two — then every scaling in the pixel math is an exact power-of-two
+    * multiplication, so `worldPixel(z) >> 1 == worldPixel(z-1)` holds
+    * bit-for-bit and the pyramid is the standard overzoom reduction, not
+    * a re-render). Each level's reduction shuffles at most the previous
+    * level's occupied-pixel count (÷4 per level), never the input rows;
+    * intermediate levels persist so the per-level render does not replay
+    * the whole chain. Returns (tile_id, z, x, y, png) for every non-empty
+    * tile at every level. */
+  def renderPyramid(points: DataFrame, lonCol: String, latCol: String,
+                    minZoom: Int, maxZoom: Int, size: Int = 256): DataFrame = {
+    require(0 <= minZoom && minZoom <= maxZoom && maxZoom <= 29,
+      s"bad zoom range [$minZoom,$maxZoom]")
+    require(size > 0 && size <= 4096 && (size & (size - 1)) == 0,
+      s"pyramid tile size must be a power of two in (0,4096]: $size")
+    Geo.register(points.sparkSession)
+    val lon = col(lonCol).cast("double")
+    val lat = col(latCol).cast("double")
+    def tilesOf(cells: DataFrame, z: Int): DataFrame =
+      renderCells(cells.select(
+        call_function("st_tilepack", lit(z),
+          expr(s"CAST(wx DIV $size AS INT)"),
+          expr(s"CAST(wy DIV $size AS INT)")).as("tile_id"),
+        ((col("wy") % size) * size + col("wx") % size).cast("int").as("pixel"),
+        col("n")), size)
+    var cells = points
+      .select(
+        call_function("st_worldpixelx", lon, lit(maxZoom), lit(size)).as("wx"),
+        call_function("st_worldpixely", lat, lit(maxZoom), lit(size)).as("wy"))
+      .groupBy("wx", "wy").agg(count(lit(1)).as("n"))
+      .persist()
+    val levels = scala.collection.mutable.ArrayBuffer(tilesOf(cells, maxZoom))
+    var z = maxZoom
+    while (z > minZoom) {
+      z -= 1
+      cells = cells
+        .select(shiftrightunsigned(col("wx"), 1).as("wx"),
+          shiftrightunsigned(col("wy"), 1).as("wy"), col("n"))
+        .groupBy("wx", "wy").agg(sum(col("n")).as("n"))
+        .persist()
+      levels += tilesOf(cells, z)
+    }
+    levels.reduce(_.union(_))
+  }
+
+  /** Shared render tail: (tile_id, pixel, n) counts → one PNG row per
+    * tile. The pack clamps the count to the render range BEFORE the
+    * per-tile collect, so per-group state is hard-bounded at size²
+    * longs regardless of skew. */
+  private def renderCells(counts: DataFrame, size: Int): DataFrame =
+    counts
       .select(col("tile_id"),
         (shiftleft(col("pixel").cast("long"), 32) +
           least(col("n"), lit(255L))).as("packed"))
@@ -52,5 +109,4 @@ object TileRender {
         call_function("st_tilex", col("tile_id")).as("x"),
         call_function("st_tiley", col("tile_id")).as("y"),
         call_function("tile_render", lit(size), col("cells")).as("png"))
-  }
 }

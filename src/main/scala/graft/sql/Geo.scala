@@ -217,6 +217,12 @@ object Geo {
     // --- tiles
     "st_tilepixel" -> (a => geo(IntegerType, "tilePixel", a,
       Seq(DoubleType, DoubleType, IntegerType, IntegerType))),
+    "st_tilepack" -> (a => geo(LongType, "tilePack", a,
+      Seq(IntegerType, IntegerType, IntegerType))),
+    "st_worldpixelx" -> (a => geo(LongType, "worldPixelX", a,
+      Seq(DoubleType, IntegerType, IntegerType))),
+    "st_worldpixely" -> (a => geo(LongType, "worldPixelY", a,
+      Seq(DoubleType, IntegerType, IntegerType))),
     "st_tilezxy" -> (a => geo(LongType, "tileId", a,
       Seq(DoubleType, DoubleType, IntegerType))),
     "st_tilez" -> (a => geo(IntegerType, "tileZ", a, Seq(LongType))),

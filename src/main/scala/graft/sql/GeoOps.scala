@@ -362,6 +362,11 @@ object GeoOps {
   def tileId(lon: Double, lat: Double, z: Int): Long = Tiles.tileId(lon, lat, z)
   def tilePixel(lon: Double, lat: Double, z: Int, size: Int): Int =
     Tiles.tilePixel(lon, lat, z, size)
+  def tilePack(z: Int, x: Int, y: Int): Long = Tiles.pack(z, x, y)
+  def worldPixelX(lon: Double, z: Int, size: Int): Long =
+    Tiles.worldPixelX(lon, z, size)
+  def worldPixelY(lat: Double, z: Int, size: Int): Long =
+    Tiles.worldPixelY(lat, z, size)
 
   /** Tile of a point geometry (join key for the contains-join rewrite). */
   def tileOfGeom(g: InternalRow, z: Int): Long =

@@ -86,6 +86,45 @@ class TileRenderSpec extends AnyFunSuite {
       s"expected a partial aggregate before the exchange:\n$plan")
   }
 
+  test("renderPyramid: every level matches a direct render at that zoom") {
+    // pyramid levels must be BIT-IDENTICAL to re-rendering each level from
+    // scratch — the exact-halving guarantee (power-of-two size)
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(400)(
+      (rnd.nextDouble() * 350 - 175, rnd.nextDouble() * 160 - 80))
+      .toDF("lon", "lat")
+    val pyr = TileRender.renderPyramid(pts, "lon", "lat",
+        minZoom = 1, maxZoom = 4, size = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("tile_id"), r.getAs[Int]("z")) ->
+        r.getAs[Array[Byte]]("png").toSeq).toMap
+    for (z <- 1 to 4) {
+      val direct = TileRender.renderTiles(pts, "lon", "lat", z, size = 64)
+        .collect()
+        .map(r => (r.getAs[Long]("tile_id"), z) ->
+          r.getAs[Array[Byte]]("png").toSeq).toMap
+      val pyrZ = pyr.filter(_._1._2 == z)
+      assert(pyrZ.keySet == direct.keySet, s"tile set differs at z=$z")
+      for ((k, png) <- direct)
+        assert(pyrZ(k) == png, s"png bytes differ at $k")
+    }
+    // world-pixel halving invariant backing the reduction
+    for (_ <- 0 until 2000) {
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 170 - 85
+      val z = 1 + rnd.nextInt(10)
+      assert(Tiles.worldPixelX(lon, z, 256) >> 1 ==
+        Tiles.worldPixelX(lon, z - 1, 256))
+      assert(Tiles.worldPixelY(lat, z, 256) >> 1 ==
+        Tiles.worldPixelY(lat, z - 1, 256))
+      // world pixel decomposes into (tile, in-tile pixel) consistently
+      assert(Tiles.worldPixelX(lon, z, 256) / 256 == Tiles.tileX(lon, z))
+      val p = Tiles.tilePixel(lon, lat, z, 256)
+      assert(Tiles.worldPixelX(lon, z, 256) % 256 == p % 256)
+      assert(Tiles.worldPixelY(lat, z, 256) % 256 == p / 256)
+    }
+  }
+
   test("imgResize: NN resize reproduces two-band synthesis exactly") {
     val orig = MediaOps.makePng(12, 8, 10, 20, 30, 200, 100, 50)
     for ((w2, h2) <- Seq((24, 16), (6, 4), (12, 8), (48, 2))) {

@@ -93,20 +93,23 @@ object TileRender {
   }
 
   /** Shared render tail: (tile_id, pixel, n) counts → one PNG row per
-    * tile. The pack clamps the count to the render range BEFORE the
-    * per-tile collect, so per-group state is hard-bounded at size²
-    * longs regardless of skew. */
-  private def renderCells(counts: DataFrame, size: Int): DataFrame =
+    * (extraGroupCols..., tile). The pack clamps the count to the render
+    * range BEFORE the per-tile collect, so per-group state is
+    * hard-bounded at size² longs regardless of skew. Extra group columns
+    * (e.g. a streaming event-time window) ride along unchanged. */
+  private[graft] def renderCells(counts: DataFrame, size: Int,
+                                 extraGroupCols: Seq[String] = Nil): DataFrame = {
+    val keys = extraGroupCols :+ "tile_id"
     counts
-      .select(col("tile_id"),
-        (shiftleft(col("pixel").cast("long"), 32) +
-          least(col("n"), lit(255L))).as("packed"))
-      .groupBy("tile_id")
+      .select(keys.map(col) :+
+        ((shiftleft(col("pixel").cast("long"), 32) +
+          least(col("n"), lit(255L))).as("packed")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(collect_list(col("packed")).as("cells"))
-      .select(
-        col("tile_id"),
+      .select(keys.map(col) ++ Seq(
         call_function("st_tilez", col("tile_id")).as("z"),
         call_function("st_tilex", col("tile_id")).as("x"),
         call_function("st_tiley", col("tile_id")).as("y"),
-        call_function("tile_render", lit(size), col("cells")).as("png"))
+        call_function("tile_render", lit(size), col("cells")).as("png")): _*)
+  }
 }

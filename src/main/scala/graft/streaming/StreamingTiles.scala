@@ -68,6 +68,51 @@ object StreamingTiles {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Watermarked per-(window, tile, pixel) counts in APPEND mode — the
+    * streaming front half of live heatmap-tile rendering. Append output
+    * means a (window, tile, pixel) group emits exactly once, when the
+    * watermark passes the window close — and since every pixel of a
+    * (window, tile) shares the same window end, ALL of a tile's pixels
+    * finalize in the same micro-batch, which is what lets the batch
+    * render tail run per micro-batch in [[renderedTileSink]] without
+    * cross-batch stitching. State is bounded by occupied pixels within
+    * the watermark horizon. */
+  def tilePixelCounts(stream: DataFrame, tsCol: String, lonCol: String,
+                      latCol: String, zoom: Int, size: Int,
+                      windowDur: String, watermark: String): DataFrame = {
+    Geo.register(stream.sparkSession)
+    val lon = col(lonCol).cast("double")
+    val lat = col(latCol).cast("double")
+    stream
+      .select(col(tsCol),
+        call_function("st_tilezxy", lon, lat, lit(zoom)).as("tile_id"),
+        call_function("st_tilepixel", lon, lat, lit(zoom), lit(size)).as("pixel"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("tile_id"), col("pixel"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Live heatmap tiles end-to-end: render each finalized (window, tile)
+    * of [[tilePixelCounts]] to a PNG row and append it to a parquet tile
+    * store. foreachBatch runs the SAME batch render tail as
+    * `TileRender.renderTiles` (clamped pack, size²-bounded per-tile
+    * state), so a streamed window's tile is byte-identical to a batch
+    * render of that window's points. */
+  def renderedTileSink(counts: DataFrame, size: Int, outDir: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TileRender.renderCells(batch, size, Seq("window"))
+          .withColumn("window_start", col("window.start"))
+          .withColumn("window_end", col("window.end"))
+          .drop("window")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Bounded-state streaming dedup — the 100-TB ingest path: duplicates
     * are dropped within the watermark horizon and per-key state is evicted
     * once the event-time watermark passes, so state size is bounded by the

@@ -28,6 +28,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rendered tiles: byte-identical to batch render per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val df = input.toDF().toDF("ts", "lon", "lat")
+    val counts = StreamingTiles.tilePixelCounts(df, "ts", "lon", "lat",
+      zoom = 3, size = 64, windowDur = "10 minutes", watermark = "5 minutes")
+    val outDir = java.nio.file.Files.createTempDirectory("tiles_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tiles_ckpt").toString
+    val q = StreamingTiles.renderedTileSink(counts, 64, outDir, ckpt)
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+      val pts = Seq((5.0, 45.0), (5.0, 45.0), (5.01, 45.01), (-150.0, -60.0))
+      input.addData(pts.map { case (lo, la) => (t0, lo, la) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window so the groups finalize
+      input.addData((java.sql.Timestamp.valueOf("2026-01-01 01:00:00"),
+        0.0, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("tile_id", "png").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      val batch = graft.operators.TileRender.renderTiles(
+          pts.toDF("lon", "lat"), "lon", "lat", zoom = 3, size = 64)
+        .collect()
+        .map(r => r.getAs[Long]("tile_id") -> r.getAs[Array[Byte]]("png").toSeq)
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((k, png) <- batch) assert(streamed(k) == png,
+        s"streamed tile $k differs from batch render")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap-based session_window per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1414,6 +1414,22 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("z", "tx", "ty")
     },
+    "q100_weighted_render" -> { (s, d) =>
+      prep(s, d)
+      // weighted rendering: pixel intensity = min(255, SUM(l_quantity))
+      // instead of point count — render any integral measure. Audited the
+      // same way as q97: decoded lit-pixels + gray-sum per tile vs a
+      // closed-form DuckDB re-derivation from the raw rows.
+      val pts = s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT lon, lat, CAST(l_quantity AS BIGINT) AS qty
+        |FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)""".stripMargin)
+      TileRender.renderTiles(pts, "lon", "lat", zoom = 4, size = 256,
+          weightCol = Some("qty"))
+        .selectExpr("x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("tx", "ty")
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2532,6 +2548,28 @@ object SparkEntry {
       """SELECT doc_id, CAST(0.0 AS DOUBLE) AS mse_up,
         |  CAST(0.0 AS DOUBLE) AS mse_dn
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // weighted-render ground truth: same pixel math as q97, intensity =
+    // clamped SUM(l_quantity) per pixel (quantities are integral, >= 1, so
+    // every occupied pixel is lit and the sums are exact integers)
+    "q100_weighted_render" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |pq AS (SELECT lon, lat, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 16 AS fx,
+        |  (1.0 - ln(tan(lat / 180.0 * pi()) + 1.0 / cos(lat / 180.0 * pi()))
+        |     / pi()) / 2.0 * 16 AS fy, qty
+        |  FROM pq),
+        |px AS (SELECT
+        |  CAST(floor(fx) AS INTEGER) AS tx, CAST(floor(fy) AS INTEGER) AS ty,
+        |  CAST(floor((fx - floor(fx)) * 256) AS INTEGER) AS ppx,
+        |  CAST(floor((fy - floor(fy)) * 256) AS INTEGER) AS ppy, qty
+        |  FROM fr),
+        |cnt AS (SELECT tx, ty, ppx, ppy, sum(qty) AS n
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT tx, ty, CAST(count(*) AS BIGINT) AS lit_pixels,
+        |  CAST(sum(least(n, 255)) AS BIGINT) AS gray_sum
+        |FROM cnt GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
     // pyramid ground truth: world pixels at the finest level (same math as
     // q97), then every coarser level by exact integer halving — all scalings
     // are powers of two, so floor(wx/2.0) is exact

@@ -28,19 +28,24 @@ object TileRender {
 
   /** Render every non-empty `zoom`-level tile of `points` as a
     * `size`×`size` grayscale PNG whose intensity is min(255, point count)
-    * per pixel. Returns (tile_id, z, x, y, png). */
+    * per pixel — or, with `weightCol`, min(255, Σ weight) per pixel
+    * (weights cast to long; render any integral measure, not just
+    * density). Returns (tile_id, z, x, y, png). */
   def renderTiles(points: DataFrame, lonCol: String, latCol: String,
-                  zoom: Int, size: Int = 256): DataFrame = {
+                  zoom: Int, size: Int = 256,
+                  weightCol: Option[String] = None): DataFrame = {
     require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
     require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
     Geo.register(points.sparkSession)
     val lon = col(lonCol).cast("double")
     val lat = col(latCol).cast("double")
     val counts = points
-      .select(
+      .select(Seq(
         call_function("st_tilezxy", lon, lat, lit(zoom)).as("tile_id"),
-        call_function("st_tilepixel", lon, lat, lit(zoom), lit(size)).as("pixel"))
-      .groupBy("tile_id", "pixel").agg(count(lit(1)).as("n"))
+        call_function("st_tilepixel", lon, lat, lit(zoom), lit(size)).as("pixel")) ++
+        weightCol.map(w => col(w).cast("long").as("w")): _*)
+      .groupBy("tile_id", "pixel")
+      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
     renderCells(counts, size)
   }
 
@@ -57,7 +62,8 @@ object TileRender {
     * the whole chain. Returns (tile_id, z, x, y, png) for every non-empty
     * tile at every level. */
   def renderPyramid(points: DataFrame, lonCol: String, latCol: String,
-                    minZoom: Int, maxZoom: Int, size: Int = 256): DataFrame = {
+                    minZoom: Int, maxZoom: Int, size: Int = 256,
+                    weightCol: Option[String] = None): DataFrame = {
     require(0 <= minZoom && minZoom <= maxZoom && maxZoom <= 29,
       s"bad zoom range [$minZoom,$maxZoom]")
     require(size > 0 && size <= 4096 && (size & (size - 1)) == 0,
@@ -73,10 +79,12 @@ object TileRender {
         ((col("wy") % size) * size + col("wx") % size).cast("int").as("pixel"),
         col("n")), size)
     var cells = points
-      .select(
+      .select(Seq(
         call_function("st_worldpixelx", lon, lit(maxZoom), lit(size)).as("wx"),
-        call_function("st_worldpixely", lat, lit(maxZoom), lit(size)).as("wy"))
-      .groupBy("wx", "wy").agg(count(lit(1)).as("n"))
+        call_function("st_worldpixely", lat, lit(maxZoom), lit(size)).as("wy")) ++
+        weightCol.map(w => col(w).cast("long").as("w")): _*)
+      .groupBy("wx", "wy")
+      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
       .persist()
     val levels = scala.collection.mutable.ArrayBuffer(tilesOf(cells, maxZoom))
     var z = maxZoom
@@ -102,8 +110,10 @@ object TileRender {
     val keys = extraGroupCols :+ "tile_id"
     counts
       .select(keys.map(col) :+
+        // clamp to [0, 255] BEFORE the pack: a negative weighted sum would
+        // otherwise borrow into the pixel bits of the packed long
         ((shiftleft(col("pixel").cast("long"), 32) +
-          least(col("n"), lit(255L))).as("packed")): _*)
+          least(greatest(col("n"), lit(0L)), lit(255L))).as("packed")): _*)
       .groupBy(keys.map(col): _*)
       .agg(collect_list(col("packed")).as("cells"))
       .select(keys.map(col) ++ Seq(

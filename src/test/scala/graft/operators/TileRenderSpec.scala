@@ -86,6 +86,27 @@ class TileRenderSpec extends AnyFunSuite {
       s"expected a partial aggregate before the exchange:\n$plan")
   }
 
+  test("renderTiles weighted: intensity = clamped weight sum, negatives floor at 0") {
+    val pts = Seq(
+      (10.0, 10.0, 7L), (10.0, 10.0, 5L),   // same pixel -> 12
+      (12.0, 12.0, 900L),                   // clamps to 255
+      (14.0, 14.0, -3L)                     // negative sum floors to 0 (black)
+    ).toDF("lon", "lat", "w")
+    val out = TileRender.renderTiles(pts, "lon", "lat", zoom = 2, size = 64,
+        weightCol = Some("w")).collect()
+    assert(out.length == 1)
+    val png = out(0).getAs[Array[Byte]]("png")
+    val img = decode(png)
+    def at(lon: Double, lat: Double) = {
+      val p = Tiles.tilePixel(lon, lat, 2, 64)
+      img.getRGB(p % 64, p / 64) & 0xff
+    }
+    assert(at(10.0, 10.0) == 12)
+    assert(at(12.0, 12.0) == 255)
+    assert(at(14.0, 14.0) == 0)
+    assert(MediaOps.imgNonzero(png) == 2L)
+  }
+
   test("renderPyramid: every level matches a direct render at that zoom") {
     // pyramid levels must be BIT-IDENTICAL to re-rendering each level from
     // scratch — the exact-halving guarantee (power-of-two size)

@@ -126,6 +126,21 @@ object functions {
   def vec_topcentroids(v: Column, codebook: Column, nprobe: Column): Column =
     f("vec_topcentroids")(v, codebook, nprobe)
   def img_meta(bytes: Column): Column = f("img_meta")(bytes)
+  def img_mse(a: Column, b: Column): Column = f("img_mse")(a, b)
+  def img_psnr(a: Column, b: Column): Column = f("img_psnr")(a, b)
+  def img_resize(bytes: Column, w: Column, h: Column): Column =
+    f("img_resize")(bytes, w, h)
+  def img_channel_sum(bytes: Column, channel: Column): Column =
+    f("img_channel_sum")(bytes, channel)
+  def img_nonzero(bytes: Column): Column = f("img_nonzero")(bytes)
+  def st_tilepixel(lon: Column, lat: Column, z: Column, size: Column): Column =
+    f("st_tilepixel")(lon, lat, z, size)
+  def st_worldpixelx(lon: Column, z: Column, size: Column): Column =
+    f("st_worldpixelx")(lon, z, size)
+  def st_worldpixely(lat: Column, z: Column, size: Column): Column =
+    f("st_worldpixely")(lat, z, size)
+  def tile_render(size: Column, packedCells: Column): Column =
+    f("tile_render")(size, packedCells)
   def splitmix64(c: Column): Column = f("splitmix64")(c)
 }
 

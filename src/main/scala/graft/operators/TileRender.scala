@@ -59,8 +59,10 @@ object TileRender {
     * a re-render). Each level's reduction shuffles at most the previous
     * level's occupied-pixel count (÷4 per level), never the input rows;
     * intermediate levels persist so the per-level render does not replay
-    * the whole chain. Returns (tile_id, z, x, y, png) for every non-empty
-    * tile at every level. */
+    * the whole chain (they stay cached until the session drops them —
+    * long-lived sessions rendering many pyramids should clear them via
+    * `spark.catalog.clearCache()` between pyramids). Returns
+    * (tile_id, z, x, y, png) for every non-empty tile at every level. */
   def renderPyramid(points: DataFrame, lonCol: String, latCol: String,
                     minZoom: Int, maxZoom: Int, size: Int = 256,
                     weightCol: Option[String] = None): DataFrame = {

@@ -49,6 +49,32 @@ class ApiSpec extends AnyFunSuite {
     assert(back(0).geom.toGeom == g1 && back(1).geom.toGeom == g2)
   }
 
+  test("image + tile-pixel column DSL wrappers bind to the kernels") {
+    register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val png = graft.sql.MediaOps.makePng(8, 8, 10, 10, 10, 200, 200, 200)
+    val df = Seq((png, 2.0, 45.0)).toDF("img", "lon", "lat")
+    val row = df.select(
+      img_mse($"img", img_resize($"img", lit(8), lit(8))).as("mse"),
+      img_psnr($"img", $"img").as("psnr"),
+      img_channel_sum($"img", lit(0)).as("sum_r"),
+      img_nonzero($"img").as("lit_px"),
+      st_tilepixel($"lon", $"lat", lit(4), lit(256)).as("pix"),
+      st_worldpixelx($"lon", lit(4), lit(256)).as("wx"),
+      st_worldpixely($"lat", lit(4), lit(256)).as("wy")).collect()(0)
+    assert(row.getAs[Double]("mse") == 0.0)
+    assert(row.getAs[Double]("psnr").isPosInfinity)
+    assert(row.getAs[Long]("sum_r") == (10 * 32 + 200 * 32).toLong)
+    assert(row.getAs[Long]("lit_px") == 64L)
+    assert(row.getAs[Int]("pix") ==
+      graft.core.Tiles.tilePixel(2.0, 45.0, 4, 256))
+    assert(row.getAs[Long]("wx") ==
+      graft.core.Tiles.worldPixelX(2.0, 4, 256))
+    assert(row.getAs[Long]("wy") ==
+      graft.core.Tiles.worldPixelY(45.0, 4, 256))
+  }
+
   test("st_format precision and truncation options (kernel K4)") {
     register(spark)
     import spark.implicits._

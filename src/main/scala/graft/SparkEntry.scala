@@ -2520,15 +2520,18 @@ object SparkEntry {
         |  CAST((doc_id % 6) * (doc_id % 6) AS DOUBLE) AS mse,
         |  (doc_id % 6) <= 2 AS pass40
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // tile-render ground truth: the same web-mercator pixel math in SQL
-    // (lat/180*pi matches Java's toRadians operation order; floor == the
-    // kernel's toInt for the nonnegative fractions in play). lit pixels =
-    // occupied (tile, pixel) groups; gray sum = sum of clamped counts.
+    // tile-render ground truth: the same web-mercator pixel math in SQL.
+    // radians(lat) deliberately: JDK 9+ Math.toRadians is a single multiply
+    // by the rounded pi/180 constant, exactly what DuckDB's radians()
+    // computes — while lat/180*pi diverges by 1 ulp on ~27% of the lat
+    // grid (measured), a floor-flip hazard at pixel granularity. floor ==
+    // the kernel's toInt for the nonnegative fractions in play. lit pixels
+    // = occupied (tile, pixel) groups; gray sum = sum of clamped counts.
     "q97_tile_render" ->
       s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
         |fr AS (SELECT
         |  (lon + 180.0) / 360.0 * 16 AS fx,
-        |  (1.0 - ln(tan(lat / 180.0 * pi()) + 1.0 / cos(lat / 180.0 * pi()))
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
         |     / pi()) / 2.0 * 16 AS fy
         |  FROM pts),
         |px AS (SELECT
@@ -2557,7 +2560,7 @@ object SparkEntry {
         |  FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)),
         |fr AS (SELECT
         |  (lon + 180.0) / 360.0 * 16 AS fx,
-        |  (1.0 - ln(tan(lat / 180.0 * pi()) + 1.0 / cos(lat / 180.0 * pi()))
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
         |     / pi()) / 2.0 * 16 AS fy, qty
         |  FROM pq),
         |px AS (SELECT
@@ -2577,7 +2580,7 @@ object SparkEntry {
       s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
         |fr AS (SELECT
         |  (lon + 180.0) / 360.0 * 16 AS fx,
-        |  (1.0 - ln(tan(lat / 180.0 * pi()) + 1.0 / cos(lat / 180.0 * pi()))
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
         |     / pi()) / 2.0 * 16 AS fy
         |  FROM pts),
         |wp AS (SELECT

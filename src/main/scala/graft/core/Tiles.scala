@@ -66,15 +66,8 @@ object Tiles {
     * tile [[tileId]] assigns it to — the invariant the distributed renderer
     * relies on when it groups by (tile, pixel). */
   def tilePixel(lon: Double, lat: Double, zoom: Int, size: Int): Int = {
-    val n = 1 << zoom
-    val fx = (lon + 180.0) / 360.0 * n
-    val xi = math.max(0, math.min(n - 1, fx.toInt))
-    val px = math.max(0, math.min(size - 1, ((fx - xi) * size).toInt))
-    val clamped = math.max(-MaxLat, math.min(MaxLat, lat))
-    val latRad = math.toRadians(clamped)
-    val fy = (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n
-    val yi = math.max(0, math.min(n - 1, fy.toInt))
-    val py = math.max(0, math.min(size - 1, ((fy - yi) * size).toInt))
+    val px = (worldPixelX(lon, zoom, size) % size).toInt
+    val py = (worldPixelY(lat, zoom, size) % size).toInt
     py * size + px
   }
 

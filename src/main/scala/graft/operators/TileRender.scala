@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sql.Geo
@@ -9,20 +9,23 @@ import graft.sql.Geo
   * (the geospatial×image bridge — what a slippy-map / heatmap pipeline
   * runs over the whole corpus). Shape for 100 TB:
   *
-  *   1. one narrow projection computes (tile_id, pixel) per point —
-  *      codegen'd `StaticInvoke` kernels, pipelined with the scan;
-  *   2. `groupBy(tile, pixel).count()` — map-side partial aggregation
-  *      collapses each input partition to ≤ size² rows per tile BEFORE the
-  *      only shuffle, so shuffle volume is bounded by tiles×pixels, not by
-  *      input rows;
+  *   1. one narrow projection computes the WORLD pixel per point — two
+  *      codegen'd `StaticInvoke` kernels (one mercator projection total;
+  *      tile and in-tile pixel are integer decompositions of it),
+  *      pipelined with the scan;
+  *   2. `groupBy(tile, pixel)` — map-side partial aggregation collapses
+  *      each input partition to ≤ size² rows per tile BEFORE the only
+  *      data-sized shuffle, so shuffle volume is bounded by tiles×pixels,
+  *      not by input rows;
   *   3. `groupBy(tile)` packs (pixel, clamped count) into one long each and
   *      renders the PNG per tile — per-group state is ≤ size² longs (≈512
   *      KiB at 256²), a hard bound, so no tile can OOM an executor however
   *      skewed the points are (the count clamp at 255 happens BEFORE the
   *      pack, keeping the render kernel integer-exact).
   *
-  * The output is one row per non-empty tile; empty tiles are simply absent
-  * (a serving layer treats missing as fully transparent).
+  * Rows with null coordinates are dropped up front (they belong to no
+  * tile). The output is one row per non-empty tile; empty tiles are simply
+  * absent (a serving layer treats missing as fully transparent).
   */
 object TileRender {
 
@@ -37,32 +40,24 @@ object TileRender {
     require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
     require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
     Geo.register(points.sparkSession)
-    val lon = col(lonCol).cast("double")
-    val lat = col(latCol).cast("double")
-    val counts = points
-      .select(Seq(
-        call_function("st_tilezxy", lon, lat, lit(zoom)).as("tile_id"),
-        call_function("st_tilepixel", lon, lat, lit(zoom), lit(size)).as("pixel")) ++
-        weightCol.map(w => col(w).cast("long").as("w")): _*)
-      .groupBy("tile_id", "pixel")
+    val counts = worldPixels(points, lonCol, latCol, zoom, size, weightCol)
+      .groupBy("wx", "wy")
       .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
-    renderCells(counts, size)
+    renderCells(cellsFromWorldPixels(counts, lit(zoom), size), size)
   }
 
   /** Render a full tile pyramid, zoom `maxZoom` down to `minZoom`, in ONE
-    * pass over the points: the finest level aggregates (world-pixel →
-    * count) directly, and every coarser level reduces the previous one by
-    * exact integer halving of the world pixel (`size` must be a power of
-    * two — then every scaling in the pixel math is an exact power-of-two
-    * multiplication, so `worldPixel(z) >> 1 == worldPixel(z-1)` holds
-    * bit-for-bit and the pyramid is the standard overzoom reduction, not
-    * a re-render). Each level's reduction shuffles at most the previous
-    * level's occupied-pixel count (÷4 per level), never the input rows;
-    * intermediate levels persist so the per-level render does not replay
-    * the whole chain (they stay cached until the session drops them —
-    * long-lived sessions rendering many pyramids should clear them via
-    * `spark.catalog.clearCache()` between pyramids). Returns
-    * (tile_id, z, x, y, png) for every non-empty tile at every level. */
+    * pass and ONE shuffle over the points: each point's finest-level world
+    * pixel is computed once, every coarser level's pixel is derived from it
+    * by exact integer halving (`size` must be a power of two — then every
+    * scaling in the pixel math is an exact power-of-two multiplication, so
+    * `worldPixel(z) >> 1 == worldPixel(z-1)` holds bit-for-bit and the
+    * pyramid is the standard overzoom reduction, not a re-render), and all
+    * levels aggregate through a single `groupBy(z, wx, wy)` whose map-side
+    * partial combine collapses each partition to ≤ levels × occupied
+    * pixels before the exchange — no caching, no per-level job chain.
+    * Returns (tile_id, z, x, y, png) for every non-empty tile at every
+    * level. */
   def renderPyramid(points: DataFrame, lonCol: String, latCol: String,
                     minZoom: Int, maxZoom: Int, size: Int = 256,
                     weightCol: Option[String] = None): DataFrame = {
@@ -71,36 +66,48 @@ object TileRender {
     require(size > 0 && size <= 4096 && (size & (size - 1)) == 0,
       s"pyramid tile size must be a power of two in (0,4096]: $size")
     Geo.register(points.sparkSession)
+    val lvls = (minZoom to maxZoom).map { z =>
+      val k = maxZoom - z
+      struct(lit(z).as("z"),
+        shiftrightunsigned(col("wx"), k).as("wx"),
+        shiftrightunsigned(col("wy"), k).as("wy"))
+    }
+    val counts = worldPixels(points, lonCol, latCol, maxZoom, size, weightCol)
+      .select(Seq(explode(array(lvls: _*)).as("lvl")) ++
+        weightCol.map(_ => col("w")): _*)
+      .select(Seq(col("lvl.z").as("z"), col("lvl.wx").as("wx"),
+        col("lvl.wy").as("wy")) ++ weightCol.map(_ => col("w")): _*)
+      .groupBy("z", "wx", "wy")
+      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
+    renderCells(cellsFromWorldPixels(counts, col("z"), size), size)
+  }
+
+  /** Null-safe world-pixel projection: one mercator evaluation per point,
+    * null coordinates dropped (they belong to no tile). */
+  private def worldPixels(points: DataFrame, lonCol: String, latCol: String,
+                          zoom: Int, size: Int,
+                          weightCol: Option[String]): DataFrame = {
     val lon = col(lonCol).cast("double")
     val lat = col(latCol).cast("double")
-    def tilesOf(cells: DataFrame, z: Int): DataFrame =
-      renderCells(cells.select(
-        call_function("st_tilepack", lit(z),
-          expr(s"CAST(wx DIV $size AS INT)"),
-          expr(s"CAST(wy DIV $size AS INT)")).as("tile_id"),
-        ((col("wy") % size) * size + col("wx") % size).cast("int").as("pixel"),
-        col("n")), size)
-    var cells = points
+    points
+      .where(lon.isNotNull && lat.isNotNull)
       .select(Seq(
-        call_function("st_worldpixelx", lon, lit(maxZoom), lit(size)).as("wx"),
-        call_function("st_worldpixely", lat, lit(maxZoom), lit(size)).as("wy")) ++
+        call_function("st_worldpixelx", lon, lit(zoom), lit(size)).as("wx"),
+        call_function("st_worldpixely", lat, lit(zoom), lit(size)).as("wy")) ++
         weightCol.map(w => col(w).cast("long").as("w")): _*)
-      .groupBy("wx", "wy")
-      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
-      .persist()
-    val levels = scala.collection.mutable.ArrayBuffer(tilesOf(cells, maxZoom))
-    var z = maxZoom
-    while (z > minZoom) {
-      z -= 1
-      cells = cells
-        .select(shiftrightunsigned(col("wx"), 1).as("wx"),
-          shiftrightunsigned(col("wy"), 1).as("wy"), col("n"))
-        .groupBy("wx", "wy").agg(sum(col("n")).as("n"))
-        .persist()
-      levels += tilesOf(cells, z)
-    }
-    levels.reduce(_.union(_))
   }
+
+  /** (z?, wx, wy, n) → (tile_id, pixel, n): tile ordinates and the in-tile
+    * pixel are integer decompositions of the world pixel (`wx DIV size ==
+    * tileX` exactly — spec-asserted invariant). */
+  private def cellsFromWorldPixels(counts: DataFrame, z: Column,
+                                   size: Int): DataFrame =
+    counts.select(
+      call_function("st_tilepack", z,
+        expr(s"CAST(wx DIV $size AS INT)"),
+        expr(s"CAST(wy DIV $size AS INT)")).as("tile_id"),
+      ((col("wy") % size) * size + col("wx") % size).cast("int").as("pixel"),
+      col("n"))
 
   /** Shared render tail: (tile_id, pixel, n) counts → one PNG row per
     * (extraGroupCols..., tile). The pack clamps the count to the render

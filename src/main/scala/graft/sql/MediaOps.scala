@@ -267,7 +267,9 @@ object MediaOps {
     while (i < cells.length) {
       val v = cells(i)
       val p = (v >>> 32).toInt
-      require(p < size * size, s"pixel index $p out of ${size}x$size tile")
+      // p >= 0 matters: pixel bits above 2^31 would wrap negative and
+      // reach setRGB as a raw out-of-bounds crash instead of this message
+      require(p >= 0 && p < size * size, s"pixel index $p out of ${size}x$size tile")
       val cnt = v & 0xffffffffL
       val g = if (cnt > 255L) 255 else cnt.toInt
       img.setRGB(p % size, p / size, (g << 16) | (g << 8) | g)

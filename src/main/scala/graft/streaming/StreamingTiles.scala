@@ -84,32 +84,46 @@ object StreamingTiles {
     val lon = col(lonCol).cast("double")
     val lat = col(latCol).cast("double")
     stream
+      .where(lon.isNotNull && lat.isNotNull)
+      // one mercator projection per event; tile and in-tile pixel are
+      // integer decompositions of the world pixel (same as the batch path)
       .select(col(tsCol),
-        call_function("st_tilezxy", lon, lat, lit(zoom)).as("tile_id"),
-        call_function("st_tilepixel", lon, lat, lit(zoom), lit(size)).as("pixel"))
+        call_function("st_worldpixelx", lon, lit(zoom), lit(size)).as("wx"),
+        call_function("st_worldpixely", lat, lit(zoom), lit(size)).as("wy"))
+      .select(col(tsCol),
+        call_function("st_tilepack", lit(zoom),
+          expr(s"CAST(wx DIV $size AS INT)"),
+          expr(s"CAST(wy DIV $size AS INT)")).as("tile_id"),
+        ((col("wy") % size) * size + col("wx") % size).cast("int").as("pixel"))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col("tile_id"), col("pixel"))
       .agg(count(lit(1)).as("n"))
   }
 
   /** Live heatmap tiles end-to-end: render each finalized (window, tile)
-    * of [[tilePixelCounts]] to a PNG row and append it to a parquet tile
+    * of [[tilePixelCounts]] to a PNG row and write it to a parquet tile
     * store. foreachBatch runs the SAME batch render tail as
     * `TileRender.renderTiles` (clamped pack, size²-bounded per-tile
     * state), so a streamed window's tile is byte-identical to a batch
-    * render of that window's points. */
+    * render of that window's points. Idempotent under micro-batch
+    * replay: each batch OVERWRITES its own `batch_id=<id>` partition
+    * directory (a deterministic function of the replayed batch), so a
+    * failure after the write but before the checkpoint commit re-writes
+    * the same files instead of appending duplicates. Readers just
+    * `spark.read.parquet(outDir)` — `batch_id` surfaces as a partition
+    * column. */
   def renderedTileSink(counts: DataFrame, size: Int, outDir: String,
                        checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     counts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.TileRender.renderCells(batch, size, Seq("window"))
           .withColumn("window_start", col("window.start"))
           .withColumn("window_end", col("window.end"))
           .drop("window")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 

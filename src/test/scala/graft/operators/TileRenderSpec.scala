@@ -86,6 +86,16 @@ class TileRenderSpec extends AnyFunSuite {
       s"expected a partial aggregate before the exchange:\n$plan")
   }
 
+  test("renderTiles drops null coordinates instead of emitting a bogus null tile") {
+    val pts = Seq[(java.lang.Double, java.lang.Double)](
+      (10.0, 10.0), (null, 10.0), (10.0, null)).toDF("lon", "lat")
+    val out = TileRender.renderTiles(pts, "lon", "lat", zoom = 2, size = 64)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Any]("tile_id") != null)
+    assert(MediaOps.imgNonzero(out(0).getAs[Array[Byte]]("png")) == 1L)
+  }
+
   test("renderTiles weighted: intensity = clamped weight sum, negatives floor at 0") {
     val pts = Seq(
       (10.0, 10.0, 7L), (10.0, 10.0, 5L),   // same pixel -> 12

@@ -119,7 +119,13 @@ object Plans {
       "Tile rendering: map-side (tile,pixel) partial combine bounds the " +
         "only data-sized shuffle; per-tile render state <= size^2 longs" ->
         fmt(graft.operators.TileRender.renderTiles(
-          imagesPq, "lon", "lat", zoom = 6, size = 256)))
+          imagesPq, "lon", "lat", zoom = 6, size = 256)),
+      "Tile pyramid: ONE projection + ONE hash-agg probe per point " +
+        "(finest level aggregates first), coarser levels explode from the " +
+        "already-aggregated pixels by integer shifts — the second " +
+        "exchange is occupied-pixels-sized, never input-sized" ->
+        fmt(graft.operators.TileRender.renderPyramid(
+          imagesPq, "lon", "lat", minZoom = 2, maxZoom = 6, size = 256)))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

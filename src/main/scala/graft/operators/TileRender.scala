@@ -47,17 +47,21 @@ object TileRender {
   }
 
   /** Render a full tile pyramid, zoom `maxZoom` down to `minZoom`, in ONE
-    * pass and ONE shuffle over the points: each point's finest-level world
-    * pixel is computed once, every coarser level's pixel is derived from it
-    * by exact integer halving (`size` must be a power of two — then every
-    * scaling in the pixel math is an exact power-of-two multiplication, so
+    * pass over the points: each point's finest-level world pixel is
+    * computed once and aggregated FIRST (the only input-sized stage — one
+    * hash-agg probe per point, map-side combine before the one data-sized
+    * exchange), then the aggregated pixels — already collapsed to the
+    * occupied-pixel count — explode into every coarser level by exact
+    * integer halving (`size` must be a power of two — then every scaling
+    * in the pixel math is an exact power-of-two multiplication, so
     * `worldPixel(z) >> 1 == worldPixel(z-1)` holds bit-for-bit and the
-    * pyramid is the standard overzoom reduction, not a re-render), and all
-    * levels aggregate through a single `groupBy(z, wx, wy)` whose map-side
-    * partial combine collapses each partition to ≤ levels × occupied
-    * pixels before the exchange — no caching, no per-level job chain.
-    * Returns (tile_id, z, x, y, png) for every non-empty tile at every
-    * level. */
+    * pyramid is the standard overzoom reduction, not a re-render) and
+    * re-aggregate through a second, occupied-pixels-sized shuffle. An
+    * earlier cut exploded BEFORE aggregating — levels × input rows through
+    * the hot partial agg — and measured 0.73 N→4N efficiency where this
+    * shape matches the single-level renderer. No caching, no per-level
+    * job chain. Returns (tile_id, z, x, y, png) for every non-empty tile
+    * at every level. */
   def renderPyramid(points: DataFrame, lonCol: String, latCol: String,
                     minZoom: Int, maxZoom: Int, size: Int = 256,
                     weightCol: Option[String] = None): DataFrame = {
@@ -66,19 +70,21 @@ object TileRender {
     require(size > 0 && size <= 4096 && (size & (size - 1)) == 0,
       s"pyramid tile size must be a power of two in (0,4096]: $size")
     Geo.register(points.sparkSession)
+    val base = worldPixels(points, lonCol, latCol, maxZoom, size, weightCol)
+      .groupBy("wx", "wy")
+      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
     val lvls = (minZoom to maxZoom).map { z =>
       val k = maxZoom - z
       struct(lit(z).as("z"),
         shiftrightunsigned(col("wx"), k).as("wx"),
         shiftrightunsigned(col("wy"), k).as("wy"))
     }
-    val counts = worldPixels(points, lonCol, latCol, maxZoom, size, weightCol)
-      .select(Seq(explode(array(lvls: _*)).as("lvl")) ++
-        weightCol.map(_ => col("w")): _*)
-      .select(Seq(col("lvl.z").as("z"), col("lvl.wx").as("wx"),
-        col("lvl.wy").as("wy")) ++ weightCol.map(_ => col("w")): _*)
+    val counts = base
+      .select(explode(array(lvls: _*)).as("lvl"), col("n"))
+      .select(col("lvl.z").as("z"), col("lvl.wx").as("wx"),
+        col("lvl.wy").as("wy"), col("n"))
       .groupBy("z", "wx", "wy")
-      .agg(weightCol.fold(count(lit(1)))(_ => sum(col("w"))).as("n"))
+      .agg(sum(col("n")).as("n"))
     renderCells(cellsFromWorldPixels(counts, col("z"), size), size)
   }
 

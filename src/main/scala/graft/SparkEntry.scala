@@ -1430,6 +1430,26 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q101_rgb_render" -> { (s, d) =>
+      prep(s, d)
+      // categorical overlay: one-hot return-flag classes render into the
+      // R/G/B channels independently; each tile's decoded per-channel sums
+      // and lit-pixel count are re-derived from the raw rows by the oracle.
+      val pts = s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT lon, lat,
+        |  CAST(l_returnflag = 'R' AS BIGINT) AS r,
+        |  CAST(l_returnflag = 'A' AS BIGINT) AS g,
+        |  CAST(l_returnflag = 'N' AS BIGINT) AS b
+        |FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)""".stripMargin)
+      TileRender.renderTilesRgb(pts, "lon", "lat", zoom = 4,
+          rCol = "r", gCol = "g", bCol = "b", size = 256)
+        .selectExpr("x AS tx", "y AS ty",
+          "img_channel_sum(png, 0) AS r_sum",
+          "img_channel_sum(png, 1) AS g_sum",
+          "img_channel_sum(png, 2) AS b_sum",
+          "img_nonzero(png) AS lit_pixels")
+        .orderBy("tx", "ty")
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2572,6 +2592,35 @@ object SparkEntry {
         |  FROM px GROUP BY 1, 2, 3, 4)
         |SELECT tx, ty, CAST(count(*) AS BIGINT) AS lit_pixels,
         |  CAST(sum(least(n, 255)) AS BIGINT) AS gray_sum
+        |FROM cnt GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    // RGB-render ground truth: per-channel clamped one-hot sums per pixel,
+    // same pixel math as q97; every point has exactly one flag set, so
+    // lit pixels == occupied pixels
+    "q101_rgb_render" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |pq AS (SELECT lon, lat,
+        |    CAST(l_returnflag = 'R' AS BIGINT) AS r,
+        |    CAST(l_returnflag = 'A' AS BIGINT) AS g,
+        |    CAST(l_returnflag = 'N' AS BIGINT) AS b
+        |  FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 16 AS fx,
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+        |     / pi()) / 2.0 * 16 AS fy, r, g, b
+        |  FROM pq),
+        |px AS (SELECT
+        |  CAST(floor(fx) AS INTEGER) AS tx, CAST(floor(fy) AS INTEGER) AS ty,
+        |  CAST(floor((fx - floor(fx)) * 256) AS INTEGER) AS ppx,
+        |  CAST(floor((fy - floor(fy)) * 256) AS INTEGER) AS ppy, r, g, b
+        |  FROM fr),
+        |cnt AS (SELECT tx, ty, ppx, ppy,
+        |    sum(r) AS r, sum(g) AS g, sum(b) AS b
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT tx, ty,
+        |  CAST(sum(least(r, 255)) AS BIGINT) AS r_sum,
+        |  CAST(sum(least(g, 255)) AS BIGINT) AS g_sum,
+        |  CAST(sum(least(b, 255)) AS BIGINT) AS b_sum,
+        |  CAST(count(*) AS BIGINT) AS lit_pixels
         |FROM cnt GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
     // pyramid ground truth: world pixels at the finest level (same math as
     // q97), then every coarser level by exact integer halving — all scalings

@@ -141,6 +141,8 @@ object functions {
     f("st_worldpixely")(lat, z, size)
   def tile_render(size: Column, packedCells: Column): Column =
     f("tile_render")(size, packedCells)
+  def tile_render_rgb(size: Column, packedCells: Column): Column =
+    f("tile_render_rgb")(size, packedCells)
   def splitmix64(c: Column): Column = f("splitmix64")(c)
 }
 

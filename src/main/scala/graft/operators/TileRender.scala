@@ -88,6 +88,51 @@ object TileRender {
     renderCells(cellsFromWorldPixels(counts, col("z"), size), size)
   }
 
+  /** Categorical / multi-measure overlay: three weight columns render into
+    * the R, G and B channels independently (each pixel's channel =
+    * min(255, Σ weight)). The canonical use is one-hot category weights —
+    * e.g. three event classes — so a pixel's color shows the local mix.
+    * Same scale shape as [[renderTiles]]: one projection per point, one
+    * input-sized partial agg (three sums instead of one), pixel-bounded
+    * shuffles, per-tile state ≤ size² longs. */
+  def renderTilesRgb(points: DataFrame, lonCol: String, latCol: String,
+                     zoom: Int, rCol: String, gCol: String, bCol: String,
+                     size: Int = 256): DataFrame = {
+    require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    Geo.register(points.sparkSession)
+    val lon = col(lonCol).cast("double")
+    val lat = col(latCol).cast("double")
+    def clamp(c: Column): Column = least(greatest(c, lit(0L)), lit(255L))
+    val counts = points
+      .where(lon.isNotNull && lat.isNotNull)
+      .select(
+        call_function("st_worldpixelx", lon, lit(zoom), lit(size)).as("wx"),
+        call_function("st_worldpixely", lat, lit(zoom), lit(size)).as("wy"),
+        col(rCol).cast("long").as("r"), col(gCol).cast("long").as("g"),
+        col(bCol).cast("long").as("b"))
+      .groupBy("wx", "wy")
+      .agg(sum(col("r")).as("r"), sum(col("g")).as("g"), sum(col("b")).as("b"))
+    val cells = counts.select(
+      call_function("st_tilepack", lit(zoom),
+        expr(s"CAST(wx DIV $size AS INT)"),
+        expr(s"CAST(wy DIV $size AS INT)")).as("tile_id"),
+      ((col("wy") % size) * size + col("wx") % size).cast("int").as("pixel"),
+      (shiftleft(clamp(col("r")), 16) + shiftleft(clamp(col("g")), 8) +
+        clamp(col("b"))).as("rgb"))
+    cells
+      .select(col("tile_id"),
+        (shiftleft(col("pixel").cast("long"), 32) + col("rgb")).as("packed"))
+      .groupBy("tile_id")
+      .agg(collect_list(col("packed")).as("cells"))
+      .select(
+        col("tile_id"),
+        call_function("st_tilez", col("tile_id")).as("z"),
+        call_function("st_tilex", col("tile_id")).as("x"),
+        call_function("st_tiley", col("tile_id")).as("y"),
+        call_function("tile_render_rgb", lit(size), col("cells")).as("png"))
+  }
+
   /** Null-safe world-pixel projection: one mercator evaluation per point,
     * null coordinates dropped (they belong to no tile). */
   private def worldPixels(points: DataFrame, lonCol: String, latCol: String,

@@ -287,6 +287,8 @@ object Geo {
     // nearest-neighbor resize (q98)
     "tile_render" -> (a => inv(MediaOps.getClass, BinaryType, "tileRender",
       a, Seq(IntegerType, ArrayType(LongType)))),
+    "tile_render_rgb" -> (a => inv(MediaOps.getClass, BinaryType,
+      "tileRenderRgb", a, Seq(IntegerType, ArrayType(LongType)))),
     "img_channel_sum" -> (a => inv(MediaOps.getClass, LongType,
       "imgChannelSum", a, Seq(BinaryType, IntegerType), nullable = true)),
     "img_nonzero" -> (a => inv(MediaOps.getClass, LongType, "imgNonzero", a,

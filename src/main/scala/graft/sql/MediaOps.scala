@@ -280,6 +280,28 @@ object MediaOps {
     bos.toByteArray
   }
 
+  /** RGB variant of [[tileRender]]: each packed long is
+    * `pixelIndex << 32 | r << 16 | g << 8 | b` (channels pre-clamped to
+    * [0, 255] by the caller) — a categorical/multi-measure overlay where
+    * each channel renders its own clamped sum. Same bit-exact
+    * encode/decode contract as the grayscale renderer. */
+  def tileRenderRgb(size: Int, packed: ArrayData): Array[Byte] = {
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    val cells = packed.toLongArray()
+    var i = 0
+    while (i < cells.length) {
+      val v = cells(i)
+      val p = (v >>> 32).toInt
+      require(p >= 0 && p < size * size, s"pixel index $p out of ${size}x$size tile")
+      img.setRGB(p % size, p / size, (v & 0xffffffL).toInt)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream(256 + size * size / 4)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Sum of one channel (0=R, 1=G, 2=B) over all decoded pixels. Long
     * accumulator (max 255·4096² ≈ 4.3e9 overflows Int). Undecodable
     * payload or bad channel → null. */

@@ -117,6 +117,28 @@ class TileRenderSpec extends AnyFunSuite {
     assert(MediaOps.imgNonzero(png) == 2L)
   }
 
+  test("renderTilesRgb: channels render independent clamped sums") {
+    val pts = Seq(
+      (10.0, 10.0, 1L, 0L, 0L), (10.0, 10.0, 1L, 0L, 0L), // r=2 same pixel
+      (10.0, 10.0, 0L, 5L, 0L),                           // g=5 same pixel
+      (12.0, 12.0, 0L, 0L, 300L)                          // b clamps to 255
+    ).toDF("lon", "lat", "r", "g", "b")
+    val out = TileRender.renderTilesRgb(pts, "lon", "lat", zoom = 2,
+      rCol = "r", gCol = "g", bCol = "b", size = 64).collect()
+    assert(out.length == 1)
+    val png = out(0).getAs[Array[Byte]]("png")
+    val img = decode(png)
+    val p1 = Tiles.tilePixel(10.0, 10.0, 2, 64)
+    val rgb1 = img.getRGB(p1 % 64, p1 / 64)
+    assert(((rgb1 >> 16) & 0xff, (rgb1 >> 8) & 0xff, rgb1 & 0xff) == ((2, 5, 0)))
+    val p2 = Tiles.tilePixel(12.0, 12.0, 2, 64)
+    assert((img.getRGB(p2 % 64, p2 / 64) & 0xff) == 255)
+    assert(MediaOps.imgChannelSum(png, 0) == 2L)
+    assert(MediaOps.imgChannelSum(png, 1) == 5L)
+    assert(MediaOps.imgChannelSum(png, 2) == 255L)
+    assert(MediaOps.imgNonzero(png) == 2L)
+  }
+
   test("renderPyramid: every level matches a direct render at that zoom") {
     // pyramid levels must be BIT-IDENTICAL to re-rendering each level from
     // scratch — the exact-halving guarantee (power-of-two size)

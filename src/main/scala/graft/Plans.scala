@@ -125,7 +125,31 @@ object Plans {
         "already-aggregated pixels by integer shifts — the second " +
         "exchange is occupied-pixels-sized, never input-sized" ->
         fmt(graft.operators.TileRender.renderPyramid(
-          imagesPq, "lon", "lat", minZoom = 2, maxZoom = 6, size = 256)))
+          imagesPq, "lon", "lat", minZoom = 2, maxZoom = 6, size = 256)),
+      "Polygon rasterization: cover explode + scanline kernel inside " +
+        "codegen — per-polygon work ∝ covered pixels; the only data-sized " +
+        "shuffle is the (tile, pixel) aggregation, bounded by tiles×size²" ->
+        fmt(graft.operators.TileRender.renderPolygonTiles(
+          spark.range(25).selectExpr(
+            "st_boxtopolygon(CAST(id % 5 AS DOUBLE) * 60.0 - 170.0," +
+              " CAST(id DIV 5 AS DOUBLE) * 30.0 - 80.0," +
+              " CAST(id % 5 AS DOUBLE) * 60.0 - 130.0," +
+              " CAST(id DIV 5 AS DOUBLE) * 30.0 - 60.0) AS g",
+            "id % 7 + 1 AS w"),
+          "g", zoom = 4, size = 256, weightCol = Some("w"))),
+      "Zonal statistics (raster→vector): the tile store flows through a " +
+        "codegen'd decode explode + BroadcastHashJoin + partial agg on " +
+        "zone_id — no raster-side shuffle at all" ->
+        fmt(graft.operators.TileRender.zonalStats(
+          graft.operators.TileRender.renderTiles(
+            imagesPq, "lon", "lat", zoom = 4, size = 256)
+            .select("tile_id", "png"),
+          spark.range(25).selectExpr("id AS zone_id",
+            "st_boxtopolygon(CAST(id % 5 AS DOUBLE) * 60.0 - 170.0," +
+              " CAST(id DIV 5 AS DOUBLE) * 30.0 - 80.0," +
+              " CAST(id % 5 AS DOUBLE) * 60.0 - 130.0," +
+              " CAST(id DIV 5 AS DOUBLE) * 30.0 - 60.0) AS g"),
+          "zone_id", "g", zoom = 4, size = 256)))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

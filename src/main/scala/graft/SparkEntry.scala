@@ -48,6 +48,32 @@ object SparkEntry {
       |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
       |FROM lineitem""".stripMargin
 
+  /** Deterministic zone boxes over nation: a 5×5 grid of 25 DISJOINT
+    * axis-aligned lon/lat boxes (grid slot = (key%5, key/5), each box
+    * inset in its slot), well inside the Web-Mercator domain. The text is
+    * shared VERBATIM with the DuckDB oracles so every derived double —
+    * box corner, projected world pixel, fill bound — is bit-identical in
+    * both engines (environment fact 1: fractional literals go through
+    * CAST AS DOUBLE so Spark doesn't type them DECIMAL). */
+  private val ZoneBoxCols =
+    """CAST(-160.0 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(64.0 AS DOUBLE) + CAST(3.7 AS DOUBLE) AS ax,
+      |  CAST(-60.0 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(24.0 AS DOUBLE) + CAST(2.3 AS DOUBLE) AS ay,
+      |  CAST(-160.0 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(64.0 AS DOUBLE) + CAST(3.7 AS DOUBLE) + CAST(40.1 AS DOUBLE) AS bx,
+      |  CAST(-60.0 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(24.0 AS DOUBLE) + CAST(2.3 AS DOUBLE) + CAST(15.9 AS DOUBLE) AS by""".stripMargin
+
+  /** Zone grid for the raster→vector query (q103), placed over the region
+    * PtsCte actually populates at small scale factors (the hash ranges
+    * grow with the key space, so small-sf points concentrate toward
+    * (-180, -85)): a 5×5 disjoint grid over lon [-180, -30] × lat
+    * [-85, -30]. All 25 zones are point-populated at sf0.01 (the
+    * correctness-gate sf) and the grid stays non-vacuous down to sf0.001.
+    * Shared verbatim with the DuckDB oracle like [[ZoneBoxCols]]. */
+  private val ZoneBoxColsSW =
+    """CAST(-178.3 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(30.0 AS DOUBLE) AS ax,
+      |  CAST(-84.3 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(11.0 AS DOUBLE) AS ay,
+      |  CAST(-178.3 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(30.0 AS DOUBLE) + CAST(28.1 AS DOUBLE) AS bx,
+      |  CAST(-84.3 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(11.0 AS DOUBLE) + CAST(9.7 AS DOUBLE) AS by""".stripMargin
+
   /** Deterministic sphere-direction vectors over lineitem — exact dyadic
     * rationals (small ints / 1024), so every downstream cell-index step is
     * IEEE-exact in both engines. The z numerator is always odd (2m - 2001),
@@ -1450,6 +1476,87 @@ object SparkEntry {
           "img_nonzero(png) AS lit_pixels")
         .orderBy("tx", "ty")
     },
+    "q102_poly_render" -> { (s, d) =>
+      prep(s, d)
+      // vector→raster: scanline-rasterized polygon interiors (25 disjoint
+      // weighted boxes) rendered into z3 tiles, audited through decoded
+      // pixels; the oracle re-derives each tile's lit-pixel count and
+      // weighted gray sum in closed form from the half-open pixel-center
+      // fill rule (ceil-bounded integer ranges over the same projected
+      // box edges — see core/Raster.scala).
+      val boxes = s.sql(s"""SELECT $ZoneBoxCols,
+        |  CAST(n_nationkey % 7 + 1 AS BIGINT) AS w FROM nation""".stripMargin)
+        .selectExpr("st_boxtopolygon(ax, ay, bx, by) AS g", "w")
+      TileRender.renderPolygonTiles(boxes, "g", zoom = 3, size = 256,
+          weightCol = Some("w"))
+        .selectExpr("x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("tx", "ty")
+    },
+    "q103_zonal_stats" -> { (s, d) =>
+      prep(s, d)
+      // raster→vector: zonal statistics over a RENDERED tile store — the
+      // tiles from the q97 pipeline are decoded back to (pixel, value)
+      // rows and aggregated by the polygon zone whose interior covers
+      // each pixel's center. The oracle recomputes per-pixel clamped
+      // counts from the raw coordinates and joins them to the projected
+      // zone boxes with the same half-open center predicate.
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      val tiles = TileRender.renderTiles(pts, "lon", "lat", zoom = 3, size = 256)
+        .select("tile_id", "png")
+      val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS zone_id",
+          "st_boxtopolygon(ax, ay, bx, by) AS g")
+      TileRender.zonalStats(tiles, zones, "zone_id", "g", zoom = 3, size = 256)
+        .orderBy("zone_id")
+    },
+    "q104_img_augment" -> { (s, d) =>
+      prep(s, d)
+      // exact augmentation kernels over decoded pixels, closed-form
+      // oracled: vertical flip swaps the two bands (h is even), horizontal
+      // flip is the identity on band images (both MSE 0), a quarter turn
+      // swaps dimensions and preserves channel sums, and a top-band crop's
+      // channel sum is v1 * w * h/2.
+      s.sql("""SELECT doc_id,
+        |  img_mse(img_flip(orig, 1),
+        |          make_png(w, h, v2, v2, v2, v1, v1, v1)) AS mse_v,
+        |  img_mse(img_flip(orig, 0), orig) AS mse_h,
+        |  img_meta(img_rot90(orig, 1)).decoded_w AS rot_w,
+        |  img_meta(img_rot90(orig, 1)).decoded_h AS rot_h,
+        |  img_channel_sum(img_rot90(orig, 1), 0) AS rot_sum,
+        |  img_channel_sum(img_crop(orig, 0, 0, w, CAST(h / 2 AS INT)), 0)
+        |    AS crop_sum
+        |FROM (SELECT doc_id, w, h, v1, v2,
+        |    make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+        |  FROM (SELECT doc_id,
+        |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |    CAST(doc_id % 256 AS INT) AS v1,
+        |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |   FROM documents))
+        |ORDER BY doc_id""".stripMargin)
+    },
+    "q105_jpeg_gate" -> { (s, d) =>
+      prep(s, d)
+      // the north rule's lossy leg as a row-by-row gate: a REAL JPEG
+      // re-encode at quality 95 must hold PSNR >= 40 dB against the
+      // original decoded pixels for EVERY image. The oracle asserts
+      // all-TRUE; RasterOpsSpec proves it exhaustively over the full
+      // 1280-image population (min 51.1 dB), so the claim holds at every
+      // scale factor.
+      s.sql("""SELECT doc_id,
+        |  img_psnr(orig, img_jpeg(orig, 95)) >= CAST(40.0 AS DOUBLE) AS pass40
+        |FROM (SELECT doc_id,
+        |    make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+        |  FROM (SELECT doc_id,
+        |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |    CAST(doc_id % 256 AS INT) AS v1,
+        |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |   FROM documents))
+        |ORDER BY doc_id""".stripMargin)
+    },
     "q92_decontam_norm" -> { (s, d) =>
       prep(s, d)
       // normalized decontamination: the benchmark slice leaks into the
@@ -2622,6 +2729,97 @@ object SparkEntry {
         |  CAST(sum(least(b, 255)) AS BIGINT) AS b_sum,
         |  CAST(count(*) AS BIGINT) AS lit_pixels
         |FROM cnt GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    // polygon-rasterization ground truth: the half-open pixel-center fill
+    // of a projected box is a pair of integer ranges — per (box, tile),
+    // columns P with ua <= P+0.5 < ub are [ceil(ua-0.5), ceil(ub-0.5)-1]
+    // and likewise rows; the boxes are disjoint so per-tile sums add.
+    // Projection (floor-decomposed world pixels at z=3) is the exact
+    // expression tree of Tiles.worldPixelXD/YD.
+    "q102_poly_render" ->
+      s"""WITH b AS (SELECT $ZoneBoxCols,
+        |    n_nationkey % 7 + 1 AS w FROM nation),
+        |fr AS (SELECT w,
+        |  (ax + 180.0) / 360.0 * 8 AS fxa,
+        |  (bx + 180.0) / 360.0 * 8 AS fxb,
+        |  (1.0 - ln(tan(radians(by)) + 1.0 / cos(radians(by))) / pi()) / 2.0 * 8 AS fyc,
+        |  (1.0 - ln(tan(radians(ay)) + 1.0 / cos(radians(ay))) / pi()) / 2.0 * 8 AS fyd
+        |  FROM b),
+        |u AS (SELECT w,
+        |  floor(fxa) * 256 + (fxa - floor(fxa)) * 256 AS ua,
+        |  floor(fxb) * 256 + (fxb - floor(fxb)) * 256 AS ub,
+        |  floor(fyc) * 256 + (fyc - floor(fyc)) * 256 AS vc,
+        |  floor(fyd) * 256 + (fyd - floor(fyd)) * 256 AS vd
+        |  FROM fr),
+        |t AS (SELECT t1.range AS tx, t2.range AS ty
+        |  FROM range(8) t1, range(8) t2),
+        |cnt AS (SELECT tx, ty, w,
+        |  GREATEST(LEAST(tx * 256 + 255, CAST(ceil(ub - 0.5) AS BIGINT) - 1)
+        |    - GREATEST(tx * 256, CAST(ceil(ua - 0.5) AS BIGINT)) + 1, 0) AS nx,
+        |  GREATEST(LEAST(ty * 256 + 255, CAST(ceil(vd - 0.5) AS BIGINT) - 1)
+        |    - GREATEST(ty * 256, CAST(ceil(vc - 0.5) AS BIGINT)) + 1, 0) AS ny
+        |  FROM u, t)
+        |SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+        |  CAST(sum(nx * ny) AS BIGINT) AS lit_pixels,
+        |  CAST(sum(w * nx * ny) AS BIGINT) AS gray_sum
+        |FROM cnt WHERE nx > 0 AND ny > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // zonal-statistics ground truth: per-pixel clamped counts from the raw
+    // coordinates (q97 math at z=3) joined to the projected zone boxes by
+    // the same half-open pixel-center predicate the rasterizer fills with
+    "q103_zonal_stats" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 8 AS fx,
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+        |     / pi()) / 2.0 * 8 AS fy
+        |  FROM pts),
+        |wp AS (SELECT
+        |  CAST(floor(fx) AS BIGINT) * 256
+        |    + CAST(floor((fx - floor(fx)) * 256) AS BIGINT) AS wx,
+        |  CAST(floor(fy) AS BIGINT) * 256
+        |    + CAST(floor((fy - floor(fy)) * 256) AS BIGINT) AS wy
+        |  FROM fr),
+        |cnt AS (SELECT wx, wy, least(count(*), 255) AS v
+        |  FROM wp GROUP BY 1, 2),
+        |b AS (SELECT CAST(n_nationkey AS BIGINT) AS zone_id, $ZoneBoxColsSW
+        |  FROM nation),
+        |fb AS (SELECT zone_id,
+        |  (ax + 180.0) / 360.0 * 8 AS fxa,
+        |  (bx + 180.0) / 360.0 * 8 AS fxb,
+        |  (1.0 - ln(tan(radians(by)) + 1.0 / cos(radians(by))) / pi()) / 2.0 * 8 AS fyc,
+        |  (1.0 - ln(tan(radians(ay)) + 1.0 / cos(radians(ay))) / pi()) / 2.0 * 8 AS fyd
+        |  FROM b),
+        |u AS (SELECT zone_id,
+        |  floor(fxa) * 256 + (fxa - floor(fxa)) * 256 AS ua,
+        |  floor(fxb) * 256 + (fxb - floor(fxb)) * 256 AS ub,
+        |  floor(fyc) * 256 + (fyc - floor(fyc)) * 256 AS vc,
+        |  floor(fyd) * 256 + (fyd - floor(fyd)) * 256 AS vd
+        |  FROM fb)
+        |SELECT zone_id,
+        |  CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(count(*) AS BIGINT) AS px_count
+        |FROM cnt JOIN u
+        |  ON CAST(wx AS DOUBLE) + 0.5 >= ua AND CAST(wx AS DOUBLE) + 0.5 < ub
+        |  AND CAST(wy AS DOUBLE) + 0.5 >= vc AND CAST(wy AS DOUBLE) + 0.5 < vd
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // augmentation ground truth, closed form on two-band images: both
+    // flips have MSE 0 (band swap / identity), a quarter turn swaps dims
+    // and keeps channel sums (w * h/2 * (v1+v2)), the top-band crop sums
+    // to v1 * w * h/2
+    "q104_img_augment" ->
+      """SELECT doc_id,
+        |  CAST(0.0 AS DOUBLE) AS mse_v, CAST(0.0 AS DOUBLE) AS mse_h,
+        |  CAST((doc_id % 4 + 1) * 8 AS INT) AS rot_w,
+        |  CAST((doc_id % 5 + 1) * 8 AS INT) AS rot_h,
+        |  CAST((doc_id % 5 + 1) * 8 * (doc_id % 4 + 1) * 4
+        |    * (doc_id % 256 + (doc_id * 7 + 13) % 256) AS BIGINT) AS rot_sum,
+        |  CAST((doc_id % 5 + 1) * 8 * (doc_id % 4 + 1) * 4
+        |    * (doc_id % 256) AS BIGINT) AS crop_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the lossy gate holds for every row: proven exhaustively over the
+    // full 1280-image population in RasterOpsSpec (min 51.1 dB at q95)
+    "q105_jpeg_gate" ->
+      "SELECT doc_id, TRUE AS pass40 FROM documents ORDER BY doc_id",
     // pyramid ground truth: world pixels at the finest level (same math as
     // q97), then every coarser level by exact integer halving — all scalings
     // are powers of two, so floor(wx/2.0) is exact

@@ -139,6 +139,14 @@ object functions {
     f("st_worldpixelx")(lon, z, size)
   def st_worldpixely(lat: Column, z: Column, size: Column): Column =
     f("st_worldpixely")(lat, z, size)
+  def st_tilerasterize(tileId: Column, size: Column, g: Column): Column =
+    f("st_tilerasterize")(tileId, size, g)
+  def tile_pixel_values(png: Column): Column = f("tile_pixel_values")(png)
+  def img_flip(bytes: Column, mode: Column): Column = f("img_flip")(bytes, mode)
+  def img_rot90(bytes: Column, k: Column): Column = f("img_rot90")(bytes, k)
+  def img_crop(bytes: Column, x: Column, y: Column, w: Column, h: Column): Column =
+    f("img_crop")(bytes, x, y, w, h)
+  def img_jpeg(bytes: Column, quality: Column): Column = f("img_jpeg")(bytes, quality)
   def tile_render(size: Column, packedCells: Column): Column =
     f("tile_render")(size, packedCells)
   def tile_render_rgb(size: Column, packedCells: Column): Column =

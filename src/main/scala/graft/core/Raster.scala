@@ -1,0 +1,144 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Scanline polygon rasterization over one Web-Mercator z/x/y tile — the
+  * vector→raster half of the raster↔vector bridge (SURVEY.md §2C; the
+  * point renderer in [[graft.operators.TileRender]] is the density half).
+  *
+  * Semantics (chosen so a distributed render is exactly reproducible and
+  * closed-form oracle-able):
+  *
+  *  - Vertices project through the SAME forward web-mercator pixel math as
+  *    point binning ([[Tiles.worldPixelXD]]/[[Tiles.worldPixelYD]] — the
+  *    continuous, non-truncated form of `worldPixelX/Y`), and edges are
+  *    straight lines in PROJECTED space. That is what slippy-map renderers
+  *    do (project, then rasterize in screen space), and it keeps every
+  *    crossing computation in exactly-specified IEEE arithmetic — no
+  *    inverse mercator, no transcendentals past the per-vertex projection.
+  *  - A pixel lights when its CENTER `(P + 0.5, Q + 0.5)` (global world
+  *    pixels) is inside by the even-odd rule, with the half-open
+  *    `[lo, hi)` fill convention on BOTH axes (the raster "top-left rule").
+  *    Half-open fill means two polygons sharing an edge never double-light
+  *    a pixel and never leave a seam — which is what makes categorical /
+  *    zone rasters partition the grid.
+  *  - Holes subtract via even-odd across a polygon's rings; a
+  *    MULTIPOLYGON's rings participate in one even-odd pass (matching
+  *    [[Pip.containsPoint]]); GEOMETRYCOLLECTION parts union.
+  *  - Only areal parts rasterize; points/lines light nothing (they have no
+  *    interior — rasterize their buffered geometry instead).
+  *
+  * Coordinates past the Web-Mercator domain clamp exactly like point
+  * binning does; polygons crossing the antimeridian are not supported
+  * (split them first — same contract as [[Tiles.coverBox]]).
+  */
+object Raster {
+
+  /** Lit in-tile pixel indices (`py * size + px`, row-major, ascending) of
+    * the geometry's interior over tile `id` rasterized at `size`×`size`. */
+  def rasterize(g: Geom, id: Long, size: Int): Array[Int] = {
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    val z = Tiles.z(id)
+    val x0 = Tiles.x(id).toLong * size
+    val y0 = Tiles.y(id).toLong * size
+    val bits = new java.util.BitSet(size * size)
+    fillInto(g, z, x0, y0, size, bits)
+    val out = new Array[Int](bits.cardinality())
+    var i = bits.nextSetBit(0)
+    var k = 0
+    while (i >= 0) { out(k) = i; k += 1; i = bits.nextSetBit(i + 1) }
+    out
+  }
+
+  /** Union-fills one geometry (recursing into collection parts). */
+  private def fillInto(g: Geom, z: Int, x0: Long, y0: Long, size: Int,
+                       bits: java.util.BitSet): Unit = g.geomType match {
+    case GeomTypes.Polygon =>
+      fillRings(projectRings(g, g.o0, z, size), x0, y0, size, bits)
+    case GeomTypes.MultiPolygon =>
+      fillRings(projectRings(g, g.o1, z, size), x0, y0, size, bits)
+    case GeomTypes.Collection =>
+      if (g.parts != null) g.parts.foreach(fillInto(_, z, x0, y0, size, bits))
+    case _ => () // non-areal: no interior, no pixels
+  }
+
+  /** Projects every ring's vertices to continuous world pixels once.
+    * Returns (xs, ys) per ring. */
+  private def projectRings(g: Geom, ringOffsets: Array[Int], z: Int,
+                           size: Int): Array[(Array[Double], Array[Double])] = {
+    val stride = g.stride
+    val out = new Array[(Array[Double], Array[Double])](ringOffsets.length - 1)
+    var r = 0
+    while (r < ringOffsets.length - 1) {
+      val from = ringOffsets(r); val until = ringOffsets(r + 1)
+      val n = until - from
+      val xs = new Array[Double](n); val ys = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        xs(i) = Tiles.worldPixelXD(g.coords((from + i) * stride), z, size)
+        ys(i) = Tiles.worldPixelYD(g.coords((from + i) * stride + 1), z, size)
+        i += 1
+      }
+      out(r) = (xs, ys)
+      r += 1
+    }
+    out
+  }
+
+  /** One even-odd scanline pass over all rings (holes subtract), OR-ing
+    * lit pixels into `bits`. */
+  private def fillRings(rings: Array[(Array[Double], Array[Double])],
+                        x0: Long, y0: Long, size: Int,
+                        bits: java.util.BitSet): Unit = {
+    if (rings.isEmpty) return
+    // row bounds: only rows whose center can be inside [minY, maxY)
+    var minY = Double.MaxValue; var maxY = -Double.MaxValue
+    rings.foreach { case (_, ys) =>
+      var i = 0
+      while (i < ys.length) {
+        if (ys(i) < minY) minY = ys(i)
+        if (ys(i) > maxY) maxY = ys(i)
+        i += 1
+      }
+    }
+    if (minY > maxY) return
+    val qLo = math.max(0L, math.ceil(minY - 0.5).toLong - y0 - 1).toInt
+    val qHi = math.min(size - 1L, math.ceil(maxY - 0.5).toLong - y0).toInt
+    val cross = new ArrayBuffer[Double](8)
+    var q = qLo
+    while (q <= qHi) {
+      val cy = y0 + q + 0.5
+      cross.clear()
+      rings.foreach { case (xs, ys) =>
+        val n = xs.length
+        var j = n - 1
+        var i = 0
+        while (i < n) {
+          val y1 = ys(j); val y2 = ys(i)
+          // half-open vertex rule: an edge crosses when cy is in
+          // [min(y1,y2), max(y1,y2)) — shared vertices count exactly once
+          if ((y1 <= cy && cy < y2) || (y2 <= cy && cy < y1)) {
+            cross += xs(j) + (cy - y1) * (xs(i) - xs(j)) / (y2 - y1)
+          }
+          j = i; i += 1
+        }
+      }
+      if (cross.nonEmpty) {
+        val cs = cross.toArray
+        java.util.Arrays.sort(cs)
+        var k = 0
+        while (k + 1 < cs.length) {
+          // columns P (global) with cs(k) <= P + 0.5 < cs(k+1)
+          var p = math.max(x0, math.ceil(cs(k) - 0.5).toLong)
+          val pEnd = math.min(x0 + size - 1, math.ceil(cs(k + 1) - 0.5).toLong - 1)
+          while (p <= pEnd) {
+            bits.set(q * size + (p - x0).toInt)
+            p += 1
+          }
+          k += 2
+        }
+      }
+      q += 1
+    }
+  }
+}

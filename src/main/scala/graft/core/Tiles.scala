@@ -59,6 +59,31 @@ object Tiles {
     yi.toLong * size + math.max(0, math.min(size - 1, ((fy - yi) * size).toInt))
   }
 
+  /** Continuous (sub-pixel) world pixel column of a longitude — the SAME
+    * floor-decomposed expression as [[worldPixelX]] with the final
+    * truncation removed, so `worldPixelX == floor-of-worldPixelXD`
+    * pixel-for-pixel and a rasterizer sampling pixel CENTERS against
+    * projected vertices agrees exactly with point binning. The
+    * decomposition (`floor(fx)*size + (fx-floor(fx))*size`, NOT
+    * `fx*size`) is deliberate: it is bit-replicable in the DuckDB oracle
+    * and rounds identically to the binning path. */
+  def worldPixelXD(lon: Double, zoom: Int, size: Int): Double = {
+    val n = 1 << zoom
+    val fx = (lon + 180.0) / 360.0 * n
+    val xi = math.floor(fx)
+    math.max(0.0, math.min(n.toDouble * size, xi * size + (fx - xi) * size))
+  }
+
+  /** Continuous world pixel row of a latitude — see [[worldPixelXD]]. */
+  def worldPixelYD(lat: Double, zoom: Int, size: Int): Double = {
+    val n = 1 << zoom
+    val clamped = math.max(-MaxLat, math.min(MaxLat, lat))
+    val latRad = math.toRadians(clamped)
+    val fy = (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n
+    val yi = math.floor(fy)
+    math.max(0.0, math.min(n.toDouble * size, yi * size + (fy - yi) * size))
+  }
+
   /** Pixel index (`py * size + px`) of a point within its z/x/y tile when
     * the tile is rasterized at `size`×`size`. Derives the pixel from the
     * SAME fractional expressions as [[tileX]]/[[tileY]] (fraction past the

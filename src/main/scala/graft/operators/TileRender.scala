@@ -133,6 +133,78 @@ object TileRender {
         call_function("tile_render_rgb", lit(size), col("cells")).as("png"))
   }
 
+  /** Rasterize polygon INTERIORS into `zoom`-level tiles: each pixel's
+    * intensity is min(255, Σ weight of the polygons whose interior covers
+    * its center) — weight defaults to 1, i.e. an overlap-count raster.
+    * Fill semantics (pixel-center, even-odd, half-open — so zone rasters
+    * partition the grid with no seams or double-lit shared edges) live in
+    * [[graft.core.Raster]]. Returns (tile_id, z, x, y, png).
+    *
+    * Scale shape: per-polygon work is proportional to its COVERED pixels,
+    * not to the input size — the geometry-pruned tile cover explodes each
+    * polygon to only the tiles it touches, the scanline kernel emits only
+    * lit pixels, and the one data-sized shuffle is the (tile, pixel)
+    * aggregation, hard-bounded by tiles × size² exactly like the point
+    * renderer. A world-spanning polygon at high zoom is bounded by its
+    * cover (≤ 4^zoom tiles) — pick zoom accordingly. */
+  def renderPolygonTiles(polys: DataFrame, geomCol: String, zoom: Int,
+                         size: Int = 256,
+                         weightCol: Option[String] = None): DataFrame = {
+    require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    Geo.register(polys.sparkSession)
+    val w = weightCol.fold(lit(1L))(c => col(c).cast("long"))
+    val cells = polys
+      .select(col(geomCol).as("__g"), w.as("__w"))
+      .select(col("__g"), col("__w"),
+        explode(call_function("st_tilecover", col("__g"), lit(zoom)))
+          .as("tile_id"))
+      .select(col("tile_id"),
+        explode(call_function("st_tilerasterize",
+          col("tile_id"), lit(size), col("__g"))).as("pixel"),
+        col("__w"))
+      .groupBy("tile_id", "pixel")
+      .agg(sum(col("__w")).as("n"))
+    renderCells(cells, size)
+  }
+
+  /** Zonal statistics — the raster→vector direction: aggregate a rendered
+    * tile store (tile_id, png) by polygon zone. A pixel belongs to the
+    * zone whose interior covers its center (same fill rule as
+    * [[renderPolygonTiles]], so zones that partition space partition the
+    * pixels). Returns (zone_id, px_sum, px_count): the sum of rendered
+    * gray values and the number of lit pixels in each zone.
+    *
+    * Scale shape: the ZONE side is the small one — its (tile, pixel,
+    * zone) rows broadcast (bounded by zones × covered pixels; callers with
+    * lake-sized zone sets should tile-partition instead). The tile store —
+    * the 100-TB side — only flows through a codegen'd PNG-decode explode,
+    * the broadcast hash join, and a partial aggregation on zone_id: no
+    * raster-side shuffle at all. */
+  def zonalStats(tiles: DataFrame, zones: DataFrame, zoneIdCol: String,
+                 geomCol: String, zoom: Int, size: Int = 256): DataFrame = {
+    require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    Geo.register(tiles.sparkSession)
+    val zonePix = zones
+      .select(col(zoneIdCol).as("zone_id"), col(geomCol).as("__g"))
+      .select(col("zone_id"), col("__g"),
+        explode(call_function("st_tilecover", col("__g"), lit(zoom)))
+          .as("tile_id"))
+      .select(col("zone_id"), col("tile_id"),
+        explode(call_function("st_tilerasterize",
+          col("tile_id"), lit(size), col("__g"))).as("pixel"))
+    val pix = tiles
+      .select(col("tile_id"),
+        explode(call_function("tile_pixel_values", col("png"))).as("pv"))
+      .select(col("tile_id"),
+        shiftrightunsigned(col("pv"), 32).cast("int").as("pixel"),
+        (col("pv").bitwiseAND(lit(0xffffffffL))).as("v"))
+    pix.join(broadcast(zonePix), Seq("tile_id", "pixel"))
+      .groupBy("zone_id")
+      .agg(sum(col("v")).as("px_sum"), count(lit(1)).as("px_count"))
+  }
+
   /** Null-safe world-pixel projection: one mercator evaluation per point,
     * null coordinates dropped (they belong to no tile). */
   private def worldPixels(points: DataFrame, lonCol: String, latCol: String,

@@ -232,6 +232,10 @@ object Geo {
     "st_tilechildren" -> (a => geo(longArray, "tileChildren", a, Seq(LongType))),
     "st_tileenvelope" -> (a => geo(B, "tileEnvelope", a, Seq(LongType))),
     "st_tilecover" -> (a => geo(longArray, "tileCover", a, Seq(G, IntegerType))),
+    // scanline polygon rasterization over one tile: lit in-tile pixel
+    // indices (pixel-center, even-odd, half-open fill — core/Raster.scala)
+    "st_tilerasterize" -> (a => geo(ArrayType(IntegerType, containsNull = false),
+      "tileRasterize", a, Seq(LongType, IntegerType, G))),
     // --- grid (kNN ring expansion)
     "st_gridcell" -> (a => geo(LongType, "gridCell", a,
       Seq(DoubleType, DoubleType, DoubleType))),
@@ -295,6 +299,24 @@ object Geo {
       Seq(BinaryType), nullable = true)),
     "img_resize" -> (a => inv(MediaOps.getClass, BinaryType, "imgResize", a,
       Seq(BinaryType, IntegerType, IntegerType), nullable = true)),
+    // rendered-tile decode back to (pixel, gray) rows — the raster→vector
+    // entry point (zonal statistics)
+    "tile_pixel_values" -> (a => inv(MediaOps.getClass,
+      ArrayType(LongType, containsNull = false), "tilePixelValues", a,
+      Seq(BinaryType), nullable = true)),
+    // exact augmentation kernels (training-data image pipeline): mirror
+    // flip, quarter-turn rotation, crop — all integer-exact pixel moves,
+    // closed-form oracle-able (q104)
+    "img_flip" -> (a => inv(MediaOps.getClass, BinaryType, "imgFlip", a,
+      Seq(BinaryType, IntegerType), nullable = true)),
+    "img_rot90" -> (a => inv(MediaOps.getClass, BinaryType, "imgRot90", a,
+      Seq(BinaryType, IntegerType), nullable = true)),
+    "img_crop" -> (a => inv(MediaOps.getClass, BinaryType, "imgCrop", a,
+      Seq(BinaryType, IntegerType, IntegerType, IntegerType, IntegerType),
+      nullable = true)),
+    // real lossy JPEG re-encode (the north rule's PSNR>=40dB leg, q105)
+    "img_jpeg" -> (a => inv(MediaOps.getClass, BinaryType, "imgJpeg", a,
+      Seq(BinaryType, IntegerType), nullable = true)),
     // --- audio/video kernels (real decoders: RIFF/WAVE PCM, YUV4MPEG2;
     // propagateNull=false on the metas: null payload yields "unknown")
     "wav_meta" -> (a => StaticInvoke(AvOps.getClass, AvOps.wavMetaType,

@@ -386,6 +386,14 @@ object GeoOps {
   def tileCover(g: InternalRow, z: Int): ArrayData =
     GeoStruct.longArray(Tiles.coverGeom(GeoStruct.decode(g), z))
 
+  /** Scanline rasterization of a polygon's interior over one z/x/y tile:
+    * lit in-tile pixel indices at `size`×`size` (see [[graft.core.Raster]]
+    * for the exact pixel-center / half-open fill semantics). Decode is
+    * cached per thread — after a cover explode the same polygon struct
+    * arrives once per covered tile. */
+  def tileRasterize(id: Long, size: Int, g: InternalRow): ArrayData =
+    GeoStruct.intArray(Raster.rasterize(decodeCached(g), id, size))
+
   // ------------------------------------------------------------ grid (kNN)
 
   /** Flat lon/lat grid cell (res in degrees), packed as 32+32 bits. */

@@ -343,6 +343,184 @@ object MediaOps {
     java.lang.Long.valueOf(lit)
   }
 
+  /** Decode a rendered grayscale tile PNG back to packed
+    * `pixelIndex << 32 | gray` longs for the NONZERO pixels — the inverse
+    * of [[tileRender]] (gray read from the R channel; the renderer writes
+    * identical R/G/B). This is what lets raster→vector operators (zonal
+    * statistics) consume a tile store as rows without materializing size²
+    * entries for empty pixels. Undecodable payload → null. */
+  def tilePixelValues(png: Array[Byte]): ArrayData = {
+    val img = decodeImage(png)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val row = new Array[Int](w)
+    val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val v = (row(x) >> 16) & 0xff
+        if (v != 0) buf += (y.toLong * w + x) << 32 | v
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(buf.result())
+  }
+
+  /** Mirror flip, re-encoded as PNG (lossless): mode 0 = horizontal
+    * (columns reverse), mode 1 = vertical (rows reverse). Exact pixel
+    * moves — `img_mse(img_flip(img_flip(x, m), m), x) == 0` analytically.
+    * Undecodable input or bad mode → null. */
+  def imgFlip(bytes: Array[Byte], mode: Int): Array[Byte] = {
+    if (mode < 0 || mode > 1) return null
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val src = new Array[Int](w)
+    val dst = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, src, 0, w)
+      if (mode == 0) {
+        var x = 0
+        while (x < w) { dst(x) = src(w - 1 - x) & 0xffffff; x += 1 }
+        out.setRGB(0, y, w, 1, dst, 0, w)
+      } else {
+        var x = 0
+        while (x < w) { src(x) &= 0xffffff; x += 1 }
+        out.setRGB(0, h - 1 - y, w, 1, src, 0, w)
+      }
+      y += 1
+    }
+    encodePng(out, w * h)
+  }
+
+  /** Rotate by `k` clockwise quarter turns (k in 0..3), re-encoded as PNG.
+    * Exact: output pixel (x', y') of one turn samples input (x, y) with
+    * x' = h-1-y, y' = x — channel sums are invariant and dimensions swap
+    * for odd k, which is what the closed-form oracle audits (q104).
+    * Undecodable input or k outside 0..3 → null. */
+  def imgRot90(bytes: Array[Byte], k: Int): Array[Byte] = {
+    if (k < 0 || k > 3) return null
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    var cur = img
+    var t = 0
+    while (t < k) {
+      val cw = cur.getWidth; val ch = cur.getHeight
+      val out = new BufferedImage(ch, cw, BufferedImage.TYPE_INT_RGB)
+      val row = new Array[Int](cw)
+      var y = 0
+      while (y < ch) {
+        cur.getRGB(0, y, cw, 1, row, 0, cw)
+        // input row y becomes output column ch-1-y, top-to-bottom = x
+        var x = 0
+        while (x < cw) {
+          out.setRGB(ch - 1 - y, x, row(x) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      cur = out
+      t += 1
+    }
+    if (k == 0) {
+      // normalize to TYPE_INT_RGB through a copy so the encode matches
+      // the rotated paths byte-semantics (decoded pixels identical anyway)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        cur.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) { row(x) &= 0xffffff; x += 1 }
+        out.setRGB(0, y, w, 1, row, 0, w)
+        y += 1
+      }
+      cur = out
+    }
+    encodePng(cur, w * h)
+  }
+
+  /** Exact crop to the rectangle `[x, x+w2) × [y, y+h2)`, re-encoded as
+    * PNG. Out-of-bounds rectangles → null (a pipeline wants bad crops
+    * flagged, not clamped into silently-different data). */
+  def imgCrop(bytes: Array[Byte], x: Int, y: Int, w2: Int, h2: Int): Array[Byte] = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    if (x < 0 || y < 0 || w2 <= 0 || h2 <= 0 || x + w2 > w || y + h2 > h)
+      return null
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w2)
+    var yy = 0
+    while (yy < h2) {
+      img.getRGB(x, y + yy, w2, 1, row, 0, w2)
+      var xx = 0
+      while (xx < w2) { row(xx) &= 0xffffff; xx += 1 }
+      out.setRGB(0, yy, w2, 1, row, 0, w2)
+      yy += 1
+    }
+    encodePng(out, w2 * h2)
+  }
+
+  /** Re-encode through a REAL lossy JPEG pass at `quality` (1..100) and
+    * return the JPEG bytes — the genuinely-lossy leg of the north rule's
+    * "PSNR ≥ 40 dB for lossy" invariant (`img_psnr(orig, img_jpeg(orig,
+    * q))` is the gate; q105 asserts it row-by-row). Deterministic for a
+    * given JVM (one encoder implementation, explicit compression mode).
+    * Undecodable input or quality outside 1..100 → null. */
+  def imgJpeg(bytes: Array[Byte], quality: Int): Array[Byte] = {
+    if (quality < 1 || quality > 100) return null
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    // JPEG writers refuse alpha; normalize to RGB
+    val rgb =
+      if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else {
+        val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) { row(x) &= 0xffffff; x += 1 }
+          o.setRGB(0, y, w, 1, row, 0, w)
+          y += 1
+        }
+        o
+      }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality / 100f)
+      val bos = new ByteArrayOutputStream(256 + w * h / 4)
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+      } finally ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
+  private def encodePng(img: BufferedImage, pixels: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(128 + pixels / 8)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Nearest-neighbor resize to exactly `w2`×`h2`, re-encoded as PNG
     * (lossless). Source pixel of output (x, y) is
     * (⌊x·w/w2⌋, ⌊y·h/h2⌋) — exact integer math, so the result is

@@ -1,0 +1,185 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel-level tests for the scanline polygon rasterizer: fill-rule
+  * exactness against independent per-pixel predicates, hole subtraction,
+  * the no-seam/no-double-light partition property, and multipolygon union
+  * (see core/Raster.scala for the semantics under test). */
+class RasterSpec extends AnyFunSuite {
+
+  private def boxGeom(a: Double, c: Double, b: Double, d: Double): Geom =
+    Geom(GeomTypes.Polygon, Dims.XY,
+      Array(a, c, b, c, b, d, a, d, a, c), o0 = Array(0, 5))
+
+  /** Independent per-pixel predicate for a box: the documented half-open
+    * pixel-center rule, straight from the projected bounds. */
+  private def boxPixels(a: Double, c: Double, b: Double, d: Double,
+                        id: Long, size: Int): Set[Int] = {
+    val z = Tiles.z(id)
+    val x0 = Tiles.x(id).toLong * size
+    val y0 = Tiles.y(id).toLong * size
+    val ua = Tiles.worldPixelXD(a, z, size); val ub = Tiles.worldPixelXD(b, z, size)
+    val vc = Tiles.worldPixelYD(d, z, size); val vd = Tiles.worldPixelYD(c, z, size)
+    (for {
+      q <- 0 until size
+      p <- 0 until size
+      cx = x0 + p + 0.5
+      cy = y0 + q + 0.5
+      if cx >= ua && cx < ub && cy >= vc && cy < vd
+    } yield q * size + p).toSet
+  }
+
+  test("box fill matches the half-open pixel-center predicate (random sweep)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val z = 1 + rnd.nextInt(4)
+      val size = 64
+      val a = rnd.nextDouble() * 300 - 150
+      val b = a + rnd.nextDouble() * 80 + 0.01
+      val c = rnd.nextDouble() * 120 - 60
+      val d = c + rnd.nextDouble() * 40 + 0.01
+      val g = boxGeom(a, c, b, d)
+      for (id <- Tiles.coverGeom(g, z)) {
+        val got = Raster.rasterize(g, id, size).toSet
+        val want = boxPixels(a, c, b, d, id, size)
+        assert(got == want,
+          s"box ($a,$c,$b,$d) tile z=${Tiles.z(id)} x=${Tiles.x(id)} y=${Tiles.y(id)}")
+      }
+    }
+  }
+
+  /** Independent even-odd pixel-center test in projected space, using the
+    * same crossing expression tree as the rasterizer (anchored at the
+    * previous vertex) so float rounding can never diverge. */
+  private def insideProjected(rings: Seq[(Array[Double], Array[Double])],
+                              cx: Double, cy: Double): Boolean = {
+    var inside = false
+    for ((xs, ys) <- rings) {
+      var j = xs.length - 1
+      for (i <- xs.indices) {
+        val y1 = ys(j); val y2 = ys(i)
+        if ((y1 <= cy && cy < y2) || (y2 <= cy && cy < y1)) {
+          val cxr = xs(j) + (cy - y1) * (xs(i) - xs(j)) / (y2 - y1)
+          if (cx >= cxr) inside = !inside
+        }
+        j = i
+      }
+    }
+    inside
+  }
+
+  private def projectRing(coords: Array[Double], z: Int, size: Int) = {
+    val n = coords.length / 2
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    for (i <- 0 until n) {
+      xs(i) = Tiles.worldPixelXD(coords(2 * i), z, size)
+      ys(i) = Tiles.worldPixelYD(coords(2 * i + 1), z, size)
+    }
+    (xs, ys)
+  }
+
+  test("triangle fill matches independent even-odd pixel-center test") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val z = 1 + rnd.nextInt(3)
+      val size = 64
+      val cxDeg = rnd.nextDouble() * 280 - 140
+      val cyDeg = rnd.nextDouble() * 110 - 55
+      def vert() = (cxDeg + rnd.nextDouble() * 60 - 30,
+        cyDeg + rnd.nextDouble() * 30 - 15)
+      val (x1, y1) = vert(); val (x2, y2) = vert(); val (x3, y3) = vert()
+      val coords = Array(x1, y1, x2, y2, x3, y3, x1, y1)
+      val g = Geom(GeomTypes.Polygon, Dims.XY, coords, o0 = Array(0, 4))
+      val rings = Seq(projectRing(coords, z, size))
+      for (id <- Tiles.coverGeom(g, z)) {
+        val x0 = Tiles.x(id).toLong * size
+        val y0 = Tiles.y(id).toLong * size
+        val got = Raster.rasterize(g, id, size).toSet
+        val want = (for {
+          q <- 0 until size
+          p <- 0 until size
+          if insideProjected(rings, x0 + p + 0.5, y0 + q + 0.5)
+        } yield q * size + p).toSet
+        assert(got == want, s"triangle tile ${Tiles.x(id)}/${Tiles.y(id)} z=$z")
+      }
+    }
+  }
+
+  test("holes subtract: donut = outer minus hole, hole pixels dark") {
+    val z = 2; val size = 128
+    val outer = boxGeom(10, 10, 50, 40)
+    val donut = Geom(GeomTypes.Polygon, Dims.XY,
+      Array[Double](10, 10, 50, 10, 50, 40, 10, 40, 10, 10,
+        20, 18, 40, 18, 40, 32, 20, 32, 20, 18),
+      o0 = Array(0, 5, 10))
+    val hole = boxGeom(20, 18, 40, 32)
+    for (id <- Tiles.coverGeom(outer, z)) {
+      val o = Raster.rasterize(outer, id, size).toSet
+      val h = Raster.rasterize(hole, id, size).toSet
+      val d = Raster.rasterize(donut, id, size).toSet
+      assert(d == (o -- h), "even-odd hole subtraction")
+      assert((d & h).isEmpty)
+    }
+    // the donut actually has pixels and the hole actually removed some
+    val all = Tiles.coverGeom(outer, z)
+      .flatMap(id => Raster.rasterize(donut, id, size)).length
+    val allOuter = Tiles.coverGeom(outer, z)
+      .flatMap(id => Raster.rasterize(outer, id, size)).length
+    assert(all > 0 && all < allOuter)
+  }
+
+  test("shared edge never double-lights: adjacent boxes partition pixels") {
+    val z = 2; val size = 128
+    // two boxes sharing the lon=30 edge exactly
+    val left = boxGeom(10, 10, 30, 40)
+    val right = boxGeom(30, 10, 55, 40)
+    val both = boxGeom(10, 10, 55, 40)
+    val ids = Tiles.coverGeom(both, z)
+    for (id <- ids) {
+      val l = Raster.rasterize(left, id, size).toSet
+      val r = Raster.rasterize(right, id, size).toSet
+      val u = Raster.rasterize(both, id, size).toSet
+      assert((l & r).isEmpty, "half-open fill: no double-lit shared edge")
+      assert((l ++ r) == u, "half-open fill: no seam either")
+    }
+  }
+
+  test("multipolygon unions disjoint parts; collection unions parts") {
+    val z = 2; val size = 128
+    val a = boxGeom(-60, -20, -40, 0)
+    val b = boxGeom(20, 10, 45, 30)
+    val mp = Geom(GeomTypes.MultiPolygon, Dims.XY,
+      Array[Double](-60, -20, -40, -20, -40, 0, -60, 0, -60, -20,
+        20, 10, 45, 10, 45, 30, 20, 30, 20, 10),
+      o0 = Array(0, 1, 2), o1 = Array(0, 5, 10))
+    val gc = Geom(GeomTypes.Collection, Dims.XY, Array.empty,
+      parts = Array(a, b))
+    val ids = (Tiles.coverGeom(a, z) ++ Tiles.coverGeom(b, z)).distinct
+    for (id <- ids) {
+      val ua = Raster.rasterize(a, id, size).toSet
+      val ub = Raster.rasterize(b, id, size).toSet
+      assert(Raster.rasterize(mp, id, size).toSet == (ua ++ ub))
+      assert(Raster.rasterize(gc, id, size).toSet == (ua ++ ub))
+    }
+  }
+
+  test("non-areal geometries rasterize to nothing") {
+    val size = 64
+    val pt = Geom.point(10.0, 10.0)
+    val ls = Geom(GeomTypes.LineString, Dims.XY, Array[Double](0, 0, 20, 20))
+    val id = Tiles.tileId(10.0, 10.0, 2)
+    assert(Raster.rasterize(pt, id, size).isEmpty)
+    assert(Raster.rasterize(ls, id, size).isEmpty)
+  }
+
+  test("rasterize output is sorted, in-range, duplicate-free") {
+    val g = boxGeom(-10.3, -5.7, 25.9, 18.2)
+    for (id <- Tiles.coverGeom(g, 3)) {
+      val px = Raster.rasterize(g, id, 256)
+      assert(px.toSeq == px.toSeq.sorted)
+      assert(px.distinct.length == px.length)
+      assert(px.forall(p => p >= 0 && p < 256 * 256))
+    }
+  }
+}

@@ -34,6 +34,78 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Raster {
 
+  /** Tile cover for RASTERIZATION — the projected-space companion of
+    * [[Tiles.coverGeom]]. The fill rule treats edges as straight in
+    * PROJECTED space, while `coverGeom` prunes with straight lon/lat
+    * edges; Mercator y is concave in latitude, so a long slanted edge's
+    * projected interior can extend into tiles the geographic cover prunes
+    * (up to ~7° of latitude for an edge spanning 0°→66°N over 120° of
+    * longitude) — pixels there would silently never render. This cover
+    * therefore projects the vertices ONCE (the same [[Tiles.worldPixelXD]]
+    * projection the fill uses) and descends hierarchically with
+    * [[Pip.boxIntersects]] tests in world-pixel space, so it is a
+    * guaranteed superset of every tile [[rasterize]] can light: a lit
+    * pixel's center is an interior point of both the projected geometry
+    * and its tile's pixel box, hence the two intersect. */
+  def coverTiles(g: Geom, zoom: Int, size: Int): Array[Long] = {
+    require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    val pg = projectGeom(g, zoom, size)
+    if (pg == null) return Array.emptyLongArray
+    val env = Geom.envelope(pg)
+    if (!(env(0) <= env(2)) || !(env(1) <= env(3))) return Array.emptyLongArray
+    val out = new ArrayBuffer[Long]()
+    def hit(id: Long): Boolean = {
+      val k = zoom - Tiles.z(id)
+      val span = size.toDouble * (1L << k)
+      val bx0 = Tiles.x(id) * span; val by0 = Tiles.y(id) * span
+      val pad = span * 1e-9 + 1e-9
+      Pip.boxIntersects(pg, bx0 - pad, by0 - pad,
+        bx0 + span + pad, by0 + span + pad)
+    }
+    def recurse(id: Long): Unit = {
+      if (!hit(id)) return
+      if (Tiles.z(id) >= zoom) { out += id; return }
+      Tiles.children(id).foreach(recurse)
+    }
+    val startZ = math.max(0, zoom - 8)
+    val coarseSpan = size.toDouble * (1L << (zoom - startZ))
+    val cn = 1 << startZ
+    def clampTile(v: Double): Int =
+      math.max(0, math.min(cn - 1, math.floor(v / coarseSpan).toInt))
+    var xi = clampTile(env(0))
+    val x1 = clampTile(env(2)); val y0 = clampTile(env(1)); val y1 = clampTile(env(3))
+    while (xi <= x1) {
+      var yi = y0
+      while (yi <= y1) { recurse(Tiles.pack(startZ, xi, yi)); yi += 1 }
+      xi += 1
+    }
+    out.toArray
+  }
+
+  /** Projects every vertex to continuous world pixels at (zoom, size),
+    * preserving the flat layout — yields a Geom in pixel coordinates that
+    * [[Pip]]'s planar predicates apply to directly. */
+  private def projectGeom(g: Geom, zoom: Int, size: Int): Geom = {
+    if (g.geomType == GeomTypes.Collection) {
+      if (g.parts == null || g.parts.isEmpty) return null
+      return Geom(GeomTypes.Collection, g.dims, Geom.emptyDoubles,
+        parts = g.parts.map(projectGeom(_, zoom, size)).filter(_ != null))
+    }
+    val stride = g.stride
+    val nc = g.numCoords
+    if (nc == 0) return null
+    val coords = new Array[Double](nc * 2)
+    var i = 0
+    while (i < nc) {
+      coords(2 * i) = Tiles.worldPixelXD(g.coords(i * stride), zoom, size)
+      coords(2 * i + 1) = Tiles.worldPixelYD(g.coords(i * stride + 1), zoom, size)
+      i += 1
+    }
+    // the projected copy is always XY (z/m don't participate in covers)
+    new Geom(g.geomType, Dims.XY, g.srid, coords, g.o0, g.o1, null)
+  }
+
   /** Lit in-tile pixel indices (`py * size + px`, row-major, ascending) of
     * the geometry's interior over tile `id` rasterized at `size`×`size`. */
   def rasterize(g: Geom, id: Long, size: Int): Array[Int] = {
@@ -102,8 +174,14 @@ object Raster {
       }
     }
     if (minY > maxY) return
-    val qLo = math.max(0L, math.ceil(minY - 0.5).toLong - y0 - 1).toInt
-    val qHi = math.min(size - 1L, math.ceil(maxY - 0.5).toLong - y0).toInt
+    // clamp in Long on BOTH sides before .toInt: at high zoom the raw row
+    // bound can exceed Int range and a wrapped qLo would spin a
+    // multi-billion-iteration empty loop (the crossing test governs
+    // correctness, so clamping only ever shrinks wasted work)
+    val qLo = math.min(size - 1L,
+      math.max(0L, math.ceil(minY - 0.5).toLong - y0 - 1)).toInt
+    val qHi = math.max(0L,
+      math.min(size - 1L, math.ceil(maxY - 0.5).toLong - y0)).toInt
     val cross = new ArrayBuffer[Double](8)
     var q = qLo
     while (q <= qHi) {

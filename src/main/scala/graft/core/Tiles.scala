@@ -61,12 +61,16 @@ object Tiles {
 
   /** Continuous (sub-pixel) world pixel column of a longitude — the SAME
     * floor-decomposed expression as [[worldPixelX]] with the final
-    * truncation removed, so `worldPixelX == floor-of-worldPixelXD`
-    * pixel-for-pixel and a rasterizer sampling pixel CENTERS against
-    * projected vertices agrees exactly with point binning. The
-    * decomposition (`floor(fx)*size + (fx-floor(fx))*size`, NOT
-    * `fx*size`) is deliberate: it is bit-replicable in the DuckDB oracle
-    * and rounds identically to the binning path. */
+    * truncation removed, so inside the open domain a rasterizer sampling
+    * pixel CENTERS against projected vertices agrees exactly with point
+    * binning. The decomposition (`floor(fx)*size + (fx-floor(fx))*size`,
+    * NOT `fx*size`) is deliberate: it is bit-replicable in the DuckDB
+    * oracle and rounds identically to the binning path. Domain-edge
+    * caveat: AT the clamp boundary (lon = ±180, |lat| = MaxLat) this
+    * clamps to `n*size` while the binning form clamps its pixel to
+    * `n*size - 1` — consumers must treat these values as half-open
+    * interval BOUNDS (as the rasterizer does), never floor them into bin
+    * indices. */
   def worldPixelXD(lon: Double, zoom: Int, size: Int): Double = {
     val n = 1 << zoom
     val fx = (lon + 180.0) / 360.0 * n

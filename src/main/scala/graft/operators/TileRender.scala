@@ -141,7 +141,10 @@ object TileRender {
     * [[graft.core.Raster]]. Returns (tile_id, z, x, y, png).
     *
     * Scale shape: per-polygon work is proportional to its COVERED pixels,
-    * not to the input size — the geometry-pruned tile cover explodes each
+    * not to the input size — the PROJECTED-space tile cover
+    * (`st_tilecoverraster`, a guaranteed superset of the fill, unlike the
+    * geographic `st_tilecover` whose straight lon/lat edges can prune
+    * slanted projected interiors) explodes each
     * polygon to only the tiles it touches, the scanline kernel emits only
     * lit pixels, and the one data-sized shuffle is the (tile, pixel)
     * aggregation, hard-bounded by tiles × size² exactly like the point
@@ -157,8 +160,8 @@ object TileRender {
     val cells = polys
       .select(col(geomCol).as("__g"), w.as("__w"))
       .select(col("__g"), col("__w"),
-        explode(call_function("st_tilecover", col("__g"), lit(zoom)))
-          .as("tile_id"))
+        explode(call_function("st_tilecoverraster", col("__g"), lit(zoom),
+          lit(size))).as("tile_id"))
       .select(col("tile_id"),
         explode(call_function("st_tilerasterize",
           col("tile_id"), lit(size), col("__g"))).as("pixel"),
@@ -189,8 +192,8 @@ object TileRender {
     val zonePix = zones
       .select(col(zoneIdCol).as("zone_id"), col(geomCol).as("__g"))
       .select(col("zone_id"), col("__g"),
-        explode(call_function("st_tilecover", col("__g"), lit(zoom)))
-          .as("tile_id"))
+        explode(call_function("st_tilecoverraster", col("__g"), lit(zoom),
+          lit(size))).as("tile_id"))
       .select(col("zone_id"), col("tile_id"),
         explode(call_function("st_tilerasterize",
           col("tile_id"), lit(size), col("__g"))).as("pixel"))

@@ -236,6 +236,11 @@ object Geo {
     // indices (pixel-center, even-odd, half-open fill — core/Raster.scala)
     "st_tilerasterize" -> (a => geo(ArrayType(IntegerType, containsNull = false),
       "tileRasterize", a, Seq(LongType, IntegerType, G))),
+    // projected-space cover matched to st_tilerasterize's fill (superset
+    // of every tile the fill can light; the geographic st_tilecover can
+    // prune slanted-edge tiles whose projected interior still renders)
+    "st_tilecoverraster" -> (a => geo(longArray, "tileCoverRaster", a,
+      Seq(G, IntegerType, IntegerType))),
     // --- grid (kNN ring expansion)
     "st_gridcell" -> (a => geo(LongType, "gridCell", a,
       Seq(DoubleType, DoubleType, DoubleType))),

@@ -386,6 +386,14 @@ object GeoOps {
   def tileCover(g: InternalRow, z: Int): ArrayData =
     GeoStruct.longArray(Tiles.coverGeom(GeoStruct.decode(g), z))
 
+  /** Tile cover for rasterization — tested against the PROJECTED geometry
+    * (straight edges in world-pixel space, matching [[tileRasterize]]'s
+    * fill), so it is a guaranteed superset of every tile the fill can
+    * light; the geographic [[tileCover]] can prune slanted-edge tiles the
+    * projected interior reaches (see [[graft.core.Raster.coverTiles]]). */
+  def tileCoverRaster(g: InternalRow, z: Int, size: Int): ArrayData =
+    GeoStruct.longArray(Raster.coverTiles(GeoStruct.decode(g), z, size))
+
   /** Scanline rasterization of a polygon's interior over one z/x/y tile:
     * lit in-tile pixel indices at `size`×`size` (see [[graft.core.Raster]]
     * for the exact pixel-center / half-open fill semantics). Decode is

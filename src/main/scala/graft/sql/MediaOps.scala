@@ -370,6 +370,24 @@ object MediaOps {
     UnsafeArrayData.fromPrimitiveArray(buf.result())
   }
 
+  /** Masked TYPE_INT_RGB copy of the rectangle `[x, x+w2) × [y, y+h2)` —
+    * the shared normalize step of every augmentation kernel (alpha
+    * dropped, pixel values otherwise exact). Callers validate bounds. */
+  private def toRgbCopy(img: BufferedImage, x: Int, y: Int,
+                        w2: Int, h2: Int): BufferedImage = {
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w2)
+    var yy = 0
+    while (yy < h2) {
+      img.getRGB(x, y + yy, w2, 1, row, 0, w2)
+      var xx = 0
+      while (xx < w2) { row(xx) &= 0xffffff; xx += 1 }
+      out.setRGB(0, yy, w2, 1, row, 0, w2)
+      yy += 1
+    }
+    out
+  }
+
   /** Mirror flip, re-encoded as PNG (lossless): mode 0 = horizontal
     * (columns reverse), mode 1 = vertical (rows reverse). Exact pixel
     * moves — `img_mse(img_flip(img_flip(x, m), m), x) == 0` analytically.
@@ -401,52 +419,42 @@ object MediaOps {
   }
 
   /** Rotate by `k` clockwise quarter turns (k in 0..3), re-encoded as PNG.
-    * Exact: output pixel (x', y') of one turn samples input (x, y) with
-    * x' = h-1-y, y' = x — channel sums are invariant and dimensions swap
-    * for odd k, which is what the closed-form oracle audits (q104).
-    * Undecodable input or k outside 0..3 → null. */
+    * Exact, ONE pass whatever k: the composed index mapping writes each
+    * output row from one gather over the input (row-batched like the
+    * other kernels — no intermediate images, no per-pixel setRGB).
+    * Channel sums are invariant and dimensions swap for odd k, which is
+    * what the closed-form oracle audits (q104). Undecodable input or k
+    * outside 0..3 → null. */
   def imgRot90(bytes: Array[Byte], k: Int): Array[Byte] = {
     if (k < 0 || k > 3) return null
     val img = decodeImage(bytes)
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
-    var cur = img
-    var t = 0
-    while (t < k) {
-      val cw = cur.getWidth; val ch = cur.getHeight
-      val out = new BufferedImage(ch, cw, BufferedImage.TYPE_INT_RGB)
-      val row = new Array[Int](cw)
-      var y = 0
-      while (y < ch) {
-        cur.getRGB(0, y, cw, 1, row, 0, cw)
-        // input row y becomes output column ch-1-y, top-to-bottom = x
-        var x = 0
-        while (x < cw) {
-          out.setRGB(ch - 1 - y, x, row(x) & 0xffffff)
-          x += 1
+    if (k == 0) return encodePng(toRgbCopy(img, 0, 0, w, h), w * h)
+    val ow = if (k % 2 == 1) h else w
+    val oh = if (k % 2 == 1) w else h
+    val px = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, px, 0, w)
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    val dst = new Array[Int](ow)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        // k clockwise quarter turns: source of output (ox, oy)
+        val (sx, sy) = k match {
+          case 1 => (oy, h - 1 - ox)          // 90° cw
+          case 2 => (w - 1 - ox, h - 1 - oy)  // 180°
+          case _ => (w - 1 - oy, ox)          // 270° cw
         }
-        y += 1
+        dst(ox) = px(sy * w + sx) & 0xffffff
+        ox += 1
       }
-      cur = out
-      t += 1
+      out.setRGB(0, oy, ow, 1, dst, 0, ow)
+      oy += 1
     }
-    if (k == 0) {
-      // normalize to TYPE_INT_RGB through a copy so the encode matches
-      // the rotated paths byte-semantics (decoded pixels identical anyway)
-      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        cur.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) { row(x) &= 0xffffff; x += 1 }
-        out.setRGB(0, y, w, 1, row, 0, w)
-        y += 1
-      }
-      cur = out
-    }
-    encodePng(cur, w * h)
+    encodePng(out, w * h)
   }
 
   /** Exact crop to the rectangle `[x, x+w2) × [y, y+h2)`, re-encoded as
@@ -457,19 +465,11 @@ object MediaOps {
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
-    if (x < 0 || y < 0 || w2 <= 0 || h2 <= 0 || x + w2 > w || y + h2 > h)
+    // subtraction form: `x + w2 > w` would overflow Int for huge x/w2 and
+    // let the bad crop through to a getRGB crash instead of the null
+    if (x < 0 || y < 0 || w2 <= 0 || h2 <= 0 || w2 > w - x || h2 > h - y)
       return null
-    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
-    val row = new Array[Int](w2)
-    var yy = 0
-    while (yy < h2) {
-      img.getRGB(x, y + yy, w2, 1, row, 0, w2)
-      var xx = 0
-      while (xx < w2) { row(xx) &= 0xffffff; xx += 1 }
-      out.setRGB(0, yy, w2, 1, row, 0, w2)
-      yy += 1
-    }
-    encodePng(out, w2 * h2)
+    encodePng(toRgbCopy(img, x, y, w2, h2), w2 * h2)
   }
 
   /** Re-encode through a REAL lossy JPEG pass at `quality` (1..100) and
@@ -487,19 +487,7 @@ object MediaOps {
     // JPEG writers refuse alpha; normalize to RGB
     val rgb =
       if (img.getType == BufferedImage.TYPE_INT_RGB) img
-      else {
-        val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        val row = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) { row(x) &= 0xffffff; x += 1 }
-          o.setRGB(0, y, w, 1, row, 0, w)
-          y += 1
-        }
-        o
-      }
+      else toRgbCopy(img, 0, 0, w, h)
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     try {
       val param = writer.getDefaultWriteParam

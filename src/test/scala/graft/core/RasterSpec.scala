@@ -92,7 +92,7 @@ class RasterSpec extends AnyFunSuite {
       val coords = Array(x1, y1, x2, y2, x3, y3, x1, y1)
       val g = Geom(GeomTypes.Polygon, Dims.XY, coords, o0 = Array(0, 4))
       val rings = Seq(projectRing(coords, z, size))
-      for (id <- Tiles.coverGeom(g, z)) {
+      for (id <- Raster.coverTiles(g, z, size)) {
         val x0 = Tiles.x(id).toLong * size
         val y0 = Tiles.y(id).toLong * size
         val got = Raster.rasterize(g, id, size).toSet
@@ -161,6 +161,43 @@ class RasterSpec extends AnyFunSuite {
       val ub = Raster.rasterize(b, id, size).toSet
       assert(Raster.rasterize(mp, id, size).toSet == (ua ++ ub))
       assert(Raster.rasterize(gc, id, size).toSet == (ua ++ ub))
+    }
+  }
+
+  test("coverTiles is a superset of every lit tile — incl. the slanted-edge " +
+    "tiles the geographic cover prunes (projected/geographic divergence)") {
+    // Mercator y is concave in lat: the projected straight hypotenuse of
+    // this triangle bulges ~7° of latitude north of the lon/lat-straight
+    // one around lon 60, so whole tiles inside the bulge intersect the
+    // PROJECTED interior while the geographic cover prunes them.
+    val size = 256
+    val coords = Array[Double](0, 0, 120, 66, 120, 0, 0, 0)
+    val g = Geom(GeomTypes.Polygon, Dims.XY, coords, o0 = Array(0, 4))
+    for (z <- 4 to 6) {
+      // ground truth: every tile in the projected envelope that lights
+      val n = 1 << z
+      val ex0 = Tiles.tileX(0.0, z); val ex1 = Tiles.tileX(120.0, z)
+      val ey0 = Tiles.tileY(66.0, z); val ey1 = Tiles.tileY(0.0, z)
+      val lit = (for {
+        xi <- ex0 to math.min(n - 1, ex1)
+        yi <- ey0 to math.min(n - 1, ey1)
+        id = Tiles.pack(z, xi, yi)
+        if Raster.rasterize(g, id, size).nonEmpty
+      } yield id).toSet
+      val cov = Raster.coverTiles(g, z, size).toSet
+      assert(lit.subsetOf(cov),
+        s"z=$z: coverTiles missed lit tiles ${(lit -- cov).map(Tiles.x(_))}")
+      // the geographic cover genuinely misses some of them (the bug this
+      // projected cover exists to fix) — if this ever starts passing,
+      // coverGeom changed semantics and the two covers can be unified
+      val geo = Tiles.coverGeom(g, z).toSet
+      if (z == 6) assert((lit -- geo).nonEmpty,
+        "expected the geographic cover to miss projected-interior tiles")
+      // and the projected cover is still pruned (not the full envelope)
+      val envCount = (math.min(n - 1, ex1) - ex0 + 1).toLong *
+        (math.min(n - 1, ey1) - ey0 + 1)
+      if (z == 6) assert(cov.size < envCount,
+        s"z=$z: projected cover should prune the envelope lattice")
     }
   }
 

@@ -74,6 +74,24 @@ object SparkEntry {
       |  CAST(-178.3 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(30.0 AS DOUBLE) + CAST(28.1 AS DOUBLE) AS bx,
       |  CAST(-84.3 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(11.0 AS DOUBLE) + CAST(9.7 AS DOUBLE) AS by""".stripMargin
 
+  /** Deterministic stroke segments over nation for the line-render query
+    * (q106): even keys draw horizontal strokes, odd keys vertical — the
+    * two families CROSS, so overlap pixels exercise weight summing. Full
+    * SELECT shared verbatim with the DuckDB oracle (expressions repeated,
+    * no lateral aliases, so both engines build the same IEEE trees). */
+  private val StrokeCte =
+    """SELECT k, w,
+      |  CASE WHEN k % 2 = 0 THEN hx1 ELSE vx END AS x1,
+      |  CASE WHEN k % 2 = 0 THEN hy ELSE vy1 END AS y1,
+      |  CASE WHEN k % 2 = 0 THEN hx1 + CAST(80.7 AS DOUBLE) ELSE vx END AS x2,
+      |  CASE WHEN k % 2 = 0 THEN hy ELSE vy1 + CAST(95.7 AS DOUBLE) END AS y2
+      |FROM (SELECT n_nationkey AS k, n_nationkey % 9 + 1 AS w,
+      |  CAST(-150.3 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(2.1 AS DOUBLE) AS hx1,
+      |  CAST(-70.0 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(5.5 AS DOUBLE) AS hy,
+      |  CAST(-160.0 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(11.9 AS DOUBLE) AS vx,
+      |  CAST(-75.3 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(0.9 AS DOUBLE) AS vy1
+      | FROM nation)""".stripMargin
+
   /** Deterministic sphere-direction vectors over lineitem — exact dyadic
     * rationals (small ints / 1024), so every downstream cell-index step is
     * IEEE-exact in both engines. The z numerator is always odd (2m - 2001),
@@ -1537,6 +1555,23 @@ object SparkEntry {
         |   FROM documents))
         |ORDER BY doc_id""".stripMargin)
     },
+    "q106_line_render" -> { (s, d) =>
+      prep(s, d)
+      // linestring stroke rendering (trajectories/roads): width-1
+      // supercover of each projected segment, weighted; horizontal and
+      // vertical stroke families CROSS so overlap pixels sum weights.
+      // The oracle enumerates every stroke's pixel run in closed form
+      // (floor-bounded ranges of the same projected endpoints) and
+      // re-aggregates — decoded lit-pixels + gray-sum per tile bit-exact.
+      val strokes = s.sql(
+        s"SELECT w, st_makeline(x1, y1, x2, y2) AS g FROM ($StrokeCte)")
+      TileRender.renderPolygonTiles(strokes, "g", zoom = 3, size = 256,
+          weightCol = Some("w"))
+        .selectExpr("x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("tx", "ty")
+    },
     "q105_jpeg_gate" -> { (s, d) =>
       prep(s, d)
       // the north rule's lossy leg as a row-by-row gate: a REAL JPEG
@@ -2820,6 +2855,39 @@ object SparkEntry {
     // full 1280-image population in RasterOpsSpec (min 51.1 dB at q95)
     "q105_jpeg_gate" ->
       "SELECT doc_id, TRUE AS pass40 FROM documents ORDER BY doc_id",
+    // stroke-render ground truth: a width-1 supercover of an axis-aligned
+    // projected segment is one floor-bounded pixel run — enumerate every
+    // stroke's run, sum weights per pixel (crossings add), clamp, and
+    // re-derive each tile's lit count and gray sum
+    "q106_line_render" ->
+      s"""WITH s AS (${StrokeCte.replace("\n", " ")}),
+        |proj AS (SELECT w, y1 = y2 AS horiz,
+        |  (x1 + 180.0) / 360.0 * 8 AS fx1,
+        |  (x2 + 180.0) / 360.0 * 8 AS fx2,
+        |  (1.0 - ln(tan(radians(y1)) + 1.0 / cos(radians(y1))) / pi()) / 2.0 * 8 AS fy1,
+        |  (1.0 - ln(tan(radians(y2)) + 1.0 / cos(radians(y2))) / pi()) / 2.0 * 8 AS fy2
+        |  FROM s),
+        |u AS (SELECT w, horiz,
+        |  floor(fx1) * 256 + (fx1 - floor(fx1)) * 256 AS u1,
+        |  floor(fx2) * 256 + (fx2 - floor(fx2)) * 256 AS u2,
+        |  floor(fy1) * 256 + (fy1 - floor(fy1)) * 256 AS v1,
+        |  floor(fy2) * 256 + (fy2 - floor(fy2)) * 256 AS v2
+        |  FROM proj),
+        |hp AS (SELECT w, CAST(floor(v1) AS BIGINT) AS wy,
+        |  unnest(generate_series(CAST(floor(u1) AS BIGINT),
+        |    CAST(floor(u2) AS BIGINT))) AS wx
+        |  FROM u WHERE horiz),
+        |vp AS (SELECT w, CAST(floor(u1) AS BIGINT) AS wx,
+        |  unnest(generate_series(CAST(floor(LEAST(v1, v2)) AS BIGINT),
+        |    CAST(floor(GREATEST(v1, v2)) AS BIGINT))) AS wy
+        |  FROM u WHERE NOT horiz),
+        |px AS (SELECT wx, wy, w FROM hp UNION ALL SELECT wx, wy, w FROM vp),
+        |cnt AS (SELECT wx, wy, least(sum(w), 255) AS v
+        |  FROM px GROUP BY 1, 2)
+        |SELECT CAST(wx // 256 AS INT) AS tx, CAST(wy // 256 AS INT) AS ty,
+        |  CAST(count(*) AS BIGINT) AS lit_pixels,
+        |  CAST(sum(v) AS BIGINT) AS gray_sum
+        |FROM cnt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // pyramid ground truth: world pixels at the finest level (same math as
     // q97), then every coarser level by exact integer halving — all scalings
     // are powers of two, so floor(wx/2.0) is exact

@@ -25,8 +25,10 @@ import scala.collection.mutable.ArrayBuffer
   *  - Holes subtract via even-odd across a polygon's rings; a
   *    MULTIPOLYGON's rings participate in one even-odd pass (matching
   *    [[Pip.containsPoint]]); GEOMETRYCOLLECTION parts union.
-  *  - Only areal parts rasterize; points/lines light nothing (they have no
-  *    interior — rasterize their buffered geometry instead).
+  *  - LINESTRING / MULTILINESTRING stroke as width-1 supercover (every
+  *    pixel box the projected segment touches) — trajectory/road
+  *    rendering; buffer first for thicker strokes. POINTs light nothing
+  *    (zero extent — density rendering is the point renderer's job).
   *
   * Coordinates past the Web-Mercator domain clamp exactly like point
   * binning does; polygons crossing the antimeridian are not supported
@@ -122,16 +124,79 @@ object Raster {
     out
   }
 
-  /** Union-fills one geometry (recursing into collection parts). */
+  /** Union-fills one geometry (recursing into collection parts): areal
+    * interiors scanline-fill; linestrings stroke as width-1 supercover
+    * (every pixel box the projected segment touches — trajectory / road
+    * rendering; thicker strokes = buffer the geometry first); points
+    * light nothing (density rendering is the point renderer's job). */
   private def fillInto(g: Geom, z: Int, x0: Long, y0: Long, size: Int,
                        bits: java.util.BitSet): Unit = g.geomType match {
     case GeomTypes.Polygon =>
       fillRings(projectRings(g, g.o0, z, size), x0, y0, size, bits)
     case GeomTypes.MultiPolygon =>
       fillRings(projectRings(g, g.o1, z, size), x0, y0, size, bits)
+    case GeomTypes.LineString =>
+      val rs = projectRings(g, Array(0, g.numCoords), z, size)
+      strokePath(rs(0)._1, rs(0)._2, x0, y0, size, bits)
+    case GeomTypes.MultiLineString =>
+      projectRings(g, g.o0, z, size).foreach { case (xs, ys) =>
+        strokePath(xs, ys, x0, y0, size, bits)
+      }
     case GeomTypes.Collection =>
       if (g.parts != null) g.parts.foreach(fillInto(_, z, x0, y0, size, bits))
-    case _ => () // non-areal: no interior, no pixels
+    case _ => () // points: no extent, no pixels
+  }
+
+  /** Width-1 supercover stroke of an open path: a pixel lights when the
+    * projected segment touches its CLOSED box `[P, P+1] × [Q, Q+1]`
+    * (conservative by at most the measure-zero exact-boundary touches;
+    * exact on the axis-aligned strokes the oracle replicates). Row-band
+    * sweep: for each pixel row the segment's y-span crosses, the x-extent
+    * of the in-band portion gives the lit column range. */
+  private def strokePath(xs: Array[Double], ys: Array[Double],
+                         x0: Long, y0: Long, size: Int,
+                         bits: java.util.BitSet): Unit = {
+    var i = 1
+    while (i < xs.length) {
+      strokeSegment(xs(i - 1), ys(i - 1), xs(i), ys(i), x0, y0, size, bits)
+      i += 1
+    }
+  }
+
+  private def strokeSegment(xa: Double, ya: Double, xb: Double, yb: Double,
+                            x0: Long, y0: Long, size: Int,
+                            bits: java.util.BitSet): Unit = {
+    def cols(q: Int, xLo: Double, xHi: Double): Unit = {
+      var p = math.max(x0, math.floor(xLo).toLong)
+      val pEnd = math.min(x0 + size - 1, math.floor(xHi).toLong)
+      while (p <= pEnd) { bits.set(q * size + (p - x0).toInt); p += 1 }
+    }
+    if (ya == yb) {
+      val q = math.floor(ya).toLong - y0
+      if (q >= 0 && q < size)
+        cols(q.toInt, math.min(xa, xb), math.max(xa, xb))
+    } else {
+      val (x1, y1, x2, y2) =
+        if (ya <= yb) (xa, ya, xb, yb) else (xb, yb, xa, ya)
+      // Long-clamped row bounds (same discipline as the fill: a wrapped
+      // .toInt at high zoom must not spin an empty loop)
+      val qLo = math.min(size - 1L,
+        math.max(0L, math.floor(y1).toLong - y0)).toInt
+      val qHi = math.max(0L,
+        math.min(size - 1L, math.floor(y2).toLong - y0)).toInt
+      val dy = y2 - y1
+      var q = qLo
+      while (q <= qHi) {
+        val bandLo = math.max(y1, (y0 + q).toDouble)
+        val bandHi = math.min(y2, (y0 + q + 1).toDouble)
+        if (bandLo <= bandHi) {
+          val xA = x1 + (bandLo - y1) * (x2 - x1) / dy
+          val xB = x1 + (bandHi - y1) * (x2 - x1) / dy
+          cols(q, math.min(xA, xB), math.max(xA, xB))
+        }
+        q += 1
+      }
+    }
   }
 
   /** Projects every ring's vertices to continuous world pixels once.

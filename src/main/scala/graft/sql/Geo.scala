@@ -138,6 +138,7 @@ object Geo {
     "st_casttype" -> (a => geo(G, "castType", a, Seq(G, StringType))),
     "st_snaptogrid" -> (a => geo(G, "snapToGrid", a, Seq(G, DoubleType))),
     "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
+    "st_makeline" -> (a => geo(G, "makeLine2", a, Seq.fill(4)(DoubleType))),
     "st_boxtopolygon" -> (a => geo(G, "boxToPolygon", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
     // BOX as an input geometry: a geoarrow.box struct column reads as its

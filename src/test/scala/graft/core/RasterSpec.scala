@@ -201,13 +201,80 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
-  test("non-areal geometries rasterize to nothing") {
+  test("points rasterize to nothing; linestrings stroke") {
     val size = 64
     val pt = Geom.point(10.0, 10.0)
     val ls = Geom(GeomTypes.LineString, Dims.XY, Array[Double](0, 0, 20, 20))
     val id = Tiles.tileId(10.0, 10.0, 2)
     assert(Raster.rasterize(pt, id, size).isEmpty)
-    assert(Raster.rasterize(ls, id, size).isEmpty)
+    assert(Raster.rasterize(ls, id, size).nonEmpty)
+  }
+
+  /** Independent supercover predicate: segment touches the CLOSED pixel
+    * box — via the clip test in projected space. */
+  private def segTouchesBox(x1: Double, y1: Double, x2: Double, y2: Double,
+                            bx0: Double, by0: Double, bx1: Double,
+                            by1: Double): Boolean = {
+    // Liang–Barsky on the closed box
+    var t0 = 0.0; var t1 = 1.0
+    val dx = x2 - x1; val dy = y2 - y1
+    def clip(p: Double, q: Double): Boolean = {
+      if (p == 0.0) q >= 0.0
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+        else { if (r < t0) return false; if (r < t1) t1 = r }
+        true
+      }
+    }
+    clip(-dx, x1 - bx0) && clip(dx, bx1 - x1) &&
+      clip(-dy, y1 - by0) && clip(dy, by1 - y1) && t0 <= t1
+  }
+
+  test("linestring stroke matches the closed-box supercover predicate") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 300) {
+      val z = 1 + rnd.nextInt(3)
+      val size = 64
+      val cx = rnd.nextDouble() * 280 - 140
+      val cy = rnd.nextDouble() * 110 - 55
+      val ax = cx + rnd.nextDouble() * 40 - 20
+      val ay = cy + rnd.nextDouble() * 20 - 10
+      val bx = cx + rnd.nextDouble() * 40 - 20
+      val by = cy + rnd.nextDouble() * 20 - 10
+      val g = Geom(GeomTypes.LineString, Dims.XY, Array(ax, ay, bx, by))
+      val px1 = Tiles.worldPixelXD(ax, z, size)
+      val py1 = Tiles.worldPixelYD(ay, z, size)
+      val px2 = Tiles.worldPixelXD(bx, z, size)
+      val py2 = Tiles.worldPixelYD(by, z, size)
+      for (id <- Raster.coverTiles(g, z, size)) {
+        val x0 = Tiles.x(id).toLong * size
+        val y0 = Tiles.y(id).toLong * size
+        val got = Raster.rasterize(g, id, size).toSet
+        val want = (for {
+          q <- 0 until size
+          p <- 0 until size
+          if segTouchesBox(px1, py1, px2, py2,
+            x0 + p, y0 + q, x0 + p + 1, y0 + q + 1)
+        } yield q * size + p).toSet
+        assert(got == want,
+          s"stroke ($ax,$ay)->($bx,$by) tile ${Tiles.x(id)}/${Tiles.y(id)} z=$z")
+      }
+    }
+  }
+
+  test("multilinestring strokes union; stroke pixels are connected per tile") {
+    val z = 2; val size = 128
+    val a = Geom(GeomTypes.LineString, Dims.XY, Array[Double](-50, -20, 10, 25))
+    val b = Geom(GeomTypes.LineString, Dims.XY, Array[Double](-30, 30, 40, -10))
+    val mls = Geom(GeomTypes.MultiLineString, Dims.XY,
+      Array[Double](-50, -20, 10, 25, -30, 30, 40, -10), o0 = Array(0, 2, 4))
+    val ids = (Raster.coverTiles(a, z, size) ++ Raster.coverTiles(b, z, size)).distinct
+    for (id <- ids) {
+      val ua = Raster.rasterize(a, id, size).toSet
+      val ub = Raster.rasterize(b, id, size).toSet
+      assert(Raster.rasterize(mls, id, size).toSet == (ua ++ ub))
+    }
   }
 
   test("rasterize output is sorted, in-range, duplicate-free") {

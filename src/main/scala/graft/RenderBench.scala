@@ -26,6 +26,7 @@ object RenderBench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("RENDER_BENCH_MODE").contains("poly")) return polyMain()
     val nPts = sys.env.getOrElse("RENDER_BENCH_POINTS", "64000000").toLong
     val nCores = sys.env.getOrElse("RENDER_BENCH_N", "4").toInt
     // default z1-4: a HEATMAP workload (multiple points per pixel, so the
@@ -70,5 +71,55 @@ object RenderBench {
     val eff = thr4N / (4.0 * thrN)
     println(
       f"""{"metric":"pyramid-render throughput","points":$nPts,"zooms":"$minZ-$maxZ","tiles":$tiles,"n_cores":$nCores,"secs_N":[${tN.map(t => f"$t%.2f").mkString(",")}],"secs_4N":[${t4N.map(t => f"$t%.2f").mkString(",")}],"rows_per_sec":{"N":${thrN.toLong},"4N":${thr4N.toLong}},"scaling_efficiency":$eff%.3f}""")
+  }
+
+  /** Polygon-rasterization scale probe (RENDER_BENCH_MODE=poly): a
+    * distributed grid of small boxes rendered at z6 — per-polygon work is
+    * its covered pixels, so throughput is reported in LIT PIXELS per
+    * second (the operator's real unit of work), N vs 4N cores. */
+  private def polyMain(): Unit = {
+    val nPolys = sys.env.getOrElse("RENDER_BENCH_POLYS", "400000").toLong
+    val nCores = sys.env.getOrElse("RENDER_BENCH_N", "4").toInt
+    val zoom = sys.env.getOrElse("RENDER_BENCH_ZOOM", "6").toInt
+
+    def polys(s: SparkSession) = {
+      graft.sql.Geo.register(s)
+      // ~0.3°x0.22° boxes on a lon/lat grid: ~140 lit pixels each at z6
+      s.range(nPolys).selectExpr(
+        "st_boxtopolygon(" +
+          "CAST(id % 1000 AS DOUBLE) * 0.34 - 170.0," +
+          "CAST((id DIV 1000) % 400 AS DOUBLE) * 0.35 - 70.0," +
+          "CAST(id % 1000 AS DOUBLE) * 0.34 - 170.0 + 0.3," +
+          "CAST((id DIV 1000) % 400 AS DOUBLE) * 0.35 - 70.0 + 0.22) AS g",
+        "id % 7 + 1 AS w")
+    }
+
+    def leg(cores: Int): (Double, Long, Long) = {
+      val s = session(cores)
+      val df = polys(s)
+      // lit pixels = the work unit (sum over tiles of nonzero pixels)
+      import org.apache.spark.sql.functions._
+      def run() = TileRender.renderPolygonTiles(df, "g", zoom, 256, Some("w"))
+        .agg(sum(call_function("img_nonzero", col("png"))), count(lit(1)))
+        .collect()(0)
+      run() // warmup
+      val t0 = System.nanoTime()
+      val row = run()
+      val secs = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (secs, row.getLong(0), row.getLong(1))
+    }
+
+    var tN = Vector.empty[Double]; var t4N = Vector.empty[Double]
+    var pixels = 0L; var tiles = 0L
+    for (_ <- 0 until 2) {
+      val (a, px, tl) = leg(nCores); tN :+= a; pixels = px; tiles = tl
+      val (b, _, _) = leg(nCores * 4); t4N :+= b
+    }
+    val thrN = pixels / tN.min
+    val thr4N = pixels / t4N.min
+    val eff = thr4N / (4.0 * thrN)
+    println(
+      f"""{"metric":"polygon-render throughput","polygons":$nPolys,"zoom":$zoom,"lit_pixels":$pixels,"tiles":$tiles,"n_cores":$nCores,"secs_N":[${tN.map(t => f"$t%.2f").mkString(",")}],"secs_4N":[${t4N.map(t => f"$t%.2f").mkString(",")}],"pixels_per_sec":{"N":${thrN.toLong},"4N":${thr4N.toLong}},"scaling_efficiency":$eff%.3f}""")
   }
 }

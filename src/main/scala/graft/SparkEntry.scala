@@ -1572,6 +1572,27 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q107_channel_stats" -> { (s, d) =>
+      prep(s, d)
+      // corpus normalization statistics (what an image-training pipeline
+      // computes before standardizing inputs): global decoded-pixel sum,
+      // pixel count and mean per RGB channel. Integer sums are exact and
+      // the mean is one correctly-rounded double division, so the oracle
+      // re-derives all three in closed form from the band construction.
+      s.sql("""SELECT
+        |  CAST(sum(img_channel_sum(orig, 0)) AS BIGINT) AS r_total,
+        |  CAST(sum(img_channel_sum(orig, 2)) AS BIGINT) AS b_total,
+        |  CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS px_total,
+        |  CAST(sum(img_channel_sum(orig, 0)) AS DOUBLE)
+        |    / CAST(sum(CAST(w AS BIGINT) * h) AS DOUBLE) AS r_mean
+        |FROM (SELECT w, h, make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+        |  FROM (SELECT
+        |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |    CAST(doc_id % 256 AS INT) AS v1,
+        |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |   FROM documents))""".stripMargin)
+    },
     "q105_jpeg_gate" -> { (s, d) =>
       prep(s, d)
       // the north rule's lossy leg as a row-by-row gate: a REAL JPEG
@@ -2855,6 +2876,21 @@ object SparkEntry {
     // full 1280-image population in RasterOpsSpec (min 51.1 dB at q95)
     "q105_jpeg_gate" ->
       "SELECT doc_id, TRUE AS pass40 FROM documents ORDER BY doc_id",
+    // channel-stats ground truth: each band image's channel sum is
+    // w * h/2 * (v1 + v2) exactly (all three channels equal by
+    // construction); integer totals then one correctly-rounded division
+    "q107_channel_stats" ->
+      """WITH d AS (SELECT
+        |    (doc_id % 5 + 1) * 8 AS w, (doc_id % 4 + 1) * 8 AS h,
+        |    doc_id % 256 AS v1, (doc_id * 7 + 13) % 256 AS v2
+        |  FROM documents)
+        |SELECT
+        |  CAST(sum(w * (h // 2) * (v1 + v2)) AS BIGINT) AS r_total,
+        |  CAST(sum(w * (h // 2) * (v1 + v2)) AS BIGINT) AS b_total,
+        |  CAST(sum(w * h) AS BIGINT) AS px_total,
+        |  CAST(sum(w * (h // 2) * (v1 + v2)) AS DOUBLE)
+        |    / CAST(sum(w * h) AS DOUBLE) AS r_mean
+        |FROM d""".stripMargin,
     // stroke-render ground truth: a width-1 supercover of an axis-aligned
     // projected segment is one floor-bounded pixel run — enumerate every
     // stroke's run, sum weights per pixel (crossings add), clamp, and

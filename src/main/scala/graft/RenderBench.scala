@@ -82,14 +82,20 @@ object RenderBench {
     val nCores = sys.env.getOrElse("RENDER_BENCH_N", "4").toInt
     val zoom = sys.env.getOrElse("RENDER_BENCH_ZOOM", "6").toInt
 
+    // grid step 0.34° > width 0.3° → DISJOINT boxes (zone-raster regime:
+    // no two boxes share a pixel, map-side combine never fires, the
+    // exchange carries every lit-pixel row). RENDER_BENCH_OVERLAP=1
+    // shrinks the step to 0.11° → ~3× pixel overlap (heatmap regime:
+    // partial agg combines before the shuffle).
+    val step = if (sys.env.contains("RENDER_BENCH_OVERLAP")) 0.11 else 0.34
     def polys(s: SparkSession) = {
       graft.sql.Geo.register(s)
       // ~0.3°x0.22° boxes on a lon/lat grid: ~140 lit pixels each at z6
       s.range(nPolys).selectExpr(
         "st_boxtopolygon(" +
-          "CAST(id % 1000 AS DOUBLE) * 0.34 - 170.0," +
+          s"CAST(id % 1000 AS DOUBLE) * $step - 170.0," +
           "CAST((id DIV 1000) % 400 AS DOUBLE) * 0.35 - 70.0," +
-          "CAST(id % 1000 AS DOUBLE) * 0.34 - 170.0 + 0.3," +
+          s"CAST(id % 1000 AS DOUBLE) * $step - 170.0 + 0.3," +
           "CAST((id DIV 1000) % 400 AS DOUBLE) * 0.35 - 70.0 + 0.22) AS g",
         "id % 7 + 1 AS w")
     }

@@ -79,6 +79,11 @@ object RenderBench {
     * second (the operator's real unit of work), N vs 4N cores. */
   private def polyMain(): Unit = {
     val nPolys = sys.env.getOrElse("RENDER_BENCH_POLYS", "400000").toLong
+    // the grid has exactly 1000x400 distinct positions — more polygons
+    // would wrap onto exact duplicates and silently turn the "disjoint"
+    // regime into the heatmap regime, corrupting the comparison
+    require(nPolys <= 400000L,
+      s"RENDER_BENCH_POLYS > 400000 wraps the position grid: $nPolys")
     val nCores = sys.env.getOrElse("RENDER_BENCH_N", "4").toInt
     val zoom = sys.env.getOrElse("RENDER_BENCH_ZOOM", "6").toInt
 

@@ -133,11 +133,14 @@ object TileRender {
         call_function("tile_render_rgb", lit(size), col("cells")).as("png"))
   }
 
-  /** Rasterize polygon INTERIORS into `zoom`-level tiles: each pixel's
-    * intensity is min(255, Σ weight of the polygons whose interior covers
-    * its center) — weight defaults to 1, i.e. an overlap-count raster.
-    * Fill semantics (pixel-center, even-odd, half-open — so zone rasters
-    * partition the grid with no seams or double-lit shared edges) live in
+  /** Rasterize GEOMETRIES into `zoom`-level tiles: each pixel's intensity
+    * is min(255, Σ weight of the geometries that rasterize onto it) —
+    * weight defaults to 1, i.e. an overlap-count raster. Polygon
+    * INTERIORS fill (pixel-center, even-odd, half-open — so zone rasters
+    * partition the grid with no seams or double-lit shared edges);
+    * LINESTRINGs stroke as width-1 supercover (trajectories/roads —
+    * buffer first for thicker strokes); points light nothing (use
+    * [[renderTiles]] for density). Semantics live in
     * [[graft.core.Raster]]. Returns (tile_id, z, x, y, png).
     *
     * Scale shape: per-polygon work is proportional to its COVERED pixels,

@@ -195,15 +195,15 @@ object GeoOps {
         geom.parts))
   }
 
-  /** BOX -> POLYGON with the reference's rule: any min > max dimension
-    * round-trips as POLYGON EMPTY (`/root/reference/src/geoarrow.c:2990-3016`);
-    * otherwise the 5-point CCW ring. */
   /** Two-point LINESTRING constructor (segment strokes for the
     * rasterizer; longer paths come from WKT/WKB/GeoJSON as usual). */
   def makeLine2(x1: Double, y1: Double, x2: Double, y2: Double): InternalRow =
     GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY,
       Array(x1, y1, x2, y2)))
 
+  /** BOX -> POLYGON with the reference's rule: any min > max dimension
+    * round-trips as POLYGON EMPTY (`/root/reference/src/geoarrow.c:2990-3016`);
+    * otherwise the 5-point CCW ring. */
   def boxToPolygon(xmin: Double, ymin: Double, xmax: Double, ymax: Double): InternalRow = {
     if (xmin > xmax || ymin > ymax)
       GeoStruct.encode(Geom(GeomTypes.Polygon, Dims.XY, Geom.emptyDoubles, Array(0)))

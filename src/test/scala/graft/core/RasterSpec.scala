@@ -263,6 +263,35 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("coverTiles is a superset of every lit tile for STROKES too " +
+    "(random diagonal segments, full envelope-lattice enumeration)") {
+    val rnd = new scala.util.Random(31)
+    val size = 64
+    for (_ <- 0 until 100) {
+      val z = 2 + rnd.nextInt(3)
+      val ax = rnd.nextDouble() * 280 - 140
+      val ay = rnd.nextDouble() * 110 - 55
+      val bx = ax + rnd.nextDouble() * 80 - 40
+      val by = ay + rnd.nextDouble() * 40 - 20
+      val g = Geom(GeomTypes.LineString, Dims.XY, Array(ax, ay, bx, by))
+      val n = 1 << z
+      val x0 = math.max(0, Tiles.tileX(math.min(ax, bx), z) - 1)
+      val x1 = math.min(n - 1, Tiles.tileX(math.max(ax, bx), z) + 1)
+      val y0 = math.max(0, Tiles.tileY(math.max(ay, by), z) - 1)
+      val y1 = math.min(n - 1, Tiles.tileY(math.min(ay, by), z) + 1)
+      val lit = (for {
+        xi <- x0 to x1
+        yi <- y0 to y1
+        id = Tiles.pack(z, xi, yi)
+        if Raster.rasterize(g, id, size).nonEmpty
+      } yield id).toSet
+      val cov = Raster.coverTiles(g, z, size).toSet
+      assert(lit.nonEmpty, "fixture stroke must light something")
+      assert(lit.subsetOf(cov),
+        s"stroke ($ax,$ay)->($bx,$by) z=$z: cover missed ${lit -- cov}")
+    }
+  }
+
   test("multilinestring strokes union; stroke pixels are connected per tile") {
     val z = 2; val size = 128
     val a = Geom(GeomTypes.LineString, Dims.XY, Array[Double](-50, -20, 10, 25))

@@ -1572,6 +1572,24 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q108_tile_diff" -> { (s, d) =>
+      prep(s, d)
+      // render regression diff: per-tile decoded-pixel MSE between the
+      // density render and the quantity-weighted render of the SAME
+      // points (identical tile sets since every weight >= 1). The oracle
+      // recomputes each tile's MSE in closed form from the per-pixel
+      // clamped count/sum difference — engine divides the exact integer
+      // SE by 3.0*w*h, replicated literally.
+      val pts = s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT lon, lat, CAST(l_quantity AS BIGINT) AS qty
+        |FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)""".stripMargin)
+      val dens = TileRender.renderTiles(pts, "lon", "lat", zoom = 3, size = 256)
+      val wght = TileRender.renderTiles(pts, "lon", "lat", zoom = 3, size = 256,
+        weightCol = Some("qty"))
+      TileRender.tileDiff(dens, wght)
+        .selectExpr("x AS tx", "y AS ty", "mse")
+        .orderBy("tx", "ty")
+    },
     "q107_channel_stats" -> { (s, d) =>
       prep(s, d)
       // corpus normalization statistics (what an image-training pipeline
@@ -2876,6 +2894,31 @@ object SparkEntry {
     // full 1280-image population in RasterOpsSpec (min 51.1 dB at q95)
     "q105_jpeg_gate" ->
       "SELECT doc_id, TRUE AS pass40 FROM documents ORDER BY doc_id",
+    // tile-diff ground truth: per tile, SE = 3 * Σ_pixels
+    // (least(count,255) - least(qtysum,255))² over the occupied pixels
+    // (unoccupied pixels are 0 in both renders); engine MSE divides the
+    // exact integer SE by 3.0 * 256 * 256 = 196608.0, replicated literally
+    "q108_tile_diff" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |pq AS (SELECT lon, lat, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM pts JOIN lineitem USING (l_orderkey, l_linenumber)),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 8 AS fx,
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+        |     / pi()) / 2.0 * 8 AS fy, qty
+        |  FROM pq),
+        |px AS (SELECT
+        |  CAST(floor(fx) AS INTEGER) AS tx, CAST(floor(fy) AS INTEGER) AS ty,
+        |  CAST(floor((fx - floor(fx)) * 256) AS INTEGER) AS ppx,
+        |  CAST(floor((fy - floor(fy)) * 256) AS INTEGER) AS ppy, qty
+        |  FROM fr),
+        |cnt AS (SELECT tx, ty, ppx, ppy,
+        |    least(count(*), 255) AS a, least(sum(qty), 255) AS b
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT tx, ty,
+        |  CAST(3 * sum((a - b) * (a - b)) AS DOUBLE)
+        |    / CAST(196608.0 AS DOUBLE) AS mse
+        |FROM cnt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // channel-stats ground truth: each band image's channel sum is
     // w * h/2 * (v1 + v2) exactly (all three channels equal by
     // construction); integer totals then one correctly-rounded division

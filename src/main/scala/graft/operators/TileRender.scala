@@ -211,6 +211,27 @@ object TileRender {
       .agg(sum(col("v")).as("px_sum"), count(lit(1)).as("px_count"))
   }
 
+  /** Per-tile decoded-pixel MSE between two rendered tile stores
+    * (tile_id, png) — render regression checking: the north rule's
+    * decoded-pixel invariant applied store-to-store (two pipeline runs,
+    * a re-render after a code change, streaming vs batch output).
+    * FULL OUTER on tile_id: a tile present in only one store yields a
+    * null `mse` (img_mse of a null payload) — flagged, not dropped.
+    * Pure tile-keyed equi-join + codegen'd kernel: no data-sized
+    * shuffle beyond the (tiny, tile-count-bounded) join itself. */
+  def tileDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    Geo.register(a.sparkSession)
+    a.select(col("tile_id"), col("png").as("__a"))
+      .join(b.select(col("tile_id"), col("png").as("__b")),
+        Seq("tile_id"), "full_outer")
+      .select(col("tile_id"),
+        call_function("st_tilez", col("tile_id")).as("z"),
+        call_function("st_tilex", col("tile_id")).as("x"),
+        call_function("st_tiley", col("tile_id")).as("y"),
+        call_function("img_mse", col("__a"), col("__b")).as("mse"),
+        call_function("img_psnr", col("__a"), col("__b")).as("psnr"))
+  }
+
   /** Null-safe world-pixel projection: one mercator evaluation per point,
     * null coordinates dropped (they belong to no tile). */
   private def worldPixels(points: DataFrame, lonCol: String, latCol: String,

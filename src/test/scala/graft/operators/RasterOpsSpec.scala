@@ -3,6 +3,7 @@ package graft.operators
 import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{Raster, Tiles}
@@ -144,6 +145,24 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(MediaOps.imgCrop(src, 6, 0, 4, 3) == null)
     assert(MediaOps.imgFlip(src, 2) == null)
     assert(MediaOps.imgRot90(src, 4) == null)
+  }
+
+  test("tileDiff: zero MSE on identical stores, null-flagged on missing tiles") {
+    graft.sql.Geo.register(spark)
+    val pts = Seq((10.0, 10.0), (12.0, 12.0), (-100.0, -40.0)).toDF("lon", "lat")
+    val a = TileRender.renderTiles(pts, "lon", "lat", zoom = 2, size = 64)
+      .select("tile_id", "png")
+    val d0 = TileRender.tileDiff(a, a).collect()
+    assert(d0.nonEmpty && d0.forall(_.getAs[Double]("mse") == 0.0))
+    assert(d0.forall(_.getAs[Double]("psnr").isPosInfinity))
+    // drop one tile from the right store: that tile must surface with a
+    // null mse (flagged), not disappear
+    val firstTile = d0.head.getAs[Long]("tile_id")
+    val b = a.filter(col("tile_id") =!= firstTile)
+    val d1 = TileRender.tileDiff(a, b).collect()
+    assert(d1.length == d0.length)
+    val flagged = d1.filter(_.isNullAt(d1.head.fieldIndex("mse")))
+    assert(flagged.map(_.getAs[Long]("tile_id")).toSeq == Seq(firstTile))
   }
 
   test("img_jpeg: real lossy pass holds the PSNR>=40dB gate with margin") {

@@ -141,6 +141,10 @@ object functions {
     f("st_worldpixely")(lat, z, size)
   def st_tilerasterize(tileId: Column, size: Column, g: Column): Column =
     f("st_tilerasterize")(tileId, size, g)
+  def st_tilecoverraster(g: Column, zoom: Column, size: Column): Column =
+    f("st_tilecoverraster")(g, zoom, size)
+  def st_makeline(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    f("st_makeline")(x1, y1, x2, y2)
   def tile_pixel_values(png: Column): Column = f("tile_pixel_values")(png)
   def img_flip(bytes: Column, mode: Column): Column = f("img_flip")(bytes, mode)
   def img_rot90(bytes: Column, k: Column): Column = f("img_rot90")(bytes, k)

@@ -1572,6 +1572,24 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q109_buffer" -> { (s, d) =>
+      prep(s, d)
+      // point buffer, COORDINATE-EXACT oracle: each disc vertex is one
+      // closed-form trig expression of (center, radius, index) — the
+      // oracle recomputes every vertex in DuckDB (JVM/DuckDB sin-cos
+      // bit parity probe-verified); the ring closure is vertex 0 again
+      // (idx % segs). st_coords + posexplode dumps the ring in order.
+      s.sql("""SELECT key, idx, v.x AS vx, v.y AS vy
+        |FROM (SELECT n_nationkey AS key,
+        |    st_buffer(st_point(
+        |      CAST(-100.0 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(30.0 AS DOUBLE) + CAST(0.37 AS DOUBLE),
+        |      CAST(-40.0 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(18.0 AS DOUBLE) + CAST(0.21 AS DOUBLE)),
+        |      CAST(n_nationkey % 4 + 1 AS DOUBLE) * CAST(1.5 AS DOUBLE),
+        |      CAST(8 + (n_nationkey % 3) * 12 AS INT)) AS g
+        |  FROM nation)
+        |LATERAL VIEW posexplode(st_coords(g)) t AS idx, v
+        |ORDER BY key, idx""".stripMargin)
+    },
     "q108_tile_diff" -> { (s, d) =>
       prep(s, d)
       // render regression diff: per-tile decoded-pixel MSE between the
@@ -2894,6 +2912,23 @@ object SparkEntry {
     // full 1280-image population in RasterOpsSpec (min 51.1 dB at q95)
     "q105_jpeg_gate" ->
       "SELECT doc_id, TRUE AS pass40 FROM documents ORDER BY doc_id",
+    // buffer ground truth: every k-gon vertex recomputed in closed form
+    // (same expression tree: cx + r*cos(2*pi*i/k)); the ring closure is
+    // idx % segs = 0, i.e. vertex 0 bit-for-bit
+    "q109_buffer" ->
+      """WITH n AS (SELECT n_nationkey AS key,
+        |    CAST(-100.0 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(30.0 AS DOUBLE) + CAST(0.37 AS DOUBLE) AS cx,
+        |    CAST(-40.0 AS DOUBLE) + CAST((n_nationkey - n_nationkey % 5) / 5 AS DOUBLE) * CAST(18.0 AS DOUBLE) + CAST(0.21 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey % 4 + 1 AS DOUBLE) * CAST(1.5 AS DOUBLE) AS r,
+        |    8 + (n_nationkey % 3) * 12 AS segs
+        |  FROM nation),
+        |v AS (SELECT key, cx, cy, r, segs,
+        |    unnest(generate_series(0, CAST(segs AS BIGINT))) AS idx
+        |  FROM n)
+        |SELECT key, CAST(idx AS INT) AS idx,
+        |  cx + r * cos(2.0 * pi() * (idx % segs) / segs) AS vx,
+        |  cy + r * sin(2.0 * pi() * (idx % segs) / segs) AS vy
+        |FROM v ORDER BY key, idx""".stripMargin,
     // tile-diff ground truth: per tile, SE = 3 * Σ_pixels
     // (least(count,255) - least(qtysum,255))² over the occupied pixels
     // (unoccupied pixels are 0 in both renders); engine MSE divides the

@@ -139,6 +139,16 @@ object Geo {
     "st_snaptogrid" -> (a => geo(G, "snapToGrid", a, Seq(G, DoubleType))),
     "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
     "st_makeline" -> (a => geo(G, "makeLine2", a, Seq.fill(4)(DoubleType))),
+    // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
+    "st_buffer" -> { a =>
+      val full = a match {
+        case Seq(g, r) => Seq(g, r, Literal(32))
+        case other => other
+      }
+      geo(G, "bufferPoint", full, Seq(G, DoubleType, IntegerType))
+    },
+    // vertex dump (explode-side accessor)
+    "st_coords" -> (a => geo(GeoOps.coordsArrayType, "coordsOf", a, Seq(G))),
     "st_boxtopolygon" -> (a => geo(G, "boxToPolygon", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
     // BOX as an input geometry: a geoarrow.box struct column reads as its

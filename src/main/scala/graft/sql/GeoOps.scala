@@ -201,6 +201,71 @@ object GeoOps {
     GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY,
       Array(x1, y1, x2, y2)))
 
+  /** POINT buffer: the radius-`r` disc approximated by a regular
+    * `segments`-gon, CCW from angle 0 — vertex i is
+    * `(x + r·cos(2πi/k), y + r·sin(2πi/k))`, one closed-form expression
+    * per ordinate (bit-replicable in the oracle, q109; JVM/DuckDB
+    * sin-cos parity probe-verified). The common buffer use (points →
+    * discs for radius joins, thick stroke rendering); LINE/POLYGON
+    * offsetting is a full computational-geometry problem and is
+    * deliberately rejected, not approximated. EMPTY point → POLYGON
+    * EMPTY. */
+  def bufferPoint(g: InternalRow, radius: Double, segments: Int): InternalRow = {
+    require(radius > 0 && radius.isFinite, s"buffer radius must be > 0: $radius")
+    require(segments >= 3 && segments <= 4096,
+      s"buffer segments out of [3,4096]: $segments")
+    val geom = GeoStruct.decode(g)
+    require(geom.geomType == GeomTypes.Point,
+      "st_buffer supports POINT inputs only (line/polygon offsetting is out of scope)")
+    if (geom.isEmpty)
+      return GeoStruct.encode(
+        Geom(GeomTypes.Polygon, Dims.XY, Geom.emptyDoubles, Array(0)))
+    val x = geom.coords(0); val y = geom.coords(1)
+    val k = segments
+    val coords = new Array[Double]((k + 1) * 2)
+    var i = 0
+    while (i < k) {
+      val ang = 2.0 * math.Pi * i / k
+      coords(2 * i) = x + radius * math.cos(ang)
+      coords(2 * i + 1) = y + radius * math.sin(ang)
+      i += 1
+    }
+    coords(2 * k) = coords(0); coords(2 * k + 1) = coords(1)
+    GeoStruct.encode(Geom(GeomTypes.Polygon, Dims.XY, coords, Array(0, k + 1)))
+  }
+
+  private val coordStructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("x",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("y",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  val coordsArrayType: org.apache.spark.sql.types.ArrayType =
+    org.apache.spark.sql.types.ArrayType(coordStructType, containsNull = false)
+
+  /** Vertex dump: every (x, y) pair of the geometry in storage order
+    * (ring closures included, z/m dropped, collection parts
+    * concatenated) — the explode-side accessor (`posexplode(st_coords(g))`
+    * gives per-vertex rows with positions). */
+  def coordsOf(g: InternalRow): ArrayData = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def add(geom: Geom): Unit = {
+      if (geom.geomType == GeomTypes.Collection) {
+        if (geom.parts != null) geom.parts.foreach(add)
+      } else {
+        val stride = geom.stride
+        var i = 0
+        while (i < geom.numCoords) {
+          buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](geom.coords(i * stride), geom.coords(i * stride + 1)))
+          i += 1
+        }
+      }
+    }
+    add(GeoStruct.decode(g))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
   /** BOX -> POLYGON with the reference's rule: any min > max dimension
     * round-trips as POLYGON EMPTY (`/root/reference/src/geoarrow.c:2990-3016`);
     * otherwise the 5-point CCW ring. */

@@ -165,6 +165,37 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(flagged.map(_.getAs[Long]("tile_id")).toSeq == Seq(firstTile))
   }
 
+  test("st_buffer: closed CCW disc around the point; rejects non-points") {
+    graft.sql.Geo.register(spark)
+    val row = spark.sql(
+      """SELECT st_buffer(st_point(CAST(3.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)),
+        |  CAST(2.5 AS DOUBLE), 16) AS g""".stripMargin)
+      .selectExpr("st_npoints(g) AS n", "st_area(g) AS a",
+        "st_containsxy(g, CAST(3.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)) AS c",
+        "st_aswkt(g) AS wkt")
+      .collect()(0)
+    assert(row.getAs[Int]("n") == 17) // 16 segments + ring closure
+    // regular k-gon area: 0.5*k*r^2*sin(2pi/k) — within float slack
+    val want = 0.5 * 16 * 2.5 * 2.5 * math.sin(2 * math.Pi / 16)
+    assert(math.abs(row.getAs[Double]("a") - want) < 1e-9)
+    assert(row.getAs[Boolean]("c"), "disc must contain its center")
+    // buffered point rasterizes like any polygon (shares the fill rule)
+    val g = GeoOps.bufferPoint(GeoOps.makePoint(3.0, -2.0), 2.5, 16)
+    val ids = Raster.coverTiles(GeoStruct.decode(g), 4, 64)
+    assert(ids.nonEmpty &&
+      ids.map(Raster.rasterize(GeoStruct.decode(g), _, 64).length).sum > 0)
+    intercept[Exception] {
+      spark.sql("SELECT st_buffer(st_makeline(CAST(0.0 AS DOUBLE)," +
+        " CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))," +
+        " CAST(1.0 AS DOUBLE), 8)").collect()
+    }
+    // EMPTY point buffers to POLYGON EMPTY
+    val e = spark.sql("SELECT st_aswkt(st_buffer(" +
+      "st_geomfromwkt('POINT EMPTY'), CAST(1.0 AS DOUBLE), 8)) AS w")
+      .collect()(0).getString(0)
+    assert(e == "POLYGON EMPTY")
+  }
+
   test("img_jpeg: real lossy pass holds the PSNR>=40dB gate with margin") {
     // the north rule's lossy invariant, EXHAUSTIVE over the q105 image
     // population: the (w, h, v1, v2) tuple is periodic in doc_id with

@@ -1572,6 +1572,30 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q110_thick_stroke" -> { (s, d) =>
+      prep(s, d)
+      // width-5px round-capped DIAGONAL strokes: a pixel lights when its
+      // center is within 2.5px of the projected segment — ONE shared
+      // distance expression (clamped-projection point-to-segment), so
+      // the oracle replicates arbitrary-angle thick strokes bit-exactly
+      // by enumerating each stroke's inflated pixel box and evaluating
+      // the same predicate. Weighted; overlaps sum.
+      val strokes = s.sql("""SELECT w, st_makeline(gx1, gy1, gx2, gy2) AS g
+        |FROM (SELECT k, w, gx1, gy1,
+        |    gx1 + CAST(25.4 AS DOUBLE) AS gx2,
+        |    gy1 + CAST(11.3 AS DOUBLE) AS gy2
+        |  FROM (SELECT n_nationkey AS k,
+        |    CAST(n_nationkey % 9 + 1 AS BIGINT) AS w,
+        |    CAST(-150.3 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(9.7 AS DOUBLE) AS gx1,
+        |    CAST(-60.2 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(3.1 AS DOUBLE) AS gy1
+        |   FROM nation))""".stripMargin)
+      TileRender.renderPolygonTiles(strokes, "g", zoom = 3, size = 256,
+          weightCol = Some("w"), strokeWidthPx = 5.0)
+        .selectExpr("x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("tx", "ty")
+    },
     "q109_buffer" -> { (s, d) =>
       prep(s, d)
       // point buffer, COORDINATE-EXACT oracle: each disc vertex is one
@@ -2912,6 +2936,60 @@ object SparkEntry {
     // full 1280-image population in RasterOpsSpec (min 51.1 dB at q95)
     "q105_jpeg_gate" ->
       "SELECT doc_id, TRUE AS pass40 FROM documents ORDER BY doc_id",
+    // thick-stroke ground truth: enumerate each stroke's inflated pixel
+    // box and evaluate the SAME clamped-projection point-to-segment
+    // distance expression the kernel uses (r = 2.5 px), sum weights per
+    // pixel, clamp, re-derive per-tile lit + gray
+    "q110_thick_stroke" ->
+      """WITH s AS (SELECT n_nationkey AS k, n_nationkey % 9 + 1 AS w,
+        |    CAST(-150.3 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(9.7 AS DOUBLE) AS gx1,
+        |    CAST(-60.2 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(3.1 AS DOUBLE) AS gy1
+        |  FROM nation),
+        |e AS (SELECT k, w, gx1, gy1,
+        |    gx1 + CAST(25.4 AS DOUBLE) AS gx2,
+        |    gy1 + CAST(11.3 AS DOUBLE) AS gy2 FROM s),
+        |pj AS (SELECT k, w,
+        |  (gx1 + 180.0) / 360.0 * 8 AS fx1,
+        |  (gx2 + 180.0) / 360.0 * 8 AS fx2,
+        |  (1.0 - ln(tan(radians(gy1)) + 1.0 / cos(radians(gy1))) / pi()) / 2.0 * 8 AS fy1,
+        |  (1.0 - ln(tan(radians(gy2)) + 1.0 / cos(radians(gy2))) / pi()) / 2.0 * 8 AS fy2
+        |  FROM e),
+        |u AS (SELECT k, w,
+        |  floor(fx1) * 256 + (fx1 - floor(fx1)) * 256 AS x1,
+        |  floor(fx2) * 256 + (fx2 - floor(fx2)) * 256 AS x2,
+        |  floor(fy1) * 256 + (fy1 - floor(fy1)) * 256 AS y1,
+        |  floor(fy2) * 256 + (fy2 - floor(fy2)) * 256 AS y2
+        |  FROM pj),
+        |cand AS (SELECT k, w, x1, y1, x2, y2,
+        |    x2 - x1 AS ddx, y2 - y1 AS ddy,
+        |    (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS len2,
+        |    unnest(generate_series(
+        |      CAST(floor(LEAST(x1, x2) - 3.0) AS BIGINT),
+        |      CAST(ceil(GREATEST(x1, x2) + 3.0) AS BIGINT))) AS wx
+        |  FROM u),
+        |cpx AS (SELECT k, w, x1, y1, ddx, ddy, len2, wx,
+        |    unnest(generate_series(
+        |      CAST(floor(LEAST(y1, y2) - 3.0) AS BIGINT),
+        |      CAST(ceil(GREATEST(y1, y2) + 3.0) AS BIGINT))) AS wy
+        |  FROM cand),
+        |hit AS (SELECT wx, wy, w FROM (
+        |    SELECT wx, wy, w,
+        |      CAST(wx AS DOUBLE) + 0.5 - (x1 + LEAST(GREATEST(
+        |        ((CAST(wx AS DOUBLE) + 0.5 - x1) * ddx
+        |          + (CAST(wy AS DOUBLE) + 0.5 - y1) * ddy) / len2,
+        |        0.0), 1.0) * ddx) AS dx,
+        |      CAST(wy AS DOUBLE) + 0.5 - (y1 + LEAST(GREATEST(
+        |        ((CAST(wx AS DOUBLE) + 0.5 - x1) * ddx
+        |          + (CAST(wy AS DOUBLE) + 0.5 - y1) * ddy) / len2,
+        |        0.0), 1.0) * ddy) AS dy
+        |    FROM cpx)
+        |  WHERE dx * dx + dy * dy <= CAST(2.5 AS DOUBLE) * CAST(2.5 AS DOUBLE)),
+        |cnt AS (SELECT wx, wy, least(sum(w), 255) AS v
+        |  FROM hit GROUP BY 1, 2)
+        |SELECT CAST(wx // 256 AS INT) AS tx, CAST(wy // 256 AS INT) AS ty,
+        |  CAST(count(*) AS BIGINT) AS lit_pixels,
+        |  CAST(sum(v) AS BIGINT) AS gray_sum
+        |FROM cnt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // buffer ground truth: every k-gon vertex recomputed in closed form
     // (same expression tree: cx + r*cos(2*pi*i/k)); the ring closure is
     // idx % segs = 0, i.e. vertex 0 bit-for-bit

@@ -27,7 +27,8 @@ import scala.collection.mutable.ArrayBuffer
   *    [[Pip.containsPoint]]); GEOMETRYCOLLECTION parts union.
   *  - LINESTRING / MULTILINESTRING stroke as width-1 supercover (every
   *    pixel box the projected segment touches) — trajectory/road
-  *    rendering; buffer first for thicker strokes. POINTs light nothing
+  *    rendering; pass `strokeWidthPx` for thicker round-capped capsules.
+  *    POINTs light nothing
   *    (zero extent — density rendering is the point renderer's job).
   *
   * Coordinates past the Web-Mercator domain clamp exactly like point
@@ -49,9 +50,11 @@ object Raster {
     * guaranteed superset of every tile [[rasterize]] can light: a lit
     * pixel's center is an interior point of both the projected geometry
     * and its tile's pixel box, hence the two intersect. */
-  def coverTiles(g: Geom, zoom: Int, size: Int): Array[Long] = {
+  def coverTiles(g: Geom, zoom: Int, size: Int,
+                 padPx: Double = 0.0): Array[Long] = {
     require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
     require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    require(padPx >= 0.0 && padPx <= size, s"cover pad out of [0,size]: $padPx")
     val pg = projectGeom(g, zoom, size)
     if (pg == null) return Array.emptyLongArray
     val env = Geom.envelope(pg)
@@ -61,7 +64,9 @@ object Raster {
       val k = zoom - Tiles.z(id)
       val span = size.toDouble * (1L << k)
       val bx0 = Tiles.x(id) * span; val by0 = Tiles.y(id) * span
-      val pad = span * 1e-9 + 1e-9
+      // padPx inflates for thick strokes (a width-2·padPx capsule can
+      // reach that many pixels past the bare segment)
+      val pad = span * 1e-9 + 1e-9 + padPx
       Pip.boxIntersects(pg, bx0 - pad, by0 - pad,
         bx0 + span + pad, by0 + span + pad)
     }
@@ -75,8 +80,9 @@ object Raster {
     val cn = 1 << startZ
     def clampTile(v: Double): Int =
       math.max(0, math.min(cn - 1, math.floor(v / coarseSpan).toInt))
-    var xi = clampTile(env(0))
-    val x1 = clampTile(env(2)); val y0 = clampTile(env(1)); val y1 = clampTile(env(3))
+    var xi = clampTile(env(0) - padPx)
+    val x1 = clampTile(env(2) + padPx)
+    val y0 = clampTile(env(1) - padPx); val y1 = clampTile(env(3) + padPx)
     while (xi <= x1) {
       var yi = y0
       while (yi <= y1) { recurse(Tiles.pack(startZ, xi, yi)); yi += 1 }
@@ -109,14 +115,23 @@ object Raster {
   }
 
   /** Lit in-tile pixel indices (`py * size + px`, row-major, ascending) of
-    * the geometry's interior over tile `id` rasterized at `size`×`size`. */
-  def rasterize(g: Geom, id: Long, size: Int): Array[Int] = {
+    * the geometry's interior over tile `id` rasterized at `size`×`size`.
+    * `strokeWidthPx > 0` renders linestrings as round-capped capsules of
+    * that width in PIXELS (a pixel lights when its center is within
+    * width/2 of the projected segment — the natural renderer unit, and
+    * one shared distance expression, so even diagonal thick strokes are
+    * closed-form oracle-able); `<= 0` keeps the width-1 supercover.
+    * Polygon fills ignore the width. */
+  def rasterize(g: Geom, id: Long, size: Int,
+                strokeWidthPx: Double = 0.0): Array[Int] = {
     require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    require(strokeWidthPx.isNaN == false && strokeWidthPx <= size,
+      s"stroke width out of range: $strokeWidthPx")
     val z = Tiles.z(id)
     val x0 = Tiles.x(id).toLong * size
     val y0 = Tiles.y(id).toLong * size
     val bits = new java.util.BitSet(size * size)
-    fillInto(g, z, x0, y0, size, bits)
+    fillInto(g, z, x0, y0, size, bits, strokeWidthPx)
     val out = new Array[Int](bits.cardinality())
     var i = bits.nextSetBit(0)
     var k = 0
@@ -127,23 +142,26 @@ object Raster {
   /** Union-fills one geometry (recursing into collection parts): areal
     * interiors scanline-fill; linestrings stroke as width-1 supercover
     * (every pixel box the projected segment touches — trajectory / road
-    * rendering; thicker strokes = buffer the geometry first); points
-    * light nothing (density rendering is the point renderer's job). */
+    * rendering; `strokeWidthPx > 0` widens them to round-capped
+    * capsules); points light nothing (density rendering is the point
+    * renderer's job). */
   private def fillInto(g: Geom, z: Int, x0: Long, y0: Long, size: Int,
-                       bits: java.util.BitSet): Unit = g.geomType match {
+                       bits: java.util.BitSet,
+                       strokeWidthPx: Double): Unit = g.geomType match {
     case GeomTypes.Polygon =>
       fillRings(projectRings(g, g.o0, z, size), x0, y0, size, bits)
     case GeomTypes.MultiPolygon =>
       fillRings(projectRings(g, g.o1, z, size), x0, y0, size, bits)
     case GeomTypes.LineString =>
       val rs = projectRings(g, Array(0, g.numCoords), z, size)
-      strokePath(rs(0)._1, rs(0)._2, x0, y0, size, bits)
+      strokePath(rs(0)._1, rs(0)._2, x0, y0, size, bits, strokeWidthPx)
     case GeomTypes.MultiLineString =>
       projectRings(g, g.o0, z, size).foreach { case (xs, ys) =>
-        strokePath(xs, ys, x0, y0, size, bits)
+        strokePath(xs, ys, x0, y0, size, bits, strokeWidthPx)
       }
     case GeomTypes.Collection =>
-      if (g.parts != null) g.parts.foreach(fillInto(_, z, x0, y0, size, bits))
+      if (g.parts != null)
+        g.parts.foreach(fillInto(_, z, x0, y0, size, bits, strokeWidthPx))
     case _ => () // points: no extent, no pixels
   }
 
@@ -155,11 +173,58 @@ object Raster {
     * of the in-band portion gives the lit column range. */
   private def strokePath(xs: Array[Double], ys: Array[Double],
                          x0: Long, y0: Long, size: Int,
-                         bits: java.util.BitSet): Unit = {
+                         bits: java.util.BitSet,
+                         strokeWidthPx: Double): Unit = {
     var i = 1
     while (i < xs.length) {
-      strokeSegment(xs(i - 1), ys(i - 1), xs(i), ys(i), x0, y0, size, bits)
+      if (strokeWidthPx > 0.0)
+        strokeSegmentWide(xs(i - 1), ys(i - 1), xs(i), ys(i),
+          x0, y0, size, strokeWidthPx / 2.0, bits)
+      else
+        strokeSegment(xs(i - 1), ys(i - 1), xs(i), ys(i), x0, y0, size, bits)
       i += 1
+    }
+  }
+
+  /** Width-`2r` round-capped stroke: pixel center within distance `r`
+    * (pixel units) of the projected segment. One shared expression tree —
+    * the squared point-to-segment distance with a [0,1]-clamped
+    * projection parameter — evaluated per candidate pixel of the
+    * segment's inflated bounding box, so the oracle replicates ANY angle
+    * bit-exactly (q110). The box scan is O((len+2r)·(2r+extent)) per
+    * (segment, tile) — bounded by tile area, exact, no per-piece capsule
+    * algebra to keep in sync with the oracle. */
+  private def strokeSegmentWide(x1: Double, y1: Double, x2: Double,
+                                y2: Double, x0: Long, y0: Long, size: Int,
+                                r: Double, bits: java.util.BitSet): Unit = {
+    val ddx = x2 - x1; val ddy = y2 - y1
+    val len2 = ddx * ddx + ddy * ddy
+    val minX = math.min(x1, x2) - r; val maxX = math.max(x1, x2) + r
+    val minY = math.min(y1, y2) - r; val maxY = math.max(y1, y2) + r
+    val qLo = math.min(size - 1L,
+      math.max(0L, math.floor(minY - 0.5).toLong - y0)).toInt
+    val qHi = math.max(0L,
+      math.min(size - 1L, math.ceil(maxY - 0.5).toLong - y0)).toInt
+    val pLo = math.min(size - 1L,
+      math.max(0L, math.floor(minX - 0.5).toLong - x0)).toInt
+    val pHi = math.max(0L,
+      math.min(size - 1L, math.ceil(maxX - 0.5).toLong - x0)).toInt
+    val r2 = r * r
+    var q = qLo
+    while (q <= qHi) {
+      val cy = y0 + q + 0.5
+      var p = pLo
+      while (p <= pHi) {
+        val cx = x0 + p + 0.5
+        val tRaw = if (len2 == 0.0) 0.0
+          else ((cx - x1) * ddx + (cy - y1) * ddy) / len2
+        val t = math.max(0.0, math.min(1.0, tRaw))
+        val qx = x1 + t * ddx; val qy = y1 + t * ddy
+        val dx = cx - qx; val dy = cy - qy
+        if (dx * dx + dy * dy <= r2) bits.set(q * size + p)
+        p += 1
+      }
+      q += 1
     }
   }
 

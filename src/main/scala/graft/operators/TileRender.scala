@@ -139,7 +139,8 @@ object TileRender {
     * INTERIORS fill (pixel-center, even-odd, half-open — so zone rasters
     * partition the grid with no seams or double-lit shared edges);
     * LINESTRINGs stroke as width-1 supercover (trajectories/roads —
-    * buffer first for thicker strokes); points light nothing (use
+    * `strokeWidthPx` for thicker round-capped capsules); points light
+    * nothing (use
     * [[renderTiles]] for density). Semantics live in
     * [[graft.core.Raster]]. Returns (tile_id, z, x, y, png).
     *
@@ -155,20 +156,30 @@ object TileRender {
     * cover (≤ 4^zoom tiles) — pick zoom accordingly. */
   def renderPolygonTiles(polys: DataFrame, geomCol: String, zoom: Int,
                          size: Int = 256,
-                         weightCol: Option[String] = None): DataFrame = {
+                         weightCol: Option[String] = None,
+                         strokeWidthPx: Double = 0.0): DataFrame = {
     require(zoom >= 0 && zoom <= 29, s"zoom out of [0,29]: $zoom")
     require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    require(strokeWidthPx >= 0.0 && strokeWidthPx <= size,
+      s"stroke width out of [0,size]: $strokeWidthPx")
     Geo.register(polys.sparkSession)
     val w = weightCol.fold(lit(1L))(c => col(c).cast("long"))
+    val cover =
+      if (strokeWidthPx > 0.0)
+        call_function("st_tilecoverraster", col("__g"), lit(zoom), lit(size),
+          lit(strokeWidthPx / 2.0))
+      else
+        call_function("st_tilecoverraster", col("__g"), lit(zoom), lit(size))
+    val raster =
+      if (strokeWidthPx > 0.0)
+        call_function("st_tilerasterize", col("tile_id"), lit(size),
+          col("__g"), lit(strokeWidthPx))
+      else
+        call_function("st_tilerasterize", col("tile_id"), lit(size), col("__g"))
     val cells = polys
       .select(col(geomCol).as("__g"), w.as("__w"))
-      .select(col("__g"), col("__w"),
-        explode(call_function("st_tilecoverraster", col("__g"), lit(zoom),
-          lit(size))).as("tile_id"))
-      .select(col("tile_id"),
-        explode(call_function("st_tilerasterize",
-          col("tile_id"), lit(size), col("__g"))).as("pixel"),
-        col("__w"))
+      .select(col("__g"), col("__w"), explode(cover).as("tile_id"))
+      .select(col("tile_id"), explode(raster).as("pixel"), col("__w"))
       .groupBy("tile_id", "pixel")
       .agg(sum(col("__w")).as("n"))
     renderCells(cells, size)

@@ -245,13 +245,25 @@ object Geo {
     "st_tilecover" -> (a => geo(longArray, "tileCover", a, Seq(G, IntegerType))),
     // scanline polygon rasterization over one tile: lit in-tile pixel
     // indices (pixel-center, even-odd, half-open fill — core/Raster.scala)
-    "st_tilerasterize" -> (a => geo(ArrayType(IntegerType, containsNull = false),
-      "tileRasterize", a, Seq(LongType, IntegerType, G))),
+    "st_tilerasterize" -> { a =>
+      val arr = ArrayType(IntegerType, containsNull = false)
+      // optional 4th arg: stroke width in pixels (round-capped capsule
+      // for linestrings; polygon fills ignore it)
+      if (a.size >= 4)
+        geo(arr, "tileRasterizeW", a,
+          Seq(LongType, IntegerType, G, DoubleType))
+      else geo(arr, "tileRasterize", a, Seq(LongType, IntegerType, G))
+    },
     // projected-space cover matched to st_tilerasterize's fill (superset
     // of every tile the fill can light; the geographic st_tilecover can
     // prune slanted-edge tiles whose projected interior still renders)
-    "st_tilecoverraster" -> (a => geo(longArray, "tileCoverRaster", a,
-      Seq(G, IntegerType, IntegerType))),
+    "st_tilecoverraster" -> { a =>
+      // optional 4th arg: pad in pixels (stroke width / 2)
+      if (a.size >= 4)
+        geo(longArray, "tileCoverRasterW", a,
+          Seq(G, IntegerType, IntegerType, DoubleType))
+      else geo(longArray, "tileCoverRaster", a, Seq(G, IntegerType, IntegerType))
+    },
     // --- grid (kNN ring expansion)
     "st_gridcell" -> (a => geo(LongType, "gridCell", a,
       Seq(DoubleType, DoubleType, DoubleType))),

@@ -465,6 +465,13 @@ object GeoOps {
   def tileCoverRaster(g: InternalRow, z: Int, size: Int): ArrayData =
     GeoStruct.longArray(Raster.coverTiles(GeoStruct.decode(g), z, size))
 
+  /** [[tileCoverRaster]] inflated by `padPx` pixels (thick-stroke cover:
+    * pad with width/2 so capsule pixels past the bare segment keep their
+    * tiles). */
+  def tileCoverRasterW(g: InternalRow, z: Int, size: Int,
+                       padPx: Double): ArrayData =
+    GeoStruct.longArray(Raster.coverTiles(GeoStruct.decode(g), z, size, padPx))
+
   /** Scanline rasterization of a polygon's interior over one z/x/y tile:
     * lit in-tile pixel indices at `size`×`size` (see [[graft.core.Raster]]
     * for the exact pixel-center / half-open fill semantics). Decode is
@@ -472,6 +479,12 @@ object GeoOps {
     * arrives once per covered tile. */
   def tileRasterize(id: Long, size: Int, g: InternalRow): ArrayData =
     GeoStruct.intArray(Raster.rasterize(decodeCached(g), id, size))
+
+  /** [[tileRasterize]] with a stroke width in PIXELS for linestrings
+    * (round-capped capsule; polygons fill regardless). */
+  def tileRasterizeW(id: Long, size: Int, g: InternalRow,
+                     widthPx: Double): ArrayData =
+    GeoStruct.intArray(Raster.rasterize(decodeCached(g), id, size, widthPx))
 
   // ------------------------------------------------------------ grid (kNN)
 

@@ -292,6 +292,63 @@ class RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("thick strokes match the capsule distance predicate; cover superset holds") {
+    val rnd = new scala.util.Random(41)
+    val size = 64
+    for (trial <- 0 until 120) {
+      val z = 2 + rnd.nextInt(3)
+      val ax = rnd.nextDouble() * 280 - 140
+      val ay = rnd.nextDouble() * 110 - 55
+      val bx = ax + rnd.nextDouble() * 60 - 30
+      val by = ay + rnd.nextDouble() * 30 - 15
+      val width = 0.5 + rnd.nextDouble() * 7.0 // pixels
+      val r = width / 2.0
+      val g = Geom(GeomTypes.LineString, Dims.XY, Array(ax, ay, bx, by))
+      val x1 = Tiles.worldPixelXD(ax, z, size)
+      val y1 = Tiles.worldPixelYD(ay, z, size)
+      val x2 = Tiles.worldPixelXD(bx, z, size)
+      val y2 = Tiles.worldPixelYD(by, z, size)
+      val ddx = x2 - x1; val ddy = y2 - y1
+      val len2 = ddx * ddx + ddy * ddy
+      def inCapsule(cx: Double, cy: Double): Boolean = {
+        val tRaw = if (len2 == 0.0) 0.0
+          else ((cx - x1) * ddx + (cy - y1) * ddy) / len2
+        val t = math.max(0.0, math.min(1.0, tRaw))
+        val dx = cx - (x1 + t * ddx); val dy = cy - (y1 + t * ddy)
+        dx * dx + dy * dy <= r * r
+      }
+      val cov = Raster.coverTiles(g, z, size, padPx = r)
+      // per covered tile: exact per-pixel match against the predicate
+      for (id <- cov) {
+        val tx0 = Tiles.x(id).toLong * size
+        val ty0 = Tiles.y(id).toLong * size
+        val got = Raster.rasterize(g, id, size, width).toSet
+        val want = (for {
+          q <- 0 until size
+          p <- 0 until size
+          if inCapsule(tx0 + p + 0.5, ty0 + q + 0.5)
+        } yield q * size + p).toSet
+        assert(got == want, s"trial $trial width=$width tile " +
+          s"${Tiles.x(id)}/${Tiles.y(id)} z=$z")
+      }
+      // superset: every lit tile of the envelope lattice is covered
+      if (trial % 10 == 0) {
+        val n = 1 << z
+        val ex0 = math.max(0, Tiles.tileX(math.min(ax, bx), z) - 1)
+        val ex1 = math.min(n - 1, Tiles.tileX(math.max(ax, bx), z) + 1)
+        val ey0 = math.max(0, Tiles.tileY(math.max(ay, by), z) - 1)
+        val ey1 = math.min(n - 1, Tiles.tileY(math.min(ay, by), z) + 1)
+        val lit = (for {
+          xi <- ex0 to ex1; yi <- ey0 to ey1
+          id = Tiles.pack(z, xi, yi)
+          if Raster.rasterize(g, id, size, width).nonEmpty
+        } yield id).toSet
+        assert(lit.subsetOf(cov.toSet),
+          s"trial $trial: padded cover missed ${lit -- cov.toSet}")
+      }
+    }
+  }
+
   test("multilinestring strokes union; stroke pixels are connected per tile") {
     val z = 2; val size = 128
     val a = Geom(GeomTypes.LineString, Dims.XY, Array[Double](-50, -20, 10, 25))

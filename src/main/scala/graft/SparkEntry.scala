@@ -1596,6 +1596,73 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q111_merge_read" -> { (s, d) =>
+      prep(s, d)
+      // Iceberg-v2-style row-level UPSERT + DELETE (equality tombstones,
+      // merge-on-read): snapshot 1 writes every key at version v1;
+      // snapshot 2 merges v2 rows for orderkey%5==0 plus brand-new keys
+      // for orderkey%97==0; snapshot 3 deletes the current rows with
+      // linenumber 4. readCurrent resolves latest-per-key minus
+      // tombstones — the oracle recomputes the final state in pure SQL.
+      val dir = pipelineDir("q111")
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("key", concat(lit("k"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+      val b = Pipeline.withBucket(pts, "lon", "lat", 3)
+      Pipeline.writeSnapshot(b.withColumn("ver", lit("v1")), dir, 1L,
+        keyCol = "key", bytesCol = "__none")
+      val upd = b.filter(col("l_orderkey") % 5 === 0)
+        .withColumn("ver", lit("v2"))
+      val fresh = b.filter(col("l_orderkey") % 97 === 0)
+        .withColumn("key", concat(col("key"), lit("_new")))
+        .withColumn("ver", lit("v1new"))
+      Pipeline.mergeSnapshot(upd.unionByName(fresh), dir, 2L,
+        mergeKeyCol = "key", bytesCol = "__none")
+      Pipeline.deleteWhere(s, dir, col("l_linenumber") === 4, 3L,
+        keyCol = "key")
+      Pipeline.readCurrent(s, dir, keyCol = "key")
+        .select(col("key"), col("ver"),
+          col("snapshot_id").cast("long").as("snap"))
+        .orderBy("key")
+    },
+    "q112_merge_compact" -> { (s, d) =>
+      prep(s, d)
+      // compaction under row-level ops: same table as q111, then the
+      // maintenance pass bakes the tombstones into the base snapshot and
+      // retires them. The merged view must be unchanged (same oracle
+      // rows, every snap relabeled to the base), raw storage must hold
+      // exactly the surviving rows (no masked versions), and the delete
+      // set must be empty — all asserted in-query or by the oracle.
+      val dir = pipelineDir("q112")
+      val pts = s.sql(ptsCteOn("lineitem_par"))
+        .withColumn("key", concat(lit("k"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+      val b = Pipeline.withBucket(pts, "lon", "lat", 3)
+      Pipeline.writeSnapshot(b.withColumn("ver", lit("v1")), dir, 1L,
+        keyCol = "key", bytesCol = "__none")
+      val upd = b.filter(col("l_orderkey") % 5 === 0)
+        .withColumn("ver", lit("v2"))
+      val fresh = b.filter(col("l_orderkey") % 97 === 0)
+        .withColumn("key", concat(col("key"), lit("_new")))
+        .withColumn("ver", lit("v1new"))
+      Pipeline.mergeSnapshot(upd.unionByName(fresh), dir, 2L,
+        mergeKeyCol = "key", bytesCol = "__none")
+      Pipeline.deleteWhere(s, dir, col("l_linenumber") === 4, 3L,
+        keyCol = "key")
+      val manifest = Pipeline.compactSnapshots(s, dir, 3L, keyCol = "key",
+        bytesCol = "__none")
+      require(s.read.parquet(s"$dir/deletes").count() == 0,
+        "compaction must retire the applied tombstones")
+      val raw = s.read.parquet(s"$dir/data")
+      val cur = Pipeline.readCurrent(s, dir, keyCol = "key")
+      require(raw.count() == cur.count(),
+        "raw storage must hold exactly the merged view after compaction")
+      require(Pipeline.dataFileCount(dir) == manifest.count(),
+        "compaction must leave one file per bucket")
+      cur.select(col("key"), col("ver"),
+          col("snapshot_id").cast("long").as("snap"))
+        .orderBy("key")
+    },
     "q109_buffer" -> { (s, d) =>
       prep(s, d)
       // point buffer, COORDINATE-EXACT oracle: each disc vertex is one
@@ -2940,6 +3007,39 @@ object SparkEntry {
     // box and evaluate the SAME clamped-projection point-to-segment
     // distance expression the kernel uses (r = 2.5 px), sum weights per
     // pixel, clamp, re-derive per-tile lit + gray
+    // row-level merge/delete: recompute the final table state in pure SQL —
+    // latest version per key (v2 where merged, the _new inserts), minus the
+    // deleted linenumber-4 rows; snap is the winning version's snapshot
+    "q111_merge_read" ->
+      """WITH p AS (SELECT concat('k', l_orderkey, '_', l_linenumber) AS key,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |cur AS (
+        |  SELECT key, l_linenumber, 'v1' AS ver, 1 AS snap
+        |  FROM p WHERE l_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT key, l_linenumber, 'v2' AS ver, 2 AS snap
+        |  FROM p WHERE l_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT key || '_new' AS key, l_linenumber, 'v1new' AS ver, 2 AS snap
+        |  FROM p WHERE l_orderkey % 97 = 0)
+        |SELECT key, ver, CAST(snap AS BIGINT) AS snap
+        |FROM cur WHERE l_linenumber <> 4
+        |ORDER BY key""".stripMargin,
+    // after compaction the merged view is unchanged but every surviving row
+    // is relabeled to the base snapshot (snap = 3, the squash point)
+    "q112_merge_compact" ->
+      """WITH p AS (SELECT concat('k', l_orderkey, '_', l_linenumber) AS key,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |cur AS (
+        |  SELECT key, l_linenumber, 'v1' AS ver FROM p WHERE l_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT key, l_linenumber, 'v2' AS ver FROM p WHERE l_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT key || '_new' AS key, l_linenumber, 'v1new' AS ver
+        |  FROM p WHERE l_orderkey % 97 = 0)
+        |SELECT key, ver, CAST(3 AS BIGINT) AS snap
+        |FROM cur WHERE l_linenumber <> 4
+        |ORDER BY key""".stripMargin,
     "q110_thick_stroke" ->
       """WITH s AS (SELECT n_nationkey AS k, n_nationkey % 9 + 1 AS w,
         |    CAST(-150.3 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(9.7 AS DOUBLE) AS gx1,

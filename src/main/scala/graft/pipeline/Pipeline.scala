@@ -67,6 +67,18 @@ object Pipeline {
       // long depends on the values present) — pin them so manifests from
       // different snapshots always share one schema
       .withColumn("bucket", col("bucket").cast("long"))
+    val manifest = manifestOf(written, snapshotId, keyCol, bytesCol)
+    manifest.write.mode(SaveMode.Append).parquet(s"$tableDir/manifests")
+    // snapshot log (Iceberg-style metadata trail)
+    appendLogLine(tableDir,
+      s"""{"snapshot_id":$snapshotId,"ts":${System.currentTimeMillis()}}""")
+    manifest
+  }
+
+  /** Per-bucket lineage row (rows, bytes, key range) over already-written
+    * snapshot data — shared by `writeSnapshot` and the compaction rebuild. */
+  private def manifestOf(written: DataFrame, snapshotId: Long,
+                         keyCol: String, bytesCol: String): DataFrame = {
     val bytesAgg =
       if (written.columns.contains(bytesCol))
         sum(length(col(bytesCol)).cast("long"))
@@ -75,17 +87,12 @@ object Pipeline {
       if (written.columns.contains(keyCol))
         (min(col(keyCol).cast("string")), max(col(keyCol).cast("string")))
       else (lit(null).cast("string"), lit(null).cast("string"))
-    val manifest = written.groupBy(col("bucket"))
+    written.groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("rows"),
         bytesAgg.as("bytes"),
         minKey.as("min_key"), maxKey.as("max_key"))
       .withColumn("snapshot_id", lit(snapshotId))
-    manifest.write.mode(SaveMode.Append).parquet(s"$tableDir/manifests")
-    // snapshot log (Iceberg-style metadata trail)
-    appendLogLine(tableDir,
-      s"""{"snapshot_id":$snapshotId,"ts":${System.currentTimeMillis()}}""")
-    manifest
   }
 
   private val logLock = new Object
@@ -143,6 +150,89 @@ object Pipeline {
       .filter(col("snapshot_id") > fromExclusive &&
         col("snapshot_id") <= toInclusive)
 
+  // ---- row-level operations (Iceberg v2 equality-delete semantics) ----
+  //
+  // The table is append-only at the file level; row-level UPSERT/DELETE is
+  // merge-on-read: a `deletes/` parquet dir holds equality tombstones
+  // (del_key, delete_snapshot), and a tombstone masks every data row of
+  // that key committed BEFORE the tombstone's snapshot (strictly older —
+  // the version a merge appends in the same snapshot survives). Readers
+  // resolve current state with one anti-join on key; compaction applies
+  // the tombstones to the rewritten base and retires them, so the live
+  // delete set stays bounded by the merge traffic since the last
+  // maintenance pass (exactly Iceberg's v2 contract: merge-on-read
+  // between compactions, copy-on-write at compaction). Keys compare as
+  // strings (the manifests' key-range convention). Snapshot ids must be
+  // assigned monotonically — a tombstone can only mask snapshots below it.
+
+  /** UPSERT: append `updates` (already bucketed) as snapshot `snapshotId`
+    * and tombstone every older version of its keys. New keys insert,
+    * existing keys replace — including rows whose coordinates moved to a
+    * different bucket (masking is by key, not by bucket). Returns the
+    * appended snapshot's manifest.
+    *
+    * Not atomic across the two dirs: a crash between the data append and
+    * the tombstone write leaves both versions visible (append-only view);
+    * clean up by re-writing the tombstones for `snapshotId`. On an object
+    * store both writes ride one catalog CAS commit. */
+  def mergeSnapshot(updates: DataFrame, tableDir: String, snapshotId: Long,
+                    mergeKeyCol: String,
+                    bytesCol: String = "bytes",
+                    filesPerBucket: Int = 1): DataFrame = {
+    val manifest = writeSnapshot(updates, tableDir, snapshotId,
+      keyCol = mergeKeyCol, bytesCol = bytesCol,
+      filesPerBucket = filesPerBucket)
+    val dels = updates
+      .select(col(mergeKeyCol).cast("string").as("del_key")).distinct()
+      .withColumn("delete_snapshot", lit(snapshotId))
+    dels.write.mode(SaveMode.Append).parquet(s"$tableDir/deletes")
+    appendLogLine(tableDir,
+      s"""{"merge_snapshot":$snapshotId,"ts":${System.currentTimeMillis()}}""")
+    manifest
+  }
+
+  /** Row-level DELETE: tombstone the keys of the CURRENT rows matching
+    * `cond` (predicate evaluated against the merged view, like SQL DELETE
+    * WHERE). No data files are touched — compaction reclaims the space.
+    * Returns the tombstone DataFrame written. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  cond: org.apache.spark.sql.Column, snapshotId: Long,
+                  keyCol: String = "image_id"): DataFrame = {
+    val keys = readCurrent(spark, tableDir, keyCol = keyCol)
+      .filter(cond)
+      .select(col(keyCol).cast("string").as("del_key")).distinct()
+      .withColumn("delete_snapshot", lit(snapshotId))
+    keys.write.mode(SaveMode.Append).parquet(s"$tableDir/deletes")
+    appendLogLine(tableDir,
+      s"""{"delete_snapshot":$snapshotId,"ts":${System.currentTimeMillis()}}""")
+    keys
+  }
+
+  /** Merged (current-state) read at snapshot `asOf` (default: latest):
+    * data rows visible at `asOf`, minus rows masked by a newer-than-row
+    * tombstone visible at `asOf`. The tombstone side is the small side —
+    * bounded by merge/delete traffic since the last compaction — so the
+    * anti-join broadcasts and the 100-TB data side never shuffles; if the
+    * delete set outgrows the broadcast threshold the join degrades to a
+    * shuffled hash anti-join on the key equi-component, which is the
+    * signal to run `compactSnapshots`. */
+  def readCurrent(spark: SparkSession, tableDir: String,
+                  asOf: Long = Long.MaxValue,
+                  keyCol: String = "image_id"): DataFrame = {
+    val data = spark.read.parquet(s"$tableDir/data")
+      .filter(col("snapshot_id") <= asOf)
+    val delPath = Paths.get(tableDir, "deletes")
+    if (!Files.exists(delPath)) data
+    else {
+      val dels = spark.read.parquet(delPath.toString)
+        .filter(col("delete_snapshot") <= asOf)
+      data.join(dels,
+        data(keyCol).cast("string") === dels("del_key") &&
+          dels("delete_snapshot") > data("snapshot_id"),
+        "left_anti")
+    }
+  }
+
   /** Spatial data skipping: buckets are z/x/y tiles, so the partition value
     * itself knows which part of the world each partition covers. The tile-
     * envelope intersection is expressed directly over the `bucket` partition
@@ -192,15 +282,36 @@ object Pipeline {
                        upToSnapshotId: Long,
                        filesPerBucket: Int = 1,
                        beforeManifestSwap: () => Unit = () => (),
-                       afterFence: () => Unit = () => ()): DataFrame = {
+                       afterFence: () => Unit = () => (),
+                       keyCol: String = "image_id",
+                       bytesCol: String = "bytes"): DataFrame = {
     import java.nio.file.{Files => F}
     val dataDir = Paths.get(tableDir, "data")
+    val delDir = Paths.get(tableDir, "deletes")
     // 1. rewrite the squashed range, partitioned by bucket only, to a temp
-    // subtree (reads prune to snapshot_id<=N directories — PartitionFilters)
-    val base = spark.read.parquet(dataDir.toString)
+    // subtree (reads prune to snapshot_id<=N directories — PartitionFilters).
+    // Equality tombstones at or below the squash point are APPLIED here
+    // (their masked rows simply don't travel into the base snapshot) and
+    // retired in step 4 — this is the copy-on-write leg of the v2
+    // contract, and what keeps the live delete set bounded.
+    val raw = spark.read.parquet(dataDir.toString)
       .filter(col("snapshot_id") <= upToSnapshotId)
       .withColumn("bucket", col("bucket").cast("long"))
-      .drop("snapshot_id")
+    val tombstonesApplied = F.exists(delDir) &&
+      spark.read.parquet(delDir.toString)
+        .filter(col("delete_snapshot") <= upToSnapshotId)
+        .limit(1).count() > 0
+    val applied =
+      if (!tombstonesApplied) raw
+      else {
+        val dels = spark.read.parquet(delDir.toString)
+          .filter(col("delete_snapshot") <= upToSnapshotId)
+        raw.join(dels,
+          raw(keyCol).cast("string") === dels("del_key") &&
+            dels("delete_snapshot") > raw("snapshot_id"),
+          "left_anti")
+      }
+    val base = applied.drop("snapshot_id")
     val tmp = Paths.get(tableDir, s"compact_tmp_$upToSnapshotId")
     val parted =
       if (filesPerBucket > 1)
@@ -259,12 +370,30 @@ object Pipeline {
           "writers across 5 merge attempts — quiesce writers and retry")
       val listingAtRead = manifestParts()
       val m = spark.read.parquet(manifestsDir.toString)
-      val squashed = m.filter(col("snapshot_id") <= upToSnapshotId)
-        .groupBy(col("bucket"))
-        .agg(sum("rows").as("rows"), sum("bytes").as("bytes"),
-          min("min_key").as("min_key"), max("max_key").as("max_key"))
-        .withColumn("snapshot_id", lit(upToSnapshotId))
-        .select(m.columns.map(col): _*)
+      // Summing the old manifest rows is exact only when every squashed row
+      // survived the rewrite; once tombstones dropped rows, rebuild the base
+      // manifest from the compacted files themselves (pure IO over the
+      // already-reduced output — the same derivation writeSnapshot uses).
+      val squashed0 =
+        if (!tombstonesApplied)
+          m.filter(col("snapshot_id") <= upToSnapshotId)
+            .groupBy(col("bucket"))
+            .agg(sum("rows").as("rows"), sum("bytes").as("bytes"),
+              min("min_key").as("min_key"), max("max_key").as("max_key"))
+            .withColumn("snapshot_id", lit(upToSnapshotId))
+        else {
+          val hasFiles = {
+            val s = F.walk(target)
+            try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+          if (!hasFiles) m.filter(lit(false)) // every row tombstoned
+          else manifestOf(
+            spark.read.parquet(target.toString)
+              .withColumn("bucket", col("bucket").cast("long")),
+            upToSnapshotId, keyCol, bytesCol)
+        }
+      val squashed = squashed0.select(m.columns.map(col): _*)
       val newManifest = squashed.unionByName(
         m.filter(col("snapshot_id") > upToSnapshotId))
       newManifest.write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
@@ -296,6 +425,51 @@ object Pipeline {
         }
         .foreach(p => F.move(p, manifestsDir.resolve(p.getFileName)))
       finally s.close()
+    }
+    // 4. retire the applied tombstones: rewrite `deletes/` keeping only
+    // delete_snapshot > upTo (older ones are baked into the compacted
+    // base). Same fence + rename-aside + straggler-reconcile discipline as
+    // the manifests: a deleteWhere/mergeSnapshot committing tombstones
+    // during this window must never lose them. A straggler necessarily has
+    // delete_snapshot > upTo (snapshot ids are monotonic), so moving its
+    // part file verbatim is exactly what the filter would have kept.
+    if (tombstonesApplied) {
+      def delParts(): Set[String] = {
+        val s = F.list(delDir)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+      val dTmp = Paths.get(tableDir, s"deletes_tmp_$upToSnapshotId")
+      var dAttempts = 0
+      var dFenced = false
+      var dMerged = Set.empty[String]
+      while (!dFenced) {
+        dAttempts += 1
+        require(dAttempts <= 5,
+          "compactSnapshots: deletes kept changing under concurrent " +
+            "writers across 5 rewrite attempts — quiesce writers and retry")
+        val listingAtRead = delParts()
+        spark.read.parquet(delDir.toString)
+          .filter(col("delete_snapshot") > upToSnapshotId)
+          .repartition(1) // one part even when empty — dir stays readable
+          .write.mode(SaveMode.Overwrite).parquet(dTmp.toString)
+        dFenced = delParts() == listingAtRead
+        if (dFenced) dMerged = listingAtRead
+      }
+      val dAside = aside.resolve("deletes_old")
+      F.move(delDir, dAside)
+      F.move(dTmp, delDir)
+      locally {
+        val s = F.list(dAside)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !dMerged.contains(n)
+          }
+          .foreach(p => F.move(p, delDir.resolve(p.getFileName)))
+        finally s.close()
+      }
     }
     // both swaps landed — the aside copies are now the only stale state
     deleteRecursively(aside)

@@ -237,6 +237,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readSnapshot(spark, dir, 2L).count() == 2000L)
   }
 
+  test("mergeSnapshot upserts: new keys insert, existing replace — even across buckets") {
+    val dir = freshDir("merge")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 2000L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images, dir, 1L)
+    // updates: 300 replaced captions, 100 of them MOVED to a different
+    // bucket (lon shifted), plus 50 brand-new keys
+    val replaced = images.filter(col("image_id") < "img000000300")
+      .withColumn("caption", concat(lit("v2_"), col("caption")))
+    val moved = Pipeline.withBucket(
+      replaced.filter(col("image_id") < "img000000100")
+        .withColumn("lon", -col("lon")).drop("bucket"), "lon", "lat", zoom = 3)
+    val updates = replaced.filter(col("image_id") >= "img000000100")
+      .unionByName(moved)
+      .unionByName(images.filter(col("image_id") < "img000000050")
+        .withColumn("image_id", concat(col("image_id"), lit("_new"))))
+    Pipeline.mergeSnapshot(updates, dir, 2L, mergeKeyCol = "image_id")
+
+    val cur = Pipeline.readCurrent(spark, dir)
+    assert(cur.count() == 2050L)
+    // exactly one version per key survives
+    assert(cur.groupBy("image_id").count().filter(col("count") > 1).count() == 0)
+    // replaced keys carry the v2 caption — including the moved-bucket ones
+    val v2 = cur.filter(col("image_id") < "img000000300" &&
+      !col("image_id").endsWith("_new"))
+    assert(v2.count() == 300L)
+    assert(v2.filter(col("caption").startsWith("v2_")).count() == 300L)
+    // time travel: the pre-merge view still shows version 1
+    val asOf1 = Pipeline.readCurrent(spark, dir, asOf = 1L)
+    assert(asOf1.count() == 2000L)
+    assert(asOf1.filter(col("caption").startsWith("v2_")).count() == 0)
+  }
+
+  test("deleteWhere tombstones current rows; compaction applies and retires them") {
+    val dir = freshDir("rowdel")
+    val images = Pipeline.withBucket(
+      ImagesTable.generate(spark, 1500L), "lon", "lat", zoom = 3)
+    Pipeline.writeSnapshot(images, dir, 1L)
+    val upd = images.filter(col("image_id") < "img000000200")
+      .withColumn("caption", lit("v2"))
+    Pipeline.mergeSnapshot(upd, dir, 2L, mergeKeyCol = "image_id")
+    Pipeline.deleteWhere(spark, dir, col("image_id") >= "img000001400", 3L)
+
+    val expect = Pipeline.readCurrent(spark, dir)
+      .select("image_id", "caption").collect().map(_.toString).sorted.toSeq
+    assert(expect.size == 1400)
+    // the merged view hides the masked versions but the delete set is live
+    assert(spark.read.parquet(s"$dir/deletes").count() > 0)
+
+    val manifest = Pipeline.compactSnapshots(spark, dir, 3L)
+    // tombstones are baked into the base snapshot and retired
+    assert(spark.read.parquet(s"$dir/deletes").count() == 0)
+    val after = Pipeline.readCurrent(spark, dir)
+      .select("image_id", "caption").collect().map(_.toString).sorted.toSeq
+    assert(after == expect)
+    // raw storage holds exactly the current rows now — no masked versions
+    assert(spark.read.parquet(s"$dir/data").count() == 1400L)
+    // the rebuilt manifest counts the surviving rows, not the appended ones
+    assert(manifest.agg(sum("rows")).collect()(0).getLong(0) == 1400L)
+    assert(Pipeline.dataFileCount(dir) == manifest.count())
+    // a tombstone committed after the squash point still masks the base
+    Pipeline.deleteWhere(spark, dir, col("caption") === "v2", 4L)
+    assert(Pipeline.readCurrent(spark, dir).count() == 1200L)
+  }
+
   test("snapshot log appends are whole-line atomic under concurrent writers") {
     // hammer the log-append primitive from many threads (what concurrent
     // writeSnapshot commits reduce to); every line must come out complete —

@@ -1596,6 +1596,20 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q113_kmeans" -> { (s, d) =>
+      prep(s, d)
+      // in-engine IVF codebook training: 2 distributed Lloyd's iterations,
+      // k=4, over the embeddings table. Every step is exact-replicable —
+      // md5 total-order seeding, argmin-L2 assignment with ordered double
+      // folds, FIXED-POINT integer centroid sums (addition-order-free, so
+      // the trained model is invariant to partitioning/retries) — and the
+      // oracle re-runs both iterations in SQL: final centroids and
+      // cluster sizes match bit-for-bit.
+      val emb = par(s.table("embeddings"))
+      val (_, summary) =
+        Ann.trainKmeans(emb, "embedding", "vec_id", k = 4, iters = 2)
+      summary.orderBy("c", "i")
+    },
     "q111_merge_read" -> { (s, d) =>
       prep(s, d)
       // Iceberg-v2-style row-level UPSERT + DELETE (equality tombstones,
@@ -1844,6 +1858,15 @@ object SparkEntry {
   }
 
   // =====================================================================
+
+  // --- DuckDB k-means L2² replica: the engine's argminL2 fold, verbatim —
+  // terms (e[i]-c[i])² in index order, left-folded from 0.0, all double
+  private def kmDist(e: String, c: String): String =
+    s"""list_reduce([CAST(0 AS DOUBLE)] ||
+       |      [ (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+       |        * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+       |        FOR i IN generate_series(1, 64)],
+       |      (a, x) -> a + x)""".stripMargin
 
   // --- DuckDB splitmix64 replica (SQL text generator) -------------------
   // 64-bit wraparound arithmetic via HUGEINT with 32-bit split
@@ -3007,6 +3030,44 @@ object SparkEntry {
     // box and evaluate the SAME clamped-projection point-to-segment
     // distance expression the kernel uses (r = 2.5 px), sum weights per
     // pixel, clamp, re-derive per-tile lit + gray
+    // k-means training: replicate both Lloyd's iterations exactly — same
+    // seed order (md5 strings), same argmin (ordered double fold, ties to
+    // the lowest cluster), same fixed-point integer centroid update
+    "q113_kmeans" ->
+      s"""WITH hs AS (SELECT vec_id, embedding,
+         |    md5(CAST(vec_id AS VARCHAR)) AS hh FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS c,
+         |    embedding AS cen
+         |  FROM hs ORDER BY hh, vec_id LIMIT 4),
+         |d1 AS (SELECT e.vec_id, e.embedding, c0.c,
+         |    ${kmDist("e.embedding", "c0.cen")} AS dist
+         |  FROM hs e, c0),
+         |a1 AS (SELECT vec_id, embedding, c FROM
+         |    (SELECT vec_id, embedding, c,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         |     FROM d1) WHERE rn = 1),
+         |s1 AS (SELECT c, i,
+         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i),
+         |c1 AS (SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |      / 1048576.0 AS FLOAT) ORDER BY i) AS cen
+         |  FROM s1 GROUP BY c),
+         |d2 AS (SELECT e.vec_id, e.embedding, c1.c,
+         |    ${kmDist("e.embedding", "c1.cen")} AS dist
+         |  FROM hs e, c1),
+         |a2 AS (SELECT vec_id, embedding, c FROM
+         |    (SELECT vec_id, embedding, c,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         |     FROM d2) WHERE rn = 1),
+         |s2 AS (SELECT c, i,
+         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i)
+         |SELECT CAST(c AS INT) AS c, CAST(i - 1 AS INT) AS i,
+         |  CAST(n AS BIGINT) AS cnt,
+         |  CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT) AS DOUBLE) AS val
+         |FROM s2 ORDER BY c, i""".stripMargin,
     // row-level merge/delete: recompute the final table state in pure SQL —
     // latest version per key (v2 where merged, the _new inserts), minus the
     // deleted linenumber-4 rows; snap is the winning version's snapshot

@@ -123,6 +123,10 @@ object functions {
     f("vec_lshbucket")(a, bits, seed)
   def vec_argmax_centroid(v: Column, codebook: Column): Column =
     f("vec_argmax_centroid")(v, codebook)
+  def vec_argmin_l2(v: Column, codebook: Column): Column =
+    f("vec_argmin_l2")(v, codebook)
+  def vec_fixed(v: Column, scaleBits: Column): Column =
+    f("vec_fixed")(v, scaleBits)
   def vec_topcentroids(v: Column, codebook: Column, nprobe: Column): Column =
     f("vec_topcentroids")(v, codebook, nprobe)
   def img_meta(bytes: Column): Column = f("img_meta")(bytes)

@@ -16,6 +16,68 @@ import graft.sql.Geo
   */
 object Ann {
 
+  /** Distributed Lloyd's k-means — trains the IVF codebook in-engine
+    * instead of requiring a pre-supplied one ([[ivfTopK]]'s "first nlist
+    * vectors" stand-in). Fully deterministic, bit-for-bit, under ANY
+    * partitioning / retry / speculative-execution schedule:
+    *
+    *  - seeding: the k rows with the smallest (md5(id), id) — a total
+    *    order both engines can replicate (strings, no sign pitfalls);
+    *  - assignment: `vec_argmin_l2` against the broadcast flat codebook —
+    *    one codegen'd map-side projection, ZERO data shuffle (the same
+    *    shape as IVF assignment);
+    *  - update: per-dimension FIXED-POINT sums (`vec_fixed`,
+    *    floor(v·2^20+0.5) longs). Integer addition commutes, so the
+    *    reduction is partition-order-free — a double sum would make the
+    *    trained model depend on the task schedule. The only shuffle per
+    *    iteration is the partial-aggregated k·dim group rows.
+    *
+    * Driver state is the codebook itself (k·dim floats) — model, not
+    * data. Empty clusters keep their previous centroid (cnt 0).
+    *
+    * Returns (flat row-major codebook — feed straight to [[ivfTopK]]-style
+    * probes — and a summary DataFrame (c, i, cnt, val) of the final
+    * centroids with last-iteration cluster sizes). */
+  def trainKmeans(data: DataFrame, vecCol: String, idCol: String, k: Int,
+                  iters: Int, scaleBits: Int = 20): (Array[Float], DataFrame) = {
+    val spark = data.sparkSession
+    Geo.register(spark)
+    val scale = (1L << scaleBits).toDouble
+    val seedRows = data
+      .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .select(col(vecCol)).collect()
+    require(seedRows.length == k, s"k-means needs >= $k rows")
+    var codebook: Array[Float] =
+      seedRows.flatMap(_.getSeq[Float](0)).toArray
+    val dim = codebook.length / k
+    var counts = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val sums = data
+        .withColumn("__c",
+          call_function("vec_argmin_l2", col(vecCol), lit(codebook)))
+        .select(col("__c"),
+          posexplode(call_function("vec_fixed", col(vecCol), lit(scaleBits))))
+        .groupBy(col("__c"), col("pos"))
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val newCb = codebook.clone()
+      counts = Array.fill(k)(0L)
+      sums.foreach { r =>
+        val c = r.getInt(0); val pos = r.getInt(1)
+        val s = r.getLong(2); val n = r.getLong(3)
+        newCb(c * dim + pos) = ((s.toDouble / n.toDouble) / scale).toFloat
+        counts(c) = n
+      }
+      codebook = newCb
+    }
+    import spark.implicits._
+    val rows = for (c <- 0 until k; i <- 0 until dim)
+      yield (c, i, counts(c), codebook(c * dim + i).toDouble)
+    (codebook, rows.toDF("c", "i", "cnt", "val"))
+  }
+
   /** Exact top-k by cosine for each query row. Output: qid, rank, id, cos. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, qidCol: String, qvecCol: String,

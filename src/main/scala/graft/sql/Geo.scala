@@ -381,6 +381,11 @@ object Geo {
       Seq(BinaryType, FloatType, FloatType, floatArray))),
     "vec_argmax_centroid" -> (a => vec(IntegerType, "argmaxCentroid", a,
       Seq(floatArray, floatArray))),
+    // k-means assignment (min-L2²) + order-free fixed-point accumulation
+    "vec_argmin_l2" -> (a => vec(IntegerType, "argminL2", a,
+      Seq(floatArray, floatArray))),
+    "vec_fixed" -> (a => vec(ArrayType(LongType, containsNull = false),
+      "fixedPoint", a, Seq(floatArray, IntegerType))),
     "vec_topcentroids" -> (a => vec(ArrayType(IntegerType, containsNull = false),
       "topCentroids", a, Seq(floatArray, floatArray, IntegerType))),
     // --- aggregates (kernels K6/K8)

@@ -64,6 +64,52 @@ object VecOps {
     best
   }
 
+  /** Index of the min-L2² centroid in a flattened row-major codebook
+    * (k*dim floats), ties to the lowest index — the k-means assignment
+    * step (Lloyd's iterations minimize squared Euclidean distance;
+    * [[argmaxCentroid]]'s cosine is the IVF probe metric). Double
+    * accumulation in index order, so the DuckDB oracle can fold the same
+    * terms in the same order and match the argmin bit-exactly. */
+  def argminL2(v: ArrayData, centroids: ArrayData): Int = {
+    val dim = v.numElements()
+    if (dim == 0) return 0
+    val k = centroids.numElements() / dim
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) {
+        val d = v.getFloat(i).toDouble - centroids.getFloat(base + i).toDouble
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-dimension fixed-point quantization `floor(v·2^scaleBits + 0.5)`
+    * as longs. Integer partial sums are ADDITION-ORDER-FREE, which is what
+    * makes the distributed k-means centroid update deterministic under any
+    * partitioning / retry schedule (double sums are not). Exact arithmetic:
+    * a float's 24-bit mantissa scaled by a power of two stays exact in
+    * double, so both engines compute identical longs. */
+  def fixedPoint(v: ArrayData, scaleBits: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    val scale = (1L << scaleBits).toDouble
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** The `nprobe` nearest centroid indices for a query vector, descending
     * similarity, ties to the lowest index. */
   def topCentroids(v: ArrayData, centroids: ArrayData, nprobe: Int): ArrayData = {

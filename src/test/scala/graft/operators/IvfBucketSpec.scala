@@ -134,6 +134,59 @@ class IvfBucketSpec extends AnyFunSuite {
     assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall")
   }
 
+  test("k-means: recovers planted blobs; bit-identical under any partitioning") {
+    // three well-separated blobs in 8-d: blob centers at 0, 10, 20 per dim
+    // with small deterministic jitter — Lloyd's must put each blob in its
+    // own cluster and place centroids near the planted centers
+    val vecs = (0 until 300).map { i =>
+      val blob = i % 3
+      (i.toLong, (0 until 8).map(j =>
+        (blob * 10.0 + (GeoOps.splitmix64(i * 8L + j) % 1000L) / 1000.0)
+          .toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (cb, summary) = Ann.trainKmeans(df, "embedding", "vec_id",
+      k = 3, iters = 4)
+    val rows = summary.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every cluster holds exactly one blob (100 members each)
+    assert(rows.map(_._3).toSet == Set(100L))
+    // each planted center is matched by some centroid within the jitter
+    val centroids = (0 until 3).map(c => cb.slice(c * 8, c * 8 + 8))
+    (0 until 3).foreach { blob =>
+      val target = blob * 10.0 // signed splitmix jitter, mean ~ 0
+      assert(centroids.exists(cen =>
+        cen.forall(v => math.abs(v - target) < 0.3)),
+        s"no centroid near blob $blob: ${centroids.map(_.toSeq)}")
+    }
+    // the trained model is partition-schedule-invariant BIT-FOR-BIT: the
+    // fixed-point integer sums commute, so 1-partition and 13-partition
+    // training produce the identical float codebook
+    val (cb1, _) = Ann.trainKmeans(df.repartition(1), "embedding", "vec_id",
+      k = 3, iters = 4)
+    val (cb13, _) = Ann.trainKmeans(df.repartition(13), "embedding", "vec_id",
+      k = 3, iters = 4)
+    assert(cb1.toSeq == cb.toSeq && cb13.toSeq == cb.toSeq)
+  }
+
+  test("k-means assignment is map-side: no shuffle before the partial aggregate") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 4).map(j =>
+        ((GeoOps.splitmix64(i * 4L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    graft.sql.Geo.register(spark)
+    val cb = Array.fill(8)(0.1f)
+    val assigned = df
+      .withColumn("__c", call_function("vec_argmin_l2", $"embedding", lit(cb)))
+      .select($"__c", posexplode(call_function("vec_fixed", $"embedding", lit(20))))
+      .groupBy($"__c", $"pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    // exactly one exchange: the k·dim-group aggregate (partials map-side)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+  }
+
   test("vec_project: JL distance preservation + determinism") {
     import graft.sql.VecOps
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

@@ -1596,6 +1596,45 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q114_collect_dump" -> { (s, d) =>
+      prep(s, d)
+      // canonical ST_Collect -> one MULTIPOINT per orderkey, then ST_Dump
+      // back to per-part point rows. The aggregate's CANONICAL part order
+      // (first-vertex sort) is what makes it oracle-able at all: the
+      // oracle re-derives part index and coordinates with one window over
+      // the raw points — PostGIS's scan-order ST_Collect could not be
+      // replicated deterministically.
+      s.sql(s"""WITH pts AS ($PtsCte),
+        |g AS (SELECT l_orderkey, st_collect_agg(st_point(lon, lat)) AS mp
+        |      FROM pts GROUP BY l_orderkey)
+        |SELECT l_orderkey, st_geometrytype(mp) AS gt, idx,
+        |  st_x(p) AS x, st_y(p) AS y
+        |FROM g LATERAL VIEW posexplode(st_dump(mp)) t AS idx, p
+        |ORDER BY l_orderkey, idx""".stripMargin)
+    },
+    "q115_affine" -> { (s, d) =>
+      prep(s, d)
+      // affine transforms are fixed-order double arithmetic — every
+      // output ordinate is one exact expression of the inputs, so the
+      // oracle recomputes translate/scale/shear coordinates bit-for-bit.
+      s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_x(st_translate(st_point(lon, lat),
+        |    CAST(3.25 AS DOUBLE), CAST(-1.5 AS DOUBLE))) AS tx,
+        |  st_y(st_translate(st_point(lon, lat),
+        |    CAST(3.25 AS DOUBLE), CAST(-1.5 AS DOUBLE))) AS ty,
+        |  st_x(st_scale(st_point(lon, lat),
+        |    CAST(2.5 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS sx,
+        |  st_y(st_scale(st_point(lon, lat),
+        |    CAST(2.5 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS sy,
+        |  st_x(st_affine(st_point(lon, lat),
+        |    CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(-0.75 AS DOUBLE),
+        |    CAST(1.25 AS DOUBLE), CAST(10.0 AS DOUBLE), CAST(-20.0 AS DOUBLE))) AS ax,
+        |  st_y(st_affine(st_point(lon, lat),
+        |    CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(-0.75 AS DOUBLE),
+        |    CAST(1.25 AS DOUBLE), CAST(10.0 AS DOUBLE), CAST(-20.0 AS DOUBLE))) AS ay
+        |FROM pts ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
     "q113_kmeans" -> { (s, d) =>
       prep(s, d)
       // in-engine IVF codebook training: 2 distributed Lloyd's iterations,
@@ -3030,6 +3069,34 @@ object SparkEntry {
     // box and evaluate the SAME clamped-projection point-to-segment
     // distance expression the kernel uses (r = 2.5 px), sum weights per
     // pixel, clamp, re-derive per-tile lit + gray
+    // canonical collect/dump: part index = rank in the (x, y) sort the
+    // aggregate applies; coordinates pass through untouched
+    "q114_collect_dump" ->
+      s"""WITH pts AS ($PtsCte)
+         |SELECT l_orderkey, 'MULTIPOINT' AS gt,
+         |  CAST(row_number() OVER (PARTITION BY l_orderkey
+         |    ORDER BY lon, lat) - 1 AS INT) AS idx,
+         |  lon AS x, lat AS y
+         |FROM pts
+         |ORDER BY l_orderkey, idx""".stripMargin,
+    // affine: the engine's ((a*x)+(b*y))+off left-associated doubles,
+    // written out verbatim (mult binds first, addition left-assoc)
+    "q115_affine" ->
+      s"""WITH pts AS ($PtsCte)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(1.0 AS DOUBLE) * lon + CAST(0.0 AS DOUBLE) * lat
+         |    + CAST(3.25 AS DOUBLE) AS tx,
+         |  CAST(0.0 AS DOUBLE) * lon + CAST(1.0 AS DOUBLE) * lat
+         |    + CAST(-1.5 AS DOUBLE) AS ty,
+         |  CAST(2.5 AS DOUBLE) * lon + CAST(0.0 AS DOUBLE) * lat
+         |    + CAST(0.0 AS DOUBLE) AS sx,
+         |  CAST(0.0 AS DOUBLE) * lon + CAST(0.5 AS DOUBLE) * lat
+         |    + CAST(0.0 AS DOUBLE) AS sy,
+         |  CAST(0.5 AS DOUBLE) * lon + CAST(0.25 AS DOUBLE) * lat
+         |    + CAST(10.0 AS DOUBLE) AS ax,
+         |  CAST(-0.75 AS DOUBLE) * lon + CAST(1.25 AS DOUBLE) * lat
+         |    + CAST(-20.0 AS DOUBLE) AS ay
+         |FROM pts ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // k-means training: replicate both Lloyd's iterations exactly — same
     // seed order (md5 strings), same argmin (ordered double fold, ties to
     // the lowest cluster), same fixed-point integer centroid update

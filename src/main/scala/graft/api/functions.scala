@@ -98,6 +98,16 @@ object functions {
   // aggregates
   def st_box_agg(g: Column): Column = f("st_box_agg")(g)
   def st_uniquetypes_agg(g: Column): Column = f("st_uniquetypes_agg")(g)
+  def st_dump(g: Column): Column = f("st_dump")(g)
+  def st_makecollection(parts: Column): Column = f("st_makecollection")(parts)
+  def st_collect_agg(g: Column): Column = f("st_collect_agg")(g)
+  def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
+                xoff: Column, yoff: Column): Column =
+    f("st_affine")(g, a, b, d, e, xoff, yoff)
+  def st_translate(g: Column, dx: Column, dy: Column): Column =
+    f("st_translate")(g, dx, dy)
+  def st_scale(g: Column, sx: Column, sy: Column): Column =
+    f("st_scale")(g, sx, sy)
 
   // text / vector kernels
   def token_count(c: Column): Column = f("token_count")(c)

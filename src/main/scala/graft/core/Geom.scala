@@ -227,6 +227,98 @@ object Geom {
     }
   }
 
+  /** Parts of a multi/collection geometry in storage order (PostGIS
+    * ST_Dump semantics): atomic inputs dump as themselves, collections
+    * recurse to atomic parts, EMPTY multis dump to zero parts. */
+  def dump(g: Geom): Array[Geom] = g.geomType match {
+    case GeomTypes.MultiPoint =>
+      val s = g.stride
+      Array.tabulate(g.numCoords) { i =>
+        new Geom(GeomTypes.Point, g.dims, g.srid,
+          java.util.Arrays.copyOfRange(g.coords, i * s, (i + 1) * s),
+          emptyInts, emptyInts, null)
+      }
+    case GeomTypes.MultiLineString =>
+      val s = g.stride
+      Array.tabulate(math.max(0, g.o0.length - 1)) { i =>
+        new Geom(GeomTypes.LineString, g.dims, g.srid,
+          java.util.Arrays.copyOfRange(g.coords, g.o0(i) * s, g.o0(i + 1) * s),
+          emptyInts, emptyInts, null)
+      }
+    case GeomTypes.MultiPolygon =>
+      val s = g.stride
+      Array.tabulate(math.max(0, g.o0.length - 1)) { i =>
+        val ringLo = g.o0(i); val ringHi = g.o0(i + 1)
+        val coordBase = g.o1(ringLo)
+        val rings = java.util.Arrays.copyOfRange(g.o1, ringLo, ringHi + 1)
+          .map(_ - coordBase)
+        new Geom(GeomTypes.Polygon, g.dims, g.srid,
+          java.util.Arrays.copyOfRange(g.coords,
+            coordBase * s, g.o1(ringHi) * s),
+          rings, emptyInts, null)
+      }
+    case GeomTypes.Collection =>
+      if (g.parts == null) Array.empty else g.parts.flatMap(dump)
+    case _ => Array(g)
+  }
+
+  /** Assemble parts into one geometry, order-preserving: uniform
+    * non-empty single-type parts build the flat MULTI; anything else
+    * (mixed types/dims, empties, multis as inputs) nests as a
+    * GEOMETRYCOLLECTION. No parts → GEOMETRYCOLLECTION EMPTY. */
+  def collect(parts: Seq[Geom]): Geom = {
+    if (parts.isEmpty)
+      return new Geom(GeomTypes.Collection, Dims.XY, 0, emptyDoubles,
+        emptyInts, emptyInts, Array.empty)
+    val t = parts.head.geomType
+    val d = parts.head.dims
+    val uniform = parts.forall(p =>
+      p.geomType == t && p.dims == d && !p.isEmpty)
+    if (uniform && t == GeomTypes.Point)
+      new Geom(GeomTypes.MultiPoint, d, 0,
+        parts.iterator.flatMap(_.coords).toArray, emptyInts, emptyInts, null)
+    else if (uniform && t == GeomTypes.LineString) {
+      val coords = parts.iterator.flatMap(_.coords).toArray
+      val offs = parts.scanLeft(0)((acc, p) => acc + p.numCoords).toArray
+      new Geom(GeomTypes.MultiLineString, d, 0, coords, offs, emptyInts, null)
+    } else if (uniform && t == GeomTypes.Polygon) {
+      val coords = parts.iterator.flatMap(_.coords).toArray
+      val o0 = parts.scanLeft(0)((acc, p) => acc + p.o0.length - 1).toArray
+      val o1 = scala.collection.mutable.ArrayBuffer(0)
+      var base = 0
+      parts.foreach { p =>
+        p.o0.drop(1).foreach(r => o1 += base + r)
+        base += p.numCoords
+      }
+      new Geom(GeomTypes.MultiPolygon, d, 0, coords, o0, o1.toArray, null)
+    } else
+      new Geom(GeomTypes.Collection, d, 0, emptyDoubles, emptyInts,
+        emptyInts, parts.toArray)
+  }
+
+  /** Planar affine transform `x' = a·x + b·y + xoff, y' = d·x + e·y + yoff`
+    * (PostGIS ST_Affine's 2D form; ST_Translate/ST_Scale are the
+    * axis-aligned specializations). Evaluation order is fixed —
+    * `(a*x + b*y) + off`, left-associated doubles — so the oracle can
+    * replicate every transformed ordinate bit-exactly. Z/M preserved. */
+  def affine(g: Geom, a: Double, b: Double, d: Double, e: Double,
+             xoff: Double, yoff: Double): Geom = {
+    if (g.geomType == GeomTypes.Collection)
+      return new Geom(g.geomType, g.dims, g.srid, g.coords, g.o0, g.o1,
+        if (g.parts == null) null
+        else g.parts.map(affine(_, a, b, d, e, xoff, yoff)))
+    val s = g.stride
+    val out = g.coords.clone()
+    var i = 0
+    while (i < out.length) {
+      val x = g.coords(i); val y = g.coords(i + 1)
+      out(i) = a * x + b * y + xoff
+      out(i + 1) = d * x + e * y + yoff
+      i += s
+    }
+    new Geom(g.geomType, g.dims, g.srid, out, g.o0, g.o1, null)
+  }
+
   /** Snap coordinates to a precision grid: `round(v*p)/p` with C `round`
     * (half away from zero) semantics (`/root/reference/src/r-sf-compat.c:8-25`). */
   def snapToGrid(g: Geom, precision: Double): Geom = {

@@ -149,6 +149,27 @@ object Geo {
     },
     // vertex dump (explode-side accessor)
     "st_coords" -> (a => geo(GeoOps.coordsArrayType, "coordsOf", a, Seq(G))),
+    // multi/collection parts in storage order (PostGIS ST_Dump; explode it)
+    "st_dump" -> (a => geo(ArrayType(G, containsNull = false), "dumpGeom",
+      a, Seq(G))),
+    // assemble an array of geometries into one (canonical sorted order)
+    "st_makecollection" -> (a => geo(G, "collectGeoms", a,
+      Seq(ArrayType(G, containsNull = false)))),
+    // deterministic ST_Collect aggregate: collect_list + canonical-order
+    // finisher (partition/retry-invariant, unlike PostGIS's scan order)
+    "st_collect_agg" -> (a => geo(G, "collectGeoms",
+      Seq(aggregate.CollectList(a.head).toAggregateExpression()),
+      Seq(ArrayType(G, containsNull = false)))),
+    // planar affine transform + its axis-aligned specializations —
+    // fixed left-associated double evaluation, oracle-replicable
+    "st_affine" -> (a => geo(G, "affineGeom", a,
+      Seq(G) ++ Seq.fill(6)(DoubleType))),
+    "st_translate" -> (a => geo(G, "affineGeom",
+      Seq(a(0), Literal(1.0), Literal(0.0), Literal(0.0), Literal(1.0),
+        a(1), a(2)), Seq(G) ++ Seq.fill(6)(DoubleType))),
+    "st_scale" -> (a => geo(G, "affineGeom",
+      Seq(a(0), a(1), Literal(0.0), Literal(0.0), a(2), Literal(0.0),
+        Literal(0.0)), Seq(G) ++ Seq.fill(6)(DoubleType))),
     "st_boxtopolygon" -> (a => geo(G, "boxToPolygon", a,
       Seq(DoubleType, DoubleType, DoubleType, DoubleType))),
     // BOX as an input geometry: a geoarrow.box struct column reads as its

@@ -266,6 +266,56 @@ object GeoOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
 
+  private val geomArrayType =
+    org.apache.spark.sql.types.ArrayType(GeoStruct.dataType,
+      containsNull = false)
+
+  /** PostGIS-style ST_Dump: the atomic parts of a multi/collection in
+    * storage order as an array (explode-side; atomic input → itself,
+    * EMPTY multi → zero parts, nested collections recurse). */
+  def dumpGeom(g: InternalRow): ArrayData = {
+    val parts = Geom.dump(GeoStruct.decode(g))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      parts.map(p => GeoStruct.encode(p): Any))
+  }
+
+  /** Deterministic ST_Collect finisher over a collected geometry array:
+    * parts are sorted by (first vertex x, first vertex y, WKB bytes — the
+    * total-order tiebreak; empties last), so the result is CANONICAL —
+    * invariant to partitioning, task order and retries, unlike PostGIS's
+    * scan-order ST_Collect. Uniform single-type parts build the flat
+    * MULTI; mixed types nest as GEOMETRYCOLLECTION; nulls are skipped. */
+  def collectGeoms(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Geom]
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        buf += GeoStruct.decode(arr.getStruct(i, 7))
+      i += 1
+    }
+    val sorted = buf.sortWith { (p, q) =>
+      val px = if (p.isEmpty) Double.PositiveInfinity else p.coords(0)
+      val qx = if (q.isEmpty) Double.PositiveInfinity else q.coords(0)
+      if (px != qx) px < qx
+      else {
+        val py = if (p.isEmpty) Double.PositiveInfinity else p.coords(1)
+        val qy = if (q.isEmpty) Double.PositiveInfinity else q.coords(1)
+        if (py != qy) py < qy
+        else java.util.Arrays.compareUnsigned(
+          graft.core.Wkb.write(p), graft.core.Wkb.write(q)) < 0
+      }
+    }
+    GeoStruct.encode(Geom.collect(sorted.toSeq))
+  }
+
+  /** Planar affine transform (fixed left-associated double evaluation —
+    * every output ordinate is oracle-replicable; see `Geom.affine`). */
+  def affineGeom(g: InternalRow, a: Double, b: Double, d: Double,
+                 e: Double, xoff: Double, yoff: Double): InternalRow =
+    GeoStruct.encode(
+      Geom.affine(GeoStruct.decode(g), a, b, d, e, xoff, yoff))
+
   /** BOX -> POLYGON with the reference's rule: any min > max dimension
     * round-trips as POLYGON EMPTY (`/root/reference/src/geoarrow.c:2990-3016`);
     * otherwise the 5-point CCW ring. */

@@ -167,6 +167,77 @@ class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getSeq[Long](7).length == 9) // 3x3 grid ring
   }
 
+  test("st_dump / st_collect_agg / st_makecollection round-trips") {
+    // dump splits every multi into its storage-order parts
+    val dumped = spark.sql(
+      """SELECT st_aswkt(p) AS w FROM (SELECT explode(st_dump(
+        |  st_geomfromwkt(concat('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0)), ',
+        |    '((10 10, 11 10, 11 11, 10 10), ',
+        |    '(10.2 10.2, 10.8 10.2, 10.8 10.8, 10.2 10.2)))')))) AS p)"""
+        .stripMargin).collect().map(_.getString(0))
+    assert(dumped.toSeq == Seq(
+      "POLYGON ((0 0, 4 0, 4 4, 0 0))",
+      "POLYGON ((10 10, 11 10, 11 11, 10 10), " +
+        "(10.2 10.2, 10.8 10.2, 10.8 10.8, 10.2 10.2))"))
+    // atomic input dumps as itself; EMPTY multi dumps to zero parts
+    assert(spark.sql("SELECT size(st_dump(st_geomfromwkt('POINT (1 2)')))")
+      .collect()(0).getInt(0) == 1)
+    assert(spark.sql(
+      "SELECT size(st_dump(st_geomfromwkt('MULTILINESTRING EMPTY')))")
+      .collect()(0).getInt(0) == 0)
+    // aggregate collect: canonical (first-vertex-sorted) MULTIPOINT —
+    // identical no matter how the input is partitioned or ordered
+    val rows = Seq((1, 3.0, 1.0), (1, 1.0, 2.0), (1, 2.0, 0.5))
+    import spark.implicits._
+    def agg(numPart: Int): String =
+      rows.toDF("k", "x", "y").repartition(numPart)
+        .createOrReplaceTempView("pts_collect") match { case _ =>
+          spark.sql("""SELECT st_aswkt(st_collect_agg(st_point(x, y)))
+            |FROM pts_collect GROUP BY k""".stripMargin)
+            .collect()(0).getString(0)
+        }
+    assert(agg(1) == "MULTIPOINT (1 2, 2 0.5, 3 1)")
+    assert(agg(7) == "MULTIPOINT (1 2, 2 0.5, 3 1)")
+    // mixed types nest as GEOMETRYCOLLECTION; dump recurses to atoms
+    val mixed = spark.sql(
+      """SELECT st_geometrytype(g) AS t, size(st_dump(g)) AS n FROM (
+        |  SELECT st_makecollection(array(
+        |    st_geomfromwkt('POINT (5 5)'),
+        |    st_geomfromwkt('LINESTRING (0 0, 1 1)'))) AS g)""".stripMargin)
+      .collect()(0)
+    assert(mixed.getString(0) == "GEOMETRYCOLLECTION" && mixed.getInt(1) == 2)
+    // uniform lines/polygons build the flat MULTI and dump back to parts
+    val lines = spark.sql(
+      """SELECT st_aswkt(st_makecollection(array(
+        |  st_geomfromwkt('LINESTRING (0 0, 1 1)'),
+        |  st_geomfromwkt('LINESTRING (2 2, 3 3, 4 4)'))))""".stripMargin)
+      .collect()(0).getString(0)
+    assert(lines == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))")
+  }
+
+  test("st_affine / st_translate / st_scale: exact ordinates, all shapes") {
+    // translate/scale are exact double ops — closed-form comparisons
+    val r = spark.sql(
+      """SELECT st_aswkt(st_translate(st_geomfromwkt('POINT (3 4)'),
+        |    CAST(1.5 AS DOUBLE), CAST(-2.25 AS DOUBLE))) AS t,
+        |  st_aswkt(st_scale(st_geomfromwkt('LINESTRING (1 2, 3 4)'),
+        |    CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS s,
+        |  st_aswkt(st_affine(st_geomfromwkt('POINT (1 2)'),
+        |    CAST(0.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+        |    AS rot90""".stripMargin).collect()(0)
+    assert(r.getString(0) == "POINT (4.5 1.75)")
+    assert(r.getString(1) == "LINESTRING (2 1, 6 2)")
+    assert(r.getString(2) == "POINT (-2 1)") // 90° CCW as an exact matrix
+    // Z survives untouched; collections recurse
+    val z = spark.sql(
+      """SELECT st_aswkt(st_translate(
+        |  st_geomfromwkt('GEOMETRYCOLLECTION (POINT Z (1 2 9))'),
+        |  CAST(10.0 AS DOUBLE), CAST(20.0 AS DOUBLE)))""".stripMargin)
+      .collect()(0).getString(0)
+    assert(z == "GEOMETRYCOLLECTION Z (POINT Z (11 22 9))")
+  }
+
   test("box to polygon with min>max EMPTY rule") {
     val rows = spark.sql(
       """SELECT st_aswkt(st_boxtopolygon(0d, 0d, 4d, 3d)) AS a,

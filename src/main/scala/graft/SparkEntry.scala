@@ -1596,6 +1596,47 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q117_intersects_join" -> { (s, d) =>
+      prep(s, d)
+      // geometry-geometry INTERSECTS join (box layer × zone grid): the
+      // general cover-join + exact-refine operator with reference-tile
+      // dedup (min shared cover tile — no distinct pass). On axis-aligned
+      // boxes the predicate is closed-interval overlap, so the oracle is
+      // pure interval logic over the SAME shared box expressions; a pair
+      // emitted twice would break the row count.
+      val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS zone_id",
+          "st_boxtopolygon(ax, ay, bx, by) AS zg")
+      val boxes = s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_boxtopolygon(lon - CAST(1.5 AS DOUBLE), lat - CAST(1.0 AS DOUBLE),
+        |    lon + CAST(1.5 AS DOUBLE), lat + CAST(1.0 AS DOUBLE)) AS bg
+        |FROM pts""".stripMargin)
+      SpatialJoins.intersectsJoin(boxes, zones, "bg", "zg", zoom = 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zone_id"))
+        .orderBy("l_orderkey", "l_linenumber", "zone_id")
+    },
+    "q116_img_histogram" -> { (s, d) =>
+      prep(s, d)
+      // per-channel histogram + entropy over real decoded pixels: the
+      // two-band fixture puts exactly w·h/2 pixels in bin v1 and w·h/2 in
+      // bin v2 (v1 != v2 for every doc_id — 6d ≡ 243 (mod 256) has no
+      // solution), so the nonzero bins are closed-form and the entropy is
+      // exactly 1.0 bit (p = 1/2 twice; RasterOpsSpec proves both over
+      // the full 1280-image fixture population, covering every row at
+      // every sf).
+      s.sql("""SELECT doc_id, bin, cnt, img_entropy(orig, 1) AS ent
+        |FROM (SELECT doc_id, make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+        |  FROM (SELECT doc_id,
+        |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |    CAST(doc_id % 256 AS INT) AS v1,
+        |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |   FROM documents))
+        |LATERAL VIEW posexplode(img_histogram(orig, 0)) t AS bin, cnt
+        |WHERE cnt > 0
+        |ORDER BY doc_id, bin""".stripMargin)
+    },
     "q114_collect_dump" -> { (s, d) =>
       prep(s, d)
       // canonical ST_Collect -> one MULTIPOINT per orderkey, then ST_Dump
@@ -3069,6 +3110,35 @@ object SparkEntry {
     // box and evaluate the SAME clamped-projection point-to-segment
     // distance expression the kernel uses (r = 2.5 px), sum weights per
     // pixel, clamp, re-derive per-tile lit + gray
+    // intersects join on boxes = closed-interval overlap in both axes
+    "q117_intersects_join" ->
+      s"""WITH pts AS ($PtsCte),
+         |z AS (SELECT CAST(n_nationkey AS BIGINT) AS zone_id, $ZoneBoxColsSW
+         |      FROM nation)
+         |SELECT l_orderkey, l_linenumber, zone_id
+         |FROM pts, z
+         |WHERE ax <= lon + CAST(1.5 AS DOUBLE)
+         |  AND bx >= lon - CAST(1.5 AS DOUBLE)
+         |  AND ay <= lat + CAST(1.0 AS DOUBLE)
+         |  AND by >= lat - CAST(1.0 AS DOUBLE)
+         |ORDER BY l_orderkey, l_linenumber, zone_id""".stripMargin,
+    // image histogram/entropy: the two bands land w·h/2 pixels in bins v1
+    // and v2; entropy is exactly one bit (constant sound per the
+    // RasterOpsSpec full-population proof, the q105 pattern)
+    "q116_img_histogram" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
+        |    CAST(doc_id % 256 AS INT) AS v1,
+        |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
+        |  FROM documents),
+        |bins AS (
+        |  SELECT doc_id, v1 AS bin, CAST(w AS BIGINT) * h // 2 AS cnt FROM p
+        |  UNION ALL
+        |  SELECT doc_id, v2 AS bin, CAST(w AS BIGINT) * h // 2 AS cnt FROM p)
+        |SELECT doc_id, CAST(bin AS INT) AS bin, cnt,
+        |  CAST(1.0 AS DOUBLE) AS ent
+        |FROM bins ORDER BY doc_id, bin""".stripMargin,
     // canonical collect/dump: part index = rank in the (x, y) sort the
     // aggregate applies; coordinates pass through untouched
     "q114_collect_dump" ->

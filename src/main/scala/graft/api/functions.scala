@@ -147,6 +147,10 @@ object functions {
   def img_channel_sum(bytes: Column, channel: Column): Column =
     f("img_channel_sum")(bytes, channel)
   def img_nonzero(bytes: Column): Column = f("img_nonzero")(bytes)
+  def img_histogram(bytes: Column, channel: Column): Column =
+    f("img_histogram")(bytes, channel)
+  def img_entropy(bytes: Column, channel: Column): Column =
+    f("img_entropy")(bytes, channel)
   def st_tilepixel(lon: Column, lat: Column, z: Column, size: Column): Column =
     f("st_tilepixel")(lon, lat, z, size)
   def st_worldpixelx(lon: Column, z: Column, size: Column): Column =

@@ -63,6 +63,48 @@ object SpatialJoins {
       .drop("__pcell", "__cell")
   }
 
+  /** General geometry–geometry INTERSECTS join: both sides explode their
+    * geometry-aware tile covers, candidates equi-join on the tile key,
+    * and the exact `st_intersects` refine runs on candidates only. A
+    * covers-touching argument gives completeness: any intersection point
+    * lies in some tile, that tile touches both geometries, and covers are
+    * conservative supersets of the touching tiles — so every intersecting
+    * pair shares at least one candidate tile.
+    *
+    * A pair sharing several cover tiles is emitted EXACTLY ONCE with no
+    * distinct pass: each side carries its cover array through the join
+    * and the pair is claimed only by its MINIMUM shared tile
+    * (`tile == array_min(array_intersect(lc, rc))`) — reference-tile
+    * dedup evaluated from columns already in flight, so the only shuffle
+    * in the plan is the candidate equi-join (none at all when the right
+    * side broadcasts).
+    *
+    * 100-TB shape: covers are geometry-aware (`st_tilecover` keeps <1/4
+    * of the envelope lattice for thin diagonals), the big left side
+    * duplicates only by its cover multiplicity, and the refine is a
+    * codegen'd kernel. Pick `zoom` so the small side's covers stay
+    * O(tens) of tiles. EMPTY geometries have empty covers and drop out. */
+  def intersectsJoin(left: DataFrame, right: DataFrame, leftGeomCol: String,
+                     rightGeomCol: String, zoom: Int = 6,
+                     broadcastRight: Boolean = true): DataFrame = {
+    Geo.register(left.sparkSession)
+    val l = left
+      .withColumn("__lcover", call_function("st_tilecover",
+        col(leftGeomCol), lit(zoom)))
+      .withColumn("__jtile", explode(col("__lcover")))
+    val r0 = right
+      .withColumn("__rcover", call_function("st_tilecover",
+        col(rightGeomCol), lit(zoom)))
+      .withColumn("__rtile", explode(col("__rcover")))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    l.join(r, col("__jtile") === col("__rtile") &&
+        col("__jtile") === array_min(array_intersect(
+          col("__lcover"), col("__rcover"))) &&
+        call_function("st_intersects",
+          col(leftGeomCol), col(rightGeomCol)))
+      .drop("__lcover", "__jtile", "__rcover", "__rtile")
+  }
+
   /** Raster z/x/y tile assignment: one row per point with its tile id and
     * (z,x,y) decomposition — the raster<->vector join key. */
   def assignTiles(points: DataFrame, lonCol: String, latCol: String,

@@ -346,6 +346,11 @@ object Geo {
       "imgChannelSum", a, Seq(BinaryType, IntegerType), nullable = true)),
     "img_nonzero" -> (a => inv(MediaOps.getClass, LongType, "imgNonzero", a,
       Seq(BinaryType), nullable = true)),
+    "img_histogram" -> (a => inv(MediaOps.getClass,
+      ArrayType(LongType, containsNull = false), "imgHistogram", a,
+      Seq(BinaryType, IntegerType), nullable = true)),
+    "img_entropy" -> (a => inv(MediaOps.getClass, DoubleType, "imgEntropy",
+      a, Seq(BinaryType, IntegerType), nullable = true)),
     "img_resize" -> (a => inv(MediaOps.getClass, BinaryType, "imgResize", a,
       Seq(BinaryType, IntegerType, IntegerType), nullable = true)),
     // rendered-tile decode back to (pixel, gray) rows — the raster→vector

@@ -324,6 +324,54 @@ object MediaOps {
     java.lang.Long.valueOf(sum)
   }
 
+  /** 256-bin histogram of one decoded channel (0=R 1=G 2=B) — the corpus
+    * statistic image-normalization and near-constant-image filters run on.
+    * Exact integer counts, so the oracle reconstructs every bin in closed
+    * form. Undecodable payload / bad channel → null. */
+  def imgHistogram(bytes: Array[Byte], channel: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (channel < 0 || channel > 2) return null
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return null
+    val shift = (2 - channel) * 8
+    val bins = new Array[Long](256)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) { bins((row(x) >> shift) & 0xff) += 1L; x += 1 }
+      y += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bins)
+  }
+
+  /** Shannon entropy (bits) of one channel's histogram — 0 for constant
+    * images, log2(256)=8 max; the standard near-constant / synthetic-image
+    * filter statistic. p·log2(p) via `Math.log(p) / Math.log(2)`. */
+  def imgEntropy(bytes: Array[Byte], channel: Int): java.lang.Double = {
+    val hist = imgHistogram(bytes, channel)
+    if (hist == null) return null
+    var total = 0.0
+    var i = 0
+    while (i < 256) { total += hist.getLong(i).toDouble; i += 1 }
+    if (total == 0) return java.lang.Double.valueOf(0.0)
+    var e = 0.0
+    val ln2 = Math.log(2.0)
+    i = 0
+    while (i < 256) {
+      val c = hist.getLong(i)
+      if (c > 0) {
+        val p = c.toDouble / total
+        e -= p * (Math.log(p) / ln2)
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(e)
+  }
+
   /** Count of decoded pixels with any nonzero RGB channel ("lit" pixels of
     * a rendered tile). Undecodable payload → null. */
   def imgNonzero(bytes: Array[Byte]): java.lang.Long = {

@@ -21,6 +21,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("intersectsJoin: exact pair set vs crossJoin refine, each pair exactly once") {
+    Geo.register(spark)
+    val pts = randPoints(800, 21L)
+    val boxes = pts.toDF("pid", "lon", "lat")
+      .selectExpr("pid",
+        "st_boxtopolygon(lon - 3.0, lat - 2.0, lon + 3.0, lat + 2.0) AS bg")
+    val polys = ImagesTable.polygonLayer(spark).selectExpr("poly_id", "poly AS pg")
+    val got = SpatialJoins.intersectsJoin(boxes, polys, "bg", "pg", zoom = 5)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSeq
+    // exactly-once despite multi-tile covers — no distinct pass in the plan
+    assert(got.size == got.toSet.size, "duplicate pairs emitted")
+    val expected = boxes.crossJoin(polys)
+      .filter(call_function("st_intersects", col("bg"), col("pg")))
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet == expected && expected.nonEmpty)
+
+    // long crossing diagonals share MANY cover tiles; still exactly once
+    val diags = Seq((1L, -60.0, -40.0, 60.0, 40.0),
+        (2L, -60.0, 40.0, 60.0, -40.0))
+      .toDF("id", "x1", "y1", "x2", "y2")
+      .selectExpr("id", "st_makeline(x1, y1, x2, y2) AS lg")
+    val self = SpatialJoins.intersectsJoin(diags,
+        diags.selectExpr("id AS id2", "lg AS lg2"), "lg", "lg2", zoom = 6)
+      .select("id", "id2").as[(Long, Long)].collect().toSeq
+    assert(self.size == self.toSet.size, "diagonal pair emitted twice")
+    assert(self.toSet == Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

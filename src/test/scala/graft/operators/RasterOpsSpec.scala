@@ -196,6 +196,35 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(e == "POLYGON EMPTY")
   }
 
+  test("img_histogram / img_entropy: exact bins and one-bit entropy over the full population") {
+    // proves q116's constant-entropy oracle the q105 way: the (w, h, v1,
+    // v2) tuple is periodic in doc_id with period 1280, v1 != v2 for every
+    // doc_id (6d ≡ 243 mod 256 has no solution), so each image has exactly
+    // two equal histogram bins and entropy exactly 1.0 bit — for EVERY
+    // row at EVERY scale factor
+    for (d <- 0 until 1280) {
+      val w = (d % 5 + 1) * 8; val h = (d % 4 + 1) * 8
+      val v1 = d % 256; val v2 = (d * 7 + 13) % 256
+      assert(v1 != v2)
+      val src = MediaOps.makePng(w, h, v1, v1, v1, v2, v2, v2)
+      for (ch <- 0 to 2) {
+        val hist = MediaOps.imgHistogram(src, ch)
+        assert(hist != null && hist.numElements() == 256)
+        (0 until 256).foreach { b =>
+          val expect = if (b == v1 || b == v2) (w * h / 2).toLong else 0L
+          assert(hist.getLong(b) == expect, s"doc $d ch $ch bin $b")
+        }
+        val e = MediaOps.imgEntropy(src, ch)
+        assert(e != null && e.doubleValue == 1.0, s"doc $d ch $ch entropy $e")
+      }
+    }
+    // degenerate cases: constant image → 0 bits; bad inputs → null
+    val const = MediaOps.makePng(8, 8, 9, 9, 9, 9, 9, 9)
+    assert(MediaOps.imgEntropy(const, 0).doubleValue == 0.0)
+    assert(MediaOps.imgHistogram(const, 3) == null)
+    assert(MediaOps.imgEntropy(Array[Byte](1, 2, 3), 0) == null)
+  }
+
   test("img_jpeg: real lossy pass holds the PSNR>=40dB gate with margin") {
     // the north rule's lossy invariant, EXHAUSTIVE over the q105 image
     // population: the (w, h, v1, v2) tuple is periodic in doc_id with

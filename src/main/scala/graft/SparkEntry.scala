@@ -1596,6 +1596,24 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q118_kmeans_ivf" -> { (s, d) =>
+      prep(s, d)
+      // train -> serve, end-to-end: the k-means codebook trained by q113's
+      // machinery plugs straight into the IVF index (cosine assignment,
+      // nprobe probes, exact rerank). The oracle chains the k-means CTEs
+      // into the q43 IVF replica — candidate sets, ranks and cosines all
+      // come out bit-identical, proving the trained model serves exactly.
+      val emb = par(s.table("embeddings"))
+      val (cb, _) =
+        Ann.trainKmeans(emb, "embedding", "vec_id", k = 4, iters = 2)
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfTopK(s.table("embeddings"), queries, "embedding", "vec_id",
+          "qid", "qvec", k = 3, nprobe = 2, codebook = Some(cb))
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
     "q117_intersects_join" -> { (s, d) =>
       prep(s, d)
       // geometry-geometry INTERSECTS join (box layer × zone grid): the
@@ -1947,6 +1965,42 @@ object SparkEntry {
        |        * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
        |        FOR i IN generate_series(1, 64)],
        |      (a, x) -> a + x)""".stripMargin
+
+  // --- shared k-means oracle CTE chain (q113, q118): md5 total-order
+  // seeding, two Lloyd's iterations — ordered-fold argmin assignment,
+  // fixed-point integer centroid updates; `s2` holds the final
+  // per-(cluster, dim) sums/counts
+  private lazy val KmeansCtes: String =
+    s"""hs AS (SELECT vec_id, embedding,
+       |    md5(CAST(vec_id AS VARCHAR)) AS hh FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS c,
+       |    embedding AS cen
+       |  FROM hs ORDER BY hh, vec_id LIMIT 4),
+       |d1 AS (SELECT e.vec_id, e.embedding, c0.c,
+       |    ${kmDist("e.embedding", "c0.cen")} AS dist
+       |  FROM hs e, c0),
+       |a1 AS (SELECT vec_id, embedding, c FROM
+       |    (SELECT vec_id, embedding, c,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |     FROM d1) WHERE rn = 1),
+       |s1 AS (SELECT c, i,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i),
+       |c1 AS (SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      / 1048576.0 AS FLOAT) ORDER BY i) AS cen
+       |  FROM s1 GROUP BY c),
+       |d2 AS (SELECT e.vec_id, e.embedding, c1.c,
+       |    ${kmDist("e.embedding", "c1.cen")} AS dist
+       |  FROM hs e, c1),
+       |a2 AS (SELECT vec_id, embedding, c FROM
+       |    (SELECT vec_id, embedding, c,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |     FROM d2) WHERE rn = 1),
+       |s2 AS (SELECT c, i,
+       |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i)""".stripMargin
 
   // --- DuckDB splitmix64 replica (SQL text generator) -------------------
   // 64-bit wraparound arithmetic via HUGEINT with 32-bit split
@@ -3171,40 +3225,52 @@ object SparkEntry {
     // seed order (md5 strings), same argmin (ordered double fold, ties to
     // the lowest cluster), same fixed-point integer centroid update
     "q113_kmeans" ->
-      s"""WITH hs AS (SELECT vec_id, embedding,
-         |    md5(CAST(vec_id AS VARCHAR)) AS hh FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS c,
-         |    embedding AS cen
-         |  FROM hs ORDER BY hh, vec_id LIMIT 4),
-         |d1 AS (SELECT e.vec_id, e.embedding, c0.c,
-         |    ${kmDist("e.embedding", "c0.cen")} AS dist
-         |  FROM hs e, c0),
-         |a1 AS (SELECT vec_id, embedding, c FROM
-         |    (SELECT vec_id, embedding, c,
-         |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-         |     FROM d1) WHERE rn = 1),
-         |s1 AS (SELECT c, i,
-         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
-         |    count(*) AS n
-         |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i),
-         |c1 AS (SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-         |      / 1048576.0 AS FLOAT) ORDER BY i) AS cen
-         |  FROM s1 GROUP BY c),
-         |d2 AS (SELECT e.vec_id, e.embedding, c1.c,
-         |    ${kmDist("e.embedding", "c1.cen")} AS dist
-         |  FROM hs e, c1),
-         |a2 AS (SELECT vec_id, embedding, c FROM
-         |    (SELECT vec_id, embedding, c,
-         |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-         |     FROM d2) WHERE rn = 1),
-         |s2 AS (SELECT c, i,
-         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
-         |    count(*) AS n
-         |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i)
+      s"""WITH $KmeansCtes
          |SELECT CAST(c AS INT) AS c, CAST(i - 1 AS INT) AS i,
          |  CAST(n AS BIGINT) AS cnt,
          |  CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT) AS DOUBLE) AS val
          |FROM s2 ORDER BY c, i""".stripMargin,
+    // trained codebook -> IVF serve path, end-to-end: the k-means CTEs
+    // produce the float centroids, then the q43 IVF machinery (cosine
+    // assignment, nprobe probes, exact rerank) runs against them
+    "q118_kmeans_ivf" ->
+      s"""WITH $KmeansCtes,
+         |cb AS (SELECT CAST(c AS INTEGER) AS cid,
+         |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |      / 1048576.0 AS FLOAT) ORDER BY i) AS cvec
+         |  FROM s2 GROUP BY c),
+         |csim AS (
+         |  SELECT e.vec_id, e.embedding, cb.cid,
+         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |      (SELECT unnest(e.embedding) AS x, unnest(cb.cvec) AS y) z)
+         |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+         |        (SELECT unnest(e.embedding) AS x) z))
+         |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |        (SELECT unnest(cb.cvec) AS y) z))) AS sim
+         |  FROM embeddings e CROSS JOIN cb),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+         |    FROM csim) WHERE r = 1),
+         |probes AS (
+         |  SELECT qid, qvec, cid FROM (
+         |    SELECT vec_id AS qid, embedding AS qvec, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+         |    FROM csim WHERE vec_id < 10) WHERE r <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id,
+         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |      (SELECT unnest(a.embedding) AS x, unnest(p.qvec) AS y) z)
+         |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+         |        (SELECT unnest(a.embedding) AS x) z))
+         |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+         |        (SELECT unnest(p.qvec) AS y) z))) AS cos
+         |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id != p.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // row-level merge/delete: recompute the final table state in pure SQL —
     // latest version per key (v2 where merged, the _new inserts), minus the
     // deleted linenumber-4 rows; snap is the winning version's snapshot

@@ -149,14 +149,18 @@ object Ann {
     * inverted-list equi-join. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, qidCol: String, qvecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              codebook: Option[Array[Float]] = None): DataFrame = {
     Geo.register(corpus.sparkSession)
-    // codebook: deterministic sample (ids sort first); collected once —
-    // this is model state, not data (like a trained k-means codebook)
-    val codebook: Array[Float] = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .flatMap(_.getSeq[Float](0)).map(f => f: Float)
-    val cm = lit(codebook)
+    // codebook: a TRAINED model when provided ([[trainKmeans]] output
+    // plugs in directly — q118 oracles that end-to-end), else the
+    // deterministic first-nlist-by-id sample (reproducible without a
+    // training job); collected once — model state, not data
+    val cbArr: Array[Float] = codebook.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol)).collect()
+        .flatMap(_.getSeq[Float](0)).map(f => f: Float))
+    val cm = lit(cbArr)
     // invert: nearest centroid index per corpus vector, one map-side pass
     val assigned = corpus
       .withColumn("cid", call_function("vec_argmax_centroid", col(vecCol), cm))

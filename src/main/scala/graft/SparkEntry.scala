@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Knn, SpatialJoins, TileRender}
+import graft.operators.{Ann, Dedup, Knn, Sampling, SpatialJoins, TileRender}
 import graft.pipeline.Pipeline
 import graft.sources.ImagesTable
 import graft.sql.Geo
@@ -1595,6 +1595,19 @@ object SparkEntry {
           "img_nonzero(png) AS lit_pixels",
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
+    },
+    "q119_quantile_sample" -> { (s, d) =>
+      prep(s, d)
+      // deterministic approximate quantiles: the hash-minimum sample is a
+      // fixed pseudo-random subset (md5 total order — q63's pattern), and
+      // the interpolation arithmetic is pinned, so the oracle rebuilds
+      // the SAME sample and the SAME estimates bit-for-bit.
+      val li = s.table("lineitem")
+        .withColumn("key", concat(col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+      Sampling.approxQuantiles(li, "l_extendedprice", "key",
+          qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), k = 500)
+        .orderBy("q")
     },
     "q118_kmeans_ivf" -> { (s, d) =>
       prep(s, d)
@@ -3230,6 +3243,27 @@ object SparkEntry {
          |  CAST(n AS BIGINT) AS cnt,
          |  CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT) AS DOUBLE) AS val
          |FROM s2 ORDER BY c, i""".stripMargin,
+    // hash-sample quantiles: same md5-minimum sample, same sorted-array
+    // interpolation (rank = q·(n-1); lo + (hi-lo)·frac), bit-for-bit
+    "q119_quantile_sample" ->
+      """WITH s AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)),
+        |    CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+        |  LIMIT 500),
+        |arr AS (SELECT list(v ORDER BY v) AS a, count(*) AS n FROM s),
+        |qs AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.25 AS DOUBLE),
+        |  CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT q,
+        |  a[CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1]
+        |  + (a[LEAST(CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2,
+        |       CAST(n AS BIGINT))]
+        |     - a[CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1])
+        |    * (q * CAST(n - 1 AS DOUBLE) - floor(q * CAST(n - 1 AS DOUBLE))) AS est
+        |FROM qs, arr
+        |ORDER BY q""".stripMargin,
     // trained codebook -> IVF serve path, end-to-end: the k-means CTEs
     // produce the float centroids, then the q43 IVF machinery (cosine
     // assignment, nprobe probes, exact rerank) runs against them

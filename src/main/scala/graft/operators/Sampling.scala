@@ -42,6 +42,44 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic approximate quantiles from a hash-minimum sample: the
+    * `k` rows with the smallest (md5(id), id) form the sample — a fixed
+    * pseudo-random subset, NOT data-dependent on the value column, so the
+    * estimate is unbiased and (unlike reservoir/TDigest sampling)
+    * invariant to partitioning, task order and retries. Each requested
+    * quantile linearly interpolates the sorted sample with a PINNED
+    * arithmetic order (`rank = q·(n-1)`; `lo + (hi-lo)·frac`), so an
+    * oracle replicates every estimate bit-for-bit.
+    *
+    * 100-TB shape: the sample rides `TakeOrderedAndProject` (per-partition
+    * partial top-k, no full shuffle); driver state is the k sample values
+    * — model, not data. Error is the standard order-statistic bound
+    * (~1/sqrt(k) quantile deviation).
+    *
+    * Returns (q, est) rows. */
+  def approxQuantiles(df: DataFrame, valueCol: String, idCol: String,
+                      qs: Seq[Double], k: Int = 1024): DataFrame = {
+    require(k > 1 && qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val spark = df.sparkSession
+    val sample = df
+      .select(col(valueCol).cast("double").as("__v"), col(idCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(k)
+      .select("__v").collect().map(_.getDouble(0))
+    java.util.Arrays.sort(sample)
+    val n = sample.length
+    require(n > 0, "approxQuantiles needs at least one row")
+    val ests = qs.map { q =>
+      val rank = q * (n - 1).toDouble
+      val lo = math.floor(rank).toInt
+      val hi = math.min(lo + 1, n - 1)
+      val frac = rank - lo.toDouble
+      (q, sample(lo) + (sample(hi) - sample(lo)) * frac)
+    }
+    import spark.implicits._
+    ests.toDF("q", "est")
+  }
+
   /** Adds a `split` label (train/val/test style) by hash bucket: weights
     * are integer parts of `denominator = weights.sum`; a row's label is
     * the bucket its hash falls in. Disjoint, exhaustive, reproducible. */

@@ -223,6 +223,31 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(probes.indices.count(j => ests(j) == exactCnt(j)) >= probes.size / 2)
   }
 
+  test("approxQuantiles: near-true quantiles, bit-identical under any partitioning") {
+    import spark.implicits._
+    // values 0..9999 uniformly: true quantile q is ~q*9999
+    val df = (0 until 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val est = Sampling.approxQuantiles(df, "v", "id", qs, k = 1024)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    qs.foreach { q =>
+      val truth = q * 9999.0
+      assert(math.abs(est(q) - truth) < 9999.0 * 0.08,
+        s"q=$q est=${est(q)} truth=$truth") // ~1/sqrt(1024) order bound
+    }
+    // the sample is a pure function of the ids — 1 vs 17 partitions give
+    // bit-identical estimates (no reservoir/task-order dependence)
+    val e1 = Sampling.approxQuantiles(df.repartition(1), "v", "id", qs, 1024)
+      .collect().map(_.getDouble(1)).toSeq
+    val e17 = Sampling.approxQuantiles(df.repartition(17), "v", "id", qs, 1024)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(e1 == e17 && e1 == qs.map(est))
+    // endpoints are exact order statistics of the sample
+    val ends = Sampling.approxQuantiles(df, "v", "id", Seq(0.0, 1.0), 64)
+      .collect().map(_.getDouble(1))
+    assert(ends(0) <= ends(1))
+  }
+
   test("perKeySample: deterministic, exactly k per key, map-side pruning") {
     val docs = (0 until 500).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
     val a = Sampling.perKeySample(docs, "key", "id", k = 7)

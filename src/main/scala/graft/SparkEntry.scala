@@ -1656,15 +1656,18 @@ object SparkEntry {
       // exactly 1.0 bit (p = 1/2 twice; RasterOpsSpec proves both over
       // the full 1280-image fixture population, covering every row at
       // every sf).
-      s.sql("""SELECT doc_id, bin, cnt, img_entropy(orig, 1) AS ent
-        |FROM (SELECT doc_id, make_png(w, h, v1, v1, v1, v2, v2, v2) AS orig
+      // hist materializes ONCE per row; both the exploded bins and the
+      // entropy read it (img_entropy_hist) — one PNG decode per image
+      s.sql("""SELECT doc_id, bin, cnt, img_entropy_hist(hist) AS ent
+        |FROM (SELECT doc_id, img_histogram(
+        |    make_png(w, h, v1, v1, v1, v2, v2, v2), 0) AS hist
         |  FROM (SELECT doc_id,
         |    CAST((doc_id % 5 + 1) * 8 AS INT) AS w,
         |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |    CAST(doc_id % 256 AS INT) AS v1,
         |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
         |   FROM documents))
-        |LATERAL VIEW posexplode(img_histogram(orig, 0)) t AS bin, cnt
+        |LATERAL VIEW posexplode(hist) t AS bin, cnt
         |WHERE cnt > 0
         |ORDER BY doc_id, bin""".stripMargin)
     },
@@ -2000,9 +2003,11 @@ object SparkEntry {
        |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
        |    count(*) AS n
        |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i),
-       |c1 AS (SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-       |      / 1048576.0 AS FLOAT) ORDER BY i) AS cen
-       |  FROM s1 GROUP BY c),
+       |c1 AS (SELECT c0.c, COALESCE(u1.cen, c0.cen) AS cen
+       |  FROM c0 LEFT JOIN (
+       |    SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |        / 1048576.0 AS FLOAT) ORDER BY i) AS cen
+       |    FROM s1 GROUP BY c) u1 USING (c)),
        |d2 AS (SELECT e.vec_id, e.embedding, c1.c,
        |    ${kmDist("e.embedding", "c1.cen")} AS dist
        |  FROM hs e, c1),
@@ -2013,7 +2018,15 @@ object SparkEntry {
        |s2 AS (SELECT c, i,
        |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
        |    count(*) AS n
-       |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i)""".stripMargin
+       |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY c, i),
+       |c2 AS (SELECT c1.c, COALESCE(u2.cen, c1.cen) AS cen
+       |  FROM c1 LEFT JOIN (
+       |    SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |        / 1048576.0 AS FLOAT) ORDER BY i) AS cen
+       |    FROM s2 GROUP BY c) u2 USING (c)),
+       |kn AS (SELECT c1.c AS c, COALESCE(s2n.n, 0) AS n
+       |  FROM c1 LEFT JOIN (
+       |    SELECT c, max(n) AS n FROM s2 GROUP BY c) s2n USING (c))""".stripMargin
 
   // --- DuckDB splitmix64 replica (SQL text generator) -------------------
   // 64-bit wraparound arithmetic via HUGEINT with 32-bit split
@@ -3239,10 +3252,12 @@ object SparkEntry {
     // the lowest cluster), same fixed-point integer centroid update
     "q113_kmeans" ->
       s"""WITH $KmeansCtes
-         |SELECT CAST(c AS INT) AS c, CAST(i - 1 AS INT) AS i,
-         |  CAST(n AS BIGINT) AS cnt,
-         |  CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS FLOAT) AS DOUBLE) AS val
-         |FROM s2 ORDER BY c, i""".stripMargin,
+         |SELECT CAST(c2.c AS INT) AS c, CAST(i - 1 AS INT) AS i,
+         |  CAST(kn.n AS BIGINT) AS cnt,
+         |  CAST(c2.cen[i] AS DOUBLE) AS val
+         |FROM c2 JOIN kn USING (c),
+         |  (SELECT unnest(generate_series(1, 64)) AS i)
+         |ORDER BY c, i""".stripMargin,
     // hash-sample quantiles: same md5-minimum sample, same sorted-array
     // interpolation (rank = q·(n-1); lo + (hi-lo)·frac), bit-for-bit
     "q119_quantile_sample" ->
@@ -3269,10 +3284,7 @@ object SparkEntry {
     // assignment, nprobe probes, exact rerank) runs against them
     "q118_kmeans_ivf" ->
       s"""WITH $KmeansCtes,
-         |cb AS (SELECT CAST(c AS INTEGER) AS cid,
-         |    list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-         |      / 1048576.0 AS FLOAT) ORDER BY i) AS cvec
-         |  FROM s2 GROUP BY c),
+         |cb AS (SELECT CAST(c AS INTEGER) AS cid, cen AS cvec FROM c2),
          |csim AS (
          |  SELECT e.vec_id, e.embedding, cb.cid,
          |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM

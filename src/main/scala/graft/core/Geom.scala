@@ -272,15 +272,21 @@ object Geom {
         emptyInts, emptyInts, Array.empty)
     val t = parts.head.geomType
     val d = parts.head.dims
+    // PostGIS ST_Collect SRID semantics: a uniform SRID carries through;
+    // mixed SRIDs fall back to 0 (PostGIS errors — this engine treats the
+    // tag as advisory everywhere else, so dropping to 0 is consistent)
+    val s0 = parts.head.srid
+    val srid = if (parts.forall(_.srid == s0)) s0 else 0
     val uniform = parts.forall(p =>
       p.geomType == t && p.dims == d && !p.isEmpty)
     if (uniform && t == GeomTypes.Point)
-      new Geom(GeomTypes.MultiPoint, d, 0,
+      new Geom(GeomTypes.MultiPoint, d, srid,
         parts.iterator.flatMap(_.coords).toArray, emptyInts, emptyInts, null)
     else if (uniform && t == GeomTypes.LineString) {
       val coords = parts.iterator.flatMap(_.coords).toArray
       val offs = parts.scanLeft(0)((acc, p) => acc + p.numCoords).toArray
-      new Geom(GeomTypes.MultiLineString, d, 0, coords, offs, emptyInts, null)
+      new Geom(GeomTypes.MultiLineString, d, srid, coords, offs, emptyInts,
+        null)
     } else if (uniform && t == GeomTypes.Polygon) {
       val coords = parts.iterator.flatMap(_.coords).toArray
       val o0 = parts.scanLeft(0)((acc, p) => acc + p.o0.length - 1).toArray
@@ -290,9 +296,9 @@ object Geom {
         p.o0.drop(1).foreach(r => o1 += base + r)
         base += p.numCoords
       }
-      new Geom(GeomTypes.MultiPolygon, d, 0, coords, o0, o1.toArray, null)
+      new Geom(GeomTypes.MultiPolygon, d, srid, coords, o0, o1.toArray, null)
     } else
-      new Geom(GeomTypes.Collection, d, 0, emptyDoubles, emptyInts,
+      new Geom(GeomTypes.Collection, d, srid, emptyDoubles, emptyInts,
         emptyInts, parts.toArray)
   }
 

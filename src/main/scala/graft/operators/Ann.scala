@@ -43,39 +43,47 @@ object Ann {
     val spark = data.sparkSession
     Geo.register(spark)
     val scale = (1L << scaleBits).toDouble
-    val seedRows = data
-      .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
-      .orderBy(col("__h"), col(idCol))
-      .limit(k)
-      .select(col(vecCol)).collect()
-    require(seedRows.length == k, s"k-means needs >= $k rows")
-    var codebook: Array[Float] =
-      seedRows.flatMap(_.getSeq[Float](0)).toArray
-    val dim = codebook.length / k
-    var counts = Array.fill(k)(0L)
-    for (_ <- 1 to iters) {
-      val sums = data
-        .withColumn("__c",
-          call_function("vec_argmin_l2", col(vecCol), lit(codebook)))
-        .select(col("__c"),
-          posexplode(call_function("vec_fixed", col(vecCol), lit(scaleBits))))
-        .groupBy(col("__c"), col("pos"))
-        .agg(sum("col").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val newCb = codebook.clone()
-      counts = Array.fill(k)(0L)
-      sums.foreach { r =>
-        val c = r.getInt(0); val pos = r.getInt(1)
-        val s = r.getLong(2); val n = r.getLong(3)
-        newCb(c * dim + pos) = ((s.toDouble / n.toDouble) / scale).toFloat
-        counts(c) = n
+    // one pass materializes the (id, vec) projection; the seed scan and
+    // every Lloyd's iteration then read the cached columns instead of
+    // re-executing the input lineage iters+1 times (at corpus scale each
+    // re-execution is a full table read)
+    val base = data.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = base
+        .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+        .orderBy(col("__h"), col(idCol))
+        .limit(k)
+        .select(col(vecCol)).collect()
+      require(seedRows.length == k, s"k-means needs >= $k rows")
+      var codebook: Array[Float] =
+        seedRows.flatMap(_.getSeq[Float](0)).toArray
+      val dim = codebook.length / k
+      var counts = Array.fill(k)(0L)
+      for (_ <- 1 to iters) {
+        val sums = base
+          .withColumn("__c",
+            call_function("vec_argmin_l2", col(vecCol), lit(codebook)))
+          .select(col("__c"),
+            posexplode(call_function("vec_fixed", col(vecCol), lit(scaleBits))))
+          .groupBy(col("__c"), col("pos"))
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val newCb = codebook.clone()
+        counts = Array.fill(k)(0L)
+        sums.foreach { r =>
+          val c = r.getInt(0); val pos = r.getInt(1)
+          val s = r.getLong(2); val n = r.getLong(3)
+          newCb(c * dim + pos) = ((s.toDouble / n.toDouble) / scale).toFloat
+          counts(c) = n
+        }
+        codebook = newCb
       }
-      codebook = newCb
-    }
-    import spark.implicits._
-    val rows = for (c <- 0 until k; i <- 0 until dim)
-      yield (c, i, counts(c), codebook(c * dim + i).toDouble)
-    (codebook, rows.toDF("c", "i", "cnt", "val"))
+      import spark.implicits._
+      val rows = for (c <- 0 until k; i <- 0 until dim)
+        yield (c, i, counts(c), codebook(c * dim + i).toDouble)
+      (codebook, rows.toDF("c", "i", "cnt", "val"))
+    } finally base.unpersist()
   }
 
   /** Exact top-k by cosine for each query row. Output: qid, rank, id, cos. */

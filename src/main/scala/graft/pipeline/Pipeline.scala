@@ -182,7 +182,13 @@ object Pipeline {
     val manifest = writeSnapshot(updates, tableDir, snapshotId,
       keyCol = mergeKeyCol, bytesCol = bytesCol,
       filesPerBucket = filesPerBucket)
-    val dels = updates
+    // tombstone the keys of the rows ACTUALLY WRITTEN (pure IO over the
+    // committed snapshot), never a re-evaluation of `updates` — a
+    // nondeterministic input plan (sampled/recomputed-after-retry) could
+    // otherwise tombstone a different key set than it appended, leaving
+    // duplicate versions or silently deleting un-replaced rows
+    val dels = updates.sparkSession.read.parquet(s"$tableDir/data")
+      .filter(col("snapshot_id") === snapshotId)
       .select(col(mergeKeyCol).cast("string").as("del_key")).distinct()
       .withColumn("delete_snapshot", lit(snapshotId))
     dels.write.mode(SaveMode.Append).parquet(s"$tableDir/deletes")
@@ -353,22 +359,10 @@ object Pipeline {
     // racing live writers and should back off (on an object store this
     // whole block is the catalog's CAS commit).
     val manifestsDir = Paths.get(tableDir, "manifests")
-    def manifestParts(): Set[String] = {
-      val s = F.list(manifestsDir)
-      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
-      finally s.close()
-    }
     val mTmp = Paths.get(tableDir, s"manifests_tmp_$upToSnapshotId")
-    var attempts = 0
-    var fenced = false
-    var mergedParts = Set.empty[String] // the parts the final merge read
-    while (!fenced) {
-      attempts += 1
-      require(attempts <= 5,
-        "compactSnapshots: manifests kept changing under concurrent " +
-          "writers across 5 merge attempts — quiesce writers and retry")
-      val listingAtRead = manifestParts()
+    fencedRewrite(manifestsDir, mTmp, aside.resolve("manifests_old"),
+      "manifests", onFirstAttempt = beforeManifestSwap,
+      afterFenceSeam = afterFence) { () =>
       val m = spark.read.parquet(manifestsDir.toString)
       // Summing the old manifest rows is exact only when every squashed row
       // survived the rewrite; once tombstones dropped rows, rebuild the base
@@ -394,81 +388,24 @@ object Pipeline {
             upToSnapshotId, keyCol, bytesCol)
         }
       val squashed = squashed0.select(m.columns.map(col): _*)
-      val newManifest = squashed.unionByName(
-        m.filter(col("snapshot_id") > upToSnapshotId))
-      newManifest.write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
-      if (attempts == 1) beforeManifestSwap() // test seam: inject a racer
-      // the fence: any part file appended since the pre-read listing is
-      // not guaranteed to be in mTmp — merge again over the fresh listing
-      fenced = manifestParts() == listingAtRead
-      if (fenced) mergedParts = listingAtRead
-    }
-    afterFence() // test seam: racer in the fence-check -> swap window
-    val mAside = aside.resolve("manifests_old")
-    F.move(manifestsDir, mAside)
-    F.move(mTmp, manifestsDir)
-    // post-swap reconciliation: the fence check and the directory move are
-    // not one atomic step, so a part committed in that window travels to
-    // the aside dir WITHOUT being merged — destroying the aside would
-    // destroy its rows (the exact loss the fence exists to prevent). Move
-    // any straggler verbatim into the new manifests dir before the aside
-    // dies: its rows belong to snapshots newer than the squash point, and
-    // the merge keeps such rows verbatim anyway, so a raw part file is
-    // exactly what the merged output would have contained. Rows can land
-    // late; they can never be lost.
-    locally {
-      val s = F.list(mAside)
-      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(".parquet") && !mergedParts.contains(n)
-        }
-        .foreach(p => F.move(p, manifestsDir.resolve(p.getFileName)))
-      finally s.close()
+      squashed.unionByName(m.filter(col("snapshot_id") > upToSnapshotId))
+        .write.mode(SaveMode.Overwrite).parquet(mTmp.toString)
     }
     // 4. retire the applied tombstones: rewrite `deletes/` keeping only
     // delete_snapshot > upTo (older ones are baked into the compacted
-    // base). Same fence + rename-aside + straggler-reconcile discipline as
-    // the manifests: a deleteWhere/mergeSnapshot committing tombstones
-    // during this window must never lose them. A straggler necessarily has
-    // delete_snapshot > upTo (snapshot ids are monotonic), so moving its
-    // part file verbatim is exactly what the filter would have kept.
+    // base). Same fenced swap as the manifests: a deleteWhere /
+    // mergeSnapshot committing tombstones during this window must never
+    // lose them. A straggler necessarily has delete_snapshot > upTo
+    // (snapshot ids are monotonic), so the reconcile's verbatim move is
+    // exactly what the filter would have kept.
     if (tombstonesApplied) {
-      def delParts(): Set[String] = {
-        val s = F.list(delDir)
-        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
-        finally s.close()
-      }
       val dTmp = Paths.get(tableDir, s"deletes_tmp_$upToSnapshotId")
-      var dAttempts = 0
-      var dFenced = false
-      var dMerged = Set.empty[String]
-      while (!dFenced) {
-        dAttempts += 1
-        require(dAttempts <= 5,
-          "compactSnapshots: deletes kept changing under concurrent " +
-            "writers across 5 rewrite attempts — quiesce writers and retry")
-        val listingAtRead = delParts()
+      fencedRewrite(delDir, dTmp, aside.resolve("deletes_old"),
+        "deletes") { () =>
         spark.read.parquet(delDir.toString)
           .filter(col("delete_snapshot") > upToSnapshotId)
           .repartition(1) // one part even when empty — dir stays readable
           .write.mode(SaveMode.Overwrite).parquet(dTmp.toString)
-        dFenced = delParts() == listingAtRead
-        if (dFenced) dMerged = listingAtRead
-      }
-      val dAside = aside.resolve("deletes_old")
-      F.move(delDir, dAside)
-      F.move(dTmp, delDir)
-      locally {
-        val s = F.list(dAside)
-        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.endsWith(".parquet") && !dMerged.contains(n)
-          }
-          .foreach(p => F.move(p, delDir.resolve(p.getFileName)))
-        finally s.close()
       }
     }
     // both swaps landed — the aside copies are now the only stale state
@@ -477,6 +414,60 @@ object Pipeline {
       s"""{"compacted_to":$upToSnapshotId,"ts":${System.currentTimeMillis()}}""")
     spark.read.parquet(manifestsDir.toString)
       .filter(col("snapshot_id") === upToSnapshotId)
+  }
+
+  /** Fenced directory rewrite — the ONE copy of the concurrency-critical
+    * swap logic both the manifests merge and the tombstone retirement use.
+    * `rewrite` must read `dir` and overwrite `tmp` from a consistent view;
+    * the fence records the part listing before each rewrite, re-lists
+    * after, and re-runs on any change (bounded retries — sustained traffic
+    * means the maintenance job is racing live writers and should back
+    * off). After the rename-aside swap, part files committed in the
+    * fence-check→move window travel to the aside dir unmerged — the
+    * post-swap reconciliation moves them verbatim into the new dir, so
+    * rows can land late but never be lost. The caller destroys the aside
+    * dir once every swap has landed. On an object store this whole shape
+    * is the catalog's CAS commit. */
+  private def fencedRewrite(dir: java.nio.file.Path, tmp: java.nio.file.Path,
+      asideTarget: java.nio.file.Path, what: String,
+      onFirstAttempt: () => Unit = () => (),
+      afterFenceSeam: () => Unit = () => ())(rewrite: () => Unit): Unit = {
+    import java.nio.file.{Files => F}
+    def parts(): Set[String] = {
+      val s = F.list(dir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    var attempts = 0
+    var fenced = false
+    var merged = Set.empty[String] // the parts the final rewrite read
+    while (!fenced) {
+      attempts += 1
+      require(attempts <= 5,
+        s"compactSnapshots: $what kept changing under concurrent " +
+          "writers across 5 merge attempts — quiesce writers and retry")
+      val listingAtRead = parts()
+      rewrite()
+      if (attempts == 1) onFirstAttempt() // test seam: inject a racer
+      // the fence: a part appended since the pre-read listing is not
+      // guaranteed to be in tmp — rewrite again over the fresh listing
+      fenced = parts() == listingAtRead
+      if (fenced) merged = listingAtRead
+    }
+    afterFenceSeam() // test seam: racer in the fence-check -> swap window
+    F.move(dir, asideTarget)
+    F.move(tmp, dir)
+    locally {
+      val s = F.list(asideTarget)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !merged.contains(n)
+        }
+        .foreach(p => F.move(p, dir.resolve(p.getFileName)))
+      finally s.close()
+    }
   }
 
   /** Data-file count of the table (compaction's before/after metric). */

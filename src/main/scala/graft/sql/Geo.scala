@@ -351,6 +351,9 @@ object Geo {
       Seq(BinaryType, IntegerType), nullable = true)),
     "img_entropy" -> (a => inv(MediaOps.getClass, DoubleType, "imgEntropy",
       a, Seq(BinaryType, IntegerType), nullable = true)),
+    "img_entropy_hist" -> (a => inv(MediaOps.getClass, DoubleType,
+      "imgEntropyHist", a, Seq(ArrayType(LongType, containsNull = false)),
+      nullable = true)),
     "img_resize" -> (a => inv(MediaOps.getClass, BinaryType, "imgResize", a,
       Seq(BinaryType, IntegerType, IntegerType), nullable = true)),
     // rendered-tile decode back to (pixel, gray) rows — the raster→vector

@@ -294,14 +294,20 @@ object GeoOps {
         buf += GeoStruct.decode(arr.getStruct(i, 7))
       i += 1
     }
+    // IEEE-total-order comparisons (java.lang.Double.compare): NaN sorts
+    // above +Inf consistently, so the comparator keeps a strict weak
+    // ordering even for NaN ordinates (a `!=`/`<` comparator would break
+    // the sort contract and make the "canonical" order input-dependent)
     val sorted = buf.sortWith { (p, q) =>
       val px = if (p.isEmpty) Double.PositiveInfinity else p.coords(0)
       val qx = if (q.isEmpty) Double.PositiveInfinity else q.coords(0)
-      if (px != qx) px < qx
+      val cx = java.lang.Double.compare(px, qx)
+      if (cx != 0) cx < 0
       else {
         val py = if (p.isEmpty) Double.PositiveInfinity else p.coords(1)
         val qy = if (q.isEmpty) Double.PositiveInfinity else q.coords(1)
-        if (py != qy) py < qy
+        val cy = java.lang.Double.compare(py, qy)
+        if (cy != 0) cy < 0
         else java.util.Arrays.compareUnsigned(
           graft.core.Wkb.write(p), graft.core.Wkb.write(q)) < 0
       }

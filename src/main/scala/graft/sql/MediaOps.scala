@@ -17,6 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * SOF0/SOF2 markers) needing no media library. */
 object MediaOps {
 
+  // All kernel IO is byte-array-backed; ImageIO's default DISK cache would
+  // spill every decode/encode through a temp file — pure overhead on the
+  // per-row hot path, and the shared temp-dir cache is the one piece of
+  // cross-thread state in an otherwise stateless kernel (a rare
+  // parallel-suite PSNR flake pointed here). Memory caching is strictly
+  // better for in-memory streams.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val imageMetaType: StructType = StructType(Seq(
     StructField("decoded_w", IntegerType, nullable = true),
     StructField("decoded_h", IntegerType, nullable = true),
@@ -351,17 +359,23 @@ object MediaOps {
   /** Shannon entropy (bits) of one channel's histogram — 0 for constant
     * images, log2(256)=8 max; the standard near-constant / synthetic-image
     * filter statistic. p·log2(p) via `Math.log(p) / Math.log(2)`. */
-  def imgEntropy(bytes: Array[Byte], channel: Int): java.lang.Double = {
-    val hist = imgHistogram(bytes, channel)
+  def imgEntropy(bytes: Array[Byte], channel: Int): java.lang.Double =
+    imgEntropyHist(imgHistogram(bytes, channel))
+
+  /** Entropy from an already-materialized histogram array — use this form
+    * when the query also projects `img_histogram` on the same bytes, so
+    * the PNG decodes ONCE per row instead of once per statistic. */
+  def imgEntropyHist(hist: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
     if (hist == null) return null
+    val n = hist.numElements()
     var total = 0.0
     var i = 0
-    while (i < 256) { total += hist.getLong(i).toDouble; i += 1 }
+    while (i < n) { total += hist.getLong(i).toDouble; i += 1 }
     if (total == 0) return java.lang.Double.valueOf(0.0)
     var e = 0.0
     val ln2 = Math.log(2.0)
     i = 0
-    while (i < 256) {
+    while (i < n) {
       val c = hist.getLong(i)
       if (c > 0) {
         val p = c.toDouble / total

@@ -206,6 +206,13 @@ class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         |    st_geomfromwkt('LINESTRING (0 0, 1 1)'))) AS g)""".stripMargin)
       .collect()(0)
     assert(mixed.getString(0) == "GEOMETRYCOLLECTION" && mixed.getInt(1) == 2)
+    // a uniform SRID carries through collect (PostGIS ST_Collect keeps it)
+    val srid = spark.sql(
+      """SELECT st_srid(st_makecollection(array(
+        |  st_setsrid(st_geomfromwkt('POINT (1 2)'), 4326),
+        |  st_setsrid(st_geomfromwkt('POINT (3 4)'), 4326))))""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(srid == 4326)
     // uniform lines/polygons build the flat MULTI and dump back to parts
     val lines = spark.sql(
       """SELECT st_aswkt(st_makecollection(array(

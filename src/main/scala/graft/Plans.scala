@@ -149,7 +149,50 @@ object Plans {
               " CAST(id DIV 5 AS DOUBLE) * 30.0 - 80.0," +
               " CAST(id % 5 AS DOUBLE) * 60.0 - 130.0," +
               " CAST(id DIV 5 AS DOUBLE) * 30.0 - 60.0) AS g"),
-          "zone_id", "g", zoom = 4, size = 256)))
+          "zone_id", "g", zoom = 4, size = 256)),
+      "Geometry-geometry INTERSECTS join: cover-explode candidates meet in " +
+        "a BroadcastHashJoin (big side never shuffles); the min-shared-tile " +
+        "claim + exact refine ride the join condition — no distinct pass " +
+        "anywhere" ->
+        fmt(SpatialJoins.intersectsJoin(
+          imagesPq.selectExpr("image_id",
+            "st_boxtopolygon(lon - 2.0, lat - 1.0, lon + 2.0, lat + 1.0) AS bg"),
+          polys.selectExpr("poly_id", "poly AS pg"), "bg", "pg", zoom = 5)
+          .groupBy(col("poly_id")).count()),
+      "k-means iteration: codegen'd argmin assignment + fixed-point " +
+        "posexplode feed ONE partial-aggregated exchange of k·dim group " +
+        "rows — the corpus itself never shuffles" ->
+        fmt(imagesPq
+          .select(col("image_id"), array(col("lon").cast("float"),
+            col("lat").cast("float")).as("embedding"))
+          .withColumn("__c", call_function("vec_argmin_l2",
+            col("embedding"), lit(Array.fill(8)(0.1f))))
+          .select(col("__c"), posexplode(call_function("vec_fixed",
+            col("embedding"), lit(20))))
+          .groupBy(col("__c"), col("pos"))
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))),
+      "Row-level merged read (Iceberg-v2 equality tombstones): the data " +
+        "side streams through a broadcast anti-join on the key — the " +
+        "tombstone set is the only collected state" -> {
+        val rowDir = "target/plans_rowlevel"
+        if (!new java.io.File(rowDir + "/data").exists()) {
+          val b = graft.pipeline.Pipeline.withBucket(
+            imagesPq.limit(2000), "lon", "lat", 3)
+          graft.pipeline.Pipeline.writeSnapshot(b, rowDir, 1L)
+          graft.pipeline.Pipeline.mergeSnapshot(
+            b.filter(col("image_id") < "img000000200")
+              .withColumn("caption", lit("v2")), rowDir, 2L,
+            mergeKeyCol = "image_id")
+        }
+        fmt(graft.pipeline.Pipeline.readCurrent(spark, rowDir)
+          .groupBy("snapshot_id").count())
+      },
+      "Hash-sample quantiles: the sample rides TakeOrderedAndProject " +
+        "(per-partition partial top-k — no full sort, no full shuffle)" ->
+        fmt(imagesPq
+          .select(col("phash").cast("double").as("__v"), col("image_id"))
+          .orderBy(md5(col("image_id").cast("binary")), col("image_id"))
+          .limit(1024)))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

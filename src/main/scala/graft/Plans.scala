@@ -159,18 +159,17 @@ object Plans {
             "st_boxtopolygon(lon - 2.0, lat - 1.0, lon + 2.0, lat + 1.0) AS bg"),
           polys.selectExpr("poly_id", "poly AS pg"), "bg", "pg", zoom = 5)
           .groupBy(col("poly_id")).count()),
-      "k-means iteration: codegen'd argmin assignment + fixed-point " +
-        "posexplode feed ONE partial-aggregated exchange of k·dim group " +
-        "rows — the corpus itself never shuffles" ->
+      "k-means iteration: codegen'd argmin assignment + the array-summing " +
+        "VecFixedSumAgg — ONE exchange carrying k aggregate buffers (no " +
+        "rows×dim explode anywhere); the corpus itself never shuffles" ->
         fmt(imagesPq
           .select(col("image_id"), array(col("lon").cast("float"),
             col("lat").cast("float")).as("embedding"))
           .withColumn("__c", call_function("vec_argmin_l2",
             col("embedding"), lit(Array.fill(8)(0.1f))))
-          .select(col("__c"), posexplode(call_function("vec_fixed",
-            col("embedding"), lit(20))))
-          .groupBy(col("__c"), col("pos"))
-          .agg(sum("col").as("s"), count(lit(1)).as("n"))),
+          .groupBy(col("__c"))
+          .agg(call_function("vec_fixedsum_agg", call_function("vec_fixed",
+            col("embedding"), lit(20))).as("fs"))),
       "Row-level merged read (Iceberg-v2 equality tombstones): the data " +
         "side streams through a broadcast anti-join on the key — the " +
         "tombstone set is the only collected state" -> {

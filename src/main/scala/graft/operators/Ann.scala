@@ -61,21 +61,30 @@ object Ann {
       val dim = codebook.length / k
       var counts = Array.fill(k)(0L)
       for (_ <- 1 to iters) {
+        // centroid update via the array-summing aggregate: each partition
+        // folds its vectors into ONE dim+1 long buffer per cluster, so
+        // the exchange carries k buffers — not rows×dim exploded rows
+        // (the posexplode formulation measured memory-bandwidth-bound)
         val sums = base
           .withColumn("__c",
             call_function("vec_argmin_l2", col(vecCol), lit(codebook)))
-          .select(col("__c"),
-            posexplode(call_function("vec_fixed", col(vecCol), lit(scaleBits))))
-          .groupBy(col("__c"), col("pos"))
-          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .groupBy(col("__c"))
+          .agg(call_function("vec_fixedsum_agg",
+            call_function("vec_fixed", col(vecCol), lit(scaleBits))).as("fs"))
+          .select(col("__c"), col("fs.n"), col("fs.sums"))
           .collect()
         val newCb = codebook.clone()
         counts = Array.fill(k)(0L)
         sums.foreach { r =>
-          val c = r.getInt(0); val pos = r.getInt(1)
-          val s = r.getLong(2); val n = r.getLong(3)
-          newCb(c * dim + pos) = ((s.toDouble / n.toDouble) / scale).toFloat
+          val c = r.getInt(0)
+          val n = r.getLong(1)
+          val arr = r.getSeq[Long](2)
           counts(c) = n
+          var i = 0
+          while (i < dim) {
+            newCb(c * dim + i) = ((arr(i).toDouble / n.toDouble) / scale).toFloat
+            i += 1
+          }
         }
         codebook = newCb
       }

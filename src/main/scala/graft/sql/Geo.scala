@@ -429,7 +429,11 @@ object Geo {
       intLit(a(2), "cms_sketch width")).toAggregateExpression()),
     "cms_query" -> (a => geo(LongType, "cmsQuery", a,
       Seq(ArrayType(LongType, containsNull = false), LongType,
-        IntegerType, IntegerType))))
+        IntegerType, IntegerType))),
+    // element-wise fixed-point vector sum (k-means update without the
+    // rows×dim explode — the exchange carries k buffers, not rows)
+    "vec_fixedsum_agg" -> (a =>
+      VecFixedSumAgg(a.head).toAggregateExpression()))
 
   // weak identity set: sessions come and go (bench spins several up);
   // hashCode-keyed sets could collide after GC address reuse

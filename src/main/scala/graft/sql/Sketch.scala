@@ -77,6 +77,80 @@ case class CmsSketchAgg(
     copy(child = newChild)
 }
 
+/** Element-wise sum of fixed-point vectors (`array<long>`) as a custom
+  * Catalyst aggregate — the k-means centroid update without exploding
+  * rows×dim through the shuffle: each partition folds its vectors into
+  * ONE dim+1 long buffer (slot 0 = row count), partials merge by
+  * element-wise addition (commutative/associative integers — invariant to
+  * partitioning, merge order and retries), and the exchange carries k
+  * buffers instead of k·dim·rows exploded rows. Null vectors are skipped;
+  * the buffer sizes itself to the first vector seen (shorter inputs
+  * contribute zeros to missing trailing dims). */
+case class VecFixedSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "vec_fixedsum_agg"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val dim = arr.numElements()
+    val b = if (buf.length >= dim + 1) buf
+      else java.util.Arrays.copyOf(buf, dim + 1)
+    b(0) += 1L
+    var i = 0
+    while (i < dim) { b(i + 1) += arr.getLong(i); i += 1 }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b.length == 0) return a
+    val out = if (a.length >= b.length) a
+      else java.util.Arrays.copyOf(a, b.length)
+    var i = 0
+    while (i < b.length) { out(i) += b(i); i += 1 }
+    out
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = if (buf.length == 0) 0L else buf(0)
+    val sums = if (buf.length == 0) Array.empty[Long]
+      else java.util.Arrays.copyOfRange(buf, 1, buf.length)
+    org.apache.spark.sql.catalyst.InternalRow(n,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(sums))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VecFixedSumAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecFixedSumAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): VecFixedSumAgg =
+    copy(child = newChild)
+}
+
 /** HyperLogLog distinct-count sketch as a custom Catalyst aggregate (the
   * "novel sketch" operator class) — single-pass, mergeable, groupBy-able.
   *

@@ -179,12 +179,15 @@ class IvfBucketSpec extends AnyFunSuite {
     val cb = Array.fill(8)(0.1f)
     val assigned = df
       .withColumn("__c", call_function("vec_argmin_l2", $"embedding", lit(cb)))
-      .select($"__c", posexplode(call_function("vec_fixed", $"embedding", lit(20))))
-      .groupBy($"__c", $"pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .groupBy($"__c")
+      .agg(call_function("vec_fixedsum_agg",
+        call_function("vec_fixed", $"embedding", lit(20))).as("fs"))
     val plan = assigned.queryExecution.executedPlan.toString
-    // exactly one exchange: the k·dim-group aggregate (partials map-side)
+    // exactly one exchange, carrying k aggregate BUFFERS (the array-sum
+    // aggregate partials map-side; no rows×dim explode anywhere)
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
-    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode in the plan
+    assert(plan.contains("vec_fixedsum_agg"), plan)
   }
 
   test("vec_project: JL distance preservation + determinism") {

@@ -1596,6 +1596,26 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q120_line_ops" -> { (s, d) =>
+      prep(s, d)
+      // linear referencing + vertex accessors: interpolation arithmetic is
+      // order-fixed (segment sqrt lengths folded left-to-right, owning
+      // segment by acc+len >= target, lerp xa + dx·t), so the oracle
+      // re-derives both interpolated ordinates bit-for-bit along with the
+      // start/end/pointn accessors; fractions sweep 0.0..1.0 inclusive so
+      // both segments and both endpoints are exercised.
+      s.sql(s"""WITH l AS ($LineCte)
+        |SELECT k,
+        |  st_x(st_lineinterpolate(g, f)) AS ix,
+        |  st_y(st_lineinterpolate(g, f)) AS iy,
+        |  st_x(st_startpoint(g)) AS spx,
+        |  st_y(st_endpoint(g)) AS epy,
+        |  st_x(st_pointn(g, 2)) AS p2x,
+        |  st_pointn(g, 5) IS NULL AS oob
+        |FROM (SELECT k, f,
+        |    st_makeline(x1, y1, x2, y2, x3, y3) AS g FROM l)
+        |ORDER BY k""".stripMargin)
+    },
     "q119_quantile_sample" -> { (s, d) =>
       prep(s, d)
       // deterministic approximate quantiles: the hash-minimum sample is a
@@ -1981,6 +2001,21 @@ object SparkEntry {
        |        * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
        |        FOR i IN generate_series(1, 64)],
        |      (a, x) -> a + x)""".stripMargin
+
+  /** Deterministic 3-point lines over nation for the linear-referencing
+    * query (q120) — varied angles and an up-then-down bend so both
+    * segments get exercised. Shared VERBATIM with the DuckDB oracle
+    * (environment fact 1: all fractional literals behind CAST AS DOUBLE). */
+  private val LineCte =
+    """SELECT k, f, x1, y1, x2, y2,
+      |  x2 + CAST(1.9 AS DOUBLE) AS x3, y2 - CAST(4.6 AS DOUBLE) AS y3
+      |FROM (SELECT k, f, x1, y1,
+      |    x1 + CAST(5.7 AS DOUBLE) AS x2, y1 + CAST(3.3 AS DOUBLE) AS y2
+      |  FROM (SELECT n_nationkey AS k,
+      |    CAST(n_nationkey % 11 AS DOUBLE) / CAST(10.0 AS DOUBLE) AS f,
+      |    CAST(-120.0 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(7.3 AS DOUBLE) AS x1,
+      |    CAST(-50.0 AS DOUBLE) + CAST(n_nationkey AS DOUBLE) * CAST(2.1 AS DOUBLE) AS y1
+      |  FROM nation))""".stripMargin
 
   // --- shared k-means oracle CTE chain (q113, q118): md5 total-order
   // seeding, two Lloyd's iterations — ordered-fold argmin assignment,
@@ -3258,6 +3293,22 @@ object SparkEntry {
          |FROM c2 JOIN kn USING (c),
          |  (SELECT unnest(generate_series(1, 64)) AS i)
          |ORDER BY c, i""".stripMargin,
+    // linear referencing: same segment-length fold, same owning-segment
+    // branch, same lerp — bit-exact; accessors are raw vertex echoes
+    "q120_line_ops" ->
+      s"""WITH l AS ($LineCte),
+         |pj AS (SELECT k, f, x1, y1, x2, y2, x3, y3,
+         |  sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS len1,
+         |  sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2)) AS len2
+         |  FROM l),
+         |tt AS (SELECT *, f * (len1 + len2) AS target FROM pj)
+         |SELECT k,
+         |  CASE WHEN len1 >= target THEN x1 + (x2 - x1) * (target / len1)
+         |       ELSE x2 + (x3 - x2) * ((target - len1) / len2) END AS ix,
+         |  CASE WHEN len1 >= target THEN y1 + (y2 - y1) * (target / len1)
+         |       ELSE y2 + (y3 - y2) * ((target - len1) / len2) END AS iy,
+         |  x1 AS spx, y3 AS epy, x2 AS p2x, TRUE AS oob
+         |FROM tt ORDER BY k""".stripMargin,
     // hash-sample quantiles: same md5-minimum sample, same sorted-array
     // interpolation (rank = q·(n-1); lo + (hi-lo)·frac), bit-for-bit
     "q119_quantile_sample" ->

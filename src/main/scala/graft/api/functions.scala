@@ -99,6 +99,11 @@ object functions {
   def st_box_agg(g: Column): Column = f("st_box_agg")(g)
   def st_uniquetypes_agg(g: Column): Column = f("st_uniquetypes_agg")(g)
   def st_dump(g: Column): Column = f("st_dump")(g)
+  def st_lineinterpolate(g: Column, frac: Column): Column =
+    f("st_lineinterpolate")(g, frac)
+  def st_pointn(g: Column, n: Column): Column = f("st_pointn")(g, n)
+  def st_startpoint(g: Column): Column = f("st_startpoint")(g)
+  def st_endpoint(g: Column): Column = f("st_endpoint")(g)
   def st_makecollection(parts: Column): Column = f("st_makecollection")(parts)
   def st_collect_agg(g: Column): Column = f("st_collect_agg")(g)
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,

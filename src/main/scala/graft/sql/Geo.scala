@@ -138,7 +138,19 @@ object Geo {
     "st_casttype" -> (a => geo(G, "castType", a, Seq(G, StringType))),
     "st_snaptogrid" -> (a => geo(G, "snapToGrid", a, Seq(G, DoubleType))),
     "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
-    "st_makeline" -> (a => geo(G, "makeLine2", a, Seq.fill(4)(DoubleType))),
+    "st_makeline" -> { a =>
+      if (a.length == 6) geo(G, "makeLine3", a, Seq.fill(6)(DoubleType))
+      else geo(G, "makeLine2", a, Seq.fill(4)(DoubleType))
+    },
+    // linear referencing + vertex accessors (PostGIS semantics)
+    "st_lineinterpolate" -> (a => geo(G, "lineInterpolatePoint", a,
+      Seq(G, DoubleType))),
+    "st_pointn" -> (a => geo(G, "pointN", a, Seq(G, IntegerType),
+      nullable = true)),
+    "st_startpoint" -> (a => geo(G, "pointN", Seq(a.head, Literal(1)),
+      Seq(G, IntegerType), nullable = true)),
+    "st_endpoint" -> (a => geo(G, "pointN", Seq(a.head, Literal(-1)),
+      Seq(G, IntegerType), nullable = true)),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

@@ -201,6 +201,70 @@ object GeoOps {
     GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY,
       Array(x1, y1, x2, y2)))
 
+  def makeLine3(x1: Double, y1: Double, x2: Double, y2: Double,
+                x3: Double, y3: Double): InternalRow =
+    GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY,
+      Array(x1, y1, x2, y2, x3, y3)))
+
+  /** Linear referencing (PostGIS ST_LineInterpolatePoint): the point at
+    * `frac` of the line's total length. Every arithmetic step is
+    * order-fixed — segment lengths `sqrt(dx·dx + dy·dy)` summed left to
+    * right, `target = frac·total`, the owning segment found by
+    * `acc + len >= target`, then `t = (target - acc)/len` and
+    * `x = xa + dx·t` — so the oracle replicates each output ordinate
+    * bit-for-bit (q120). LINESTRING only; EMPTY → POINT EMPTY;
+    * zero-length lines return their first vertex. */
+  def lineInterpolatePoint(g: InternalRow, frac: Double): InternalRow = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of [0,1]: $frac")
+    val geom = GeoStruct.decode(g)
+    require(geom.geomType == GeomTypes.LineString,
+      "st_lineinterpolate supports LINESTRING inputs only")
+    if (geom.isEmpty)
+      return GeoStruct.encode(Geom(GeomTypes.Point, Dims.XY, Geom.emptyDoubles))
+    val s = geom.stride
+    val n = geom.numCoords
+    var total = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val dx = geom.coords((i + 1) * s) - geom.coords(i * s)
+      val dy = geom.coords((i + 1) * s + 1) - geom.coords(i * s + 1)
+      total += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    if (total == 0.0)
+      return GeoStruct.encode(Geom.point(geom.coords(0), geom.coords(1)))
+    val target = frac * total
+    var acc = 0.0
+    i = 0
+    while (i < n - 1) {
+      val xa = geom.coords(i * s); val ya = geom.coords(i * s + 1)
+      val xb = geom.coords((i + 1) * s); val yb = geom.coords((i + 1) * s + 1)
+      val dx = xb - xa; val dy = yb - ya
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (acc + len >= target && len > 0.0) {
+        val t = (target - acc) / len
+        return GeoStruct.encode(Geom.point(xa + dx * t, ya + dy * t))
+      }
+      acc += len
+      i += 1
+    }
+    GeoStruct.encode(
+      Geom.point(geom.coords((n - 1) * s), geom.coords((n - 1) * s + 1)))
+  }
+
+  /** PostGIS ST_PointN: 1-based vertex of a LINESTRING (negative counts
+    * from the end); null for non-lines or out-of-range — accessors flag,
+    * never crash. */
+  def pointN(g: InternalRow, idx: Int): InternalRow = {
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType != GeomTypes.LineString) return null
+    val n = geom.numCoords
+    val i = if (idx < 0) n + idx else idx - 1
+    if (i < 0 || i >= n) return null
+    val s = geom.stride
+    GeoStruct.encode(Geom.point(geom.coords(i * s), geom.coords(i * s + 1)))
+  }
+
   /** POINT buffer: the radius-`r` disc approximated by a regular
     * `segments`-gon, CCW from angle 0 — vertex i is
     * `(x + r·cos(2πi/k), y + r·sin(2πi/k))`, one closed-form expression

@@ -174,7 +174,18 @@ object Plans {
         "side streams through a broadcast anti-join on the key — the " +
         "tombstone set is the only collected state" -> {
         val rowDir = "target/plans_rowlevel"
-        if (!new java.io.File(rowDir + "/data").exists()) {
+        // guard on the LAST artifact (deletes/): a crash between the
+        // snapshot write and the merge would otherwise leave a half-built
+        // fixture that silently dumps a plan with no anti-join; rebuild
+        // from scratch when incomplete
+        if (!new java.io.File(rowDir + "/deletes").exists()) {
+          val root = java.nio.file.Paths.get(rowDir)
+          if (java.nio.file.Files.exists(root)) {
+            val st = java.nio.file.Files.walk(root)
+            try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.delete(p))
+            finally st.close()
+          }
           val b = graft.pipeline.Pipeline.withBucket(
             imagesPq.limit(2000), "lon", "lat", 3)
           graft.pipeline.Pipeline.writeSnapshot(b, rowDir, 1L)

@@ -47,7 +47,12 @@ object Ann {
     // every Lloyd's iteration then read the cached columns instead of
     // re-executing the input lineage iters+1 times (at corpus scale each
     // re-execution is a full table read)
+    // null vectors are dropped up front: they carry no centroid signal,
+    // and a null assignment key would otherwise surface as a null group
+    // row in the update collect (the exploded formulation dropped them
+    // implicitly; the aggregate one must do it explicitly)
     val base = data.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seedRows = base

@@ -61,8 +61,10 @@ object Pipeline {
     parted
       .write.mode(SaveMode.Append).partitionBy("snapshot_id", "bucket")
       .parquet(s"$tableDir/data")
-    val written = spark.read.parquet(s"$tableDir/data")
-      .filter(col("snapshot_id") === snapshotId)
+    // read the just-written snapshot's own subtree, not the table root: a
+    // root read lists EVERY snapshot's partition directories before the
+    // filter prunes — O(table history) per commit on a long-lived table
+    val written = spark.read.parquet(s"$tableDir/data/snapshot_id=$snapshotId")
       // partition-column types are inferred from directory names (int vs
       // long depends on the values present) — pin them so manifests from
       // different snapshots always share one schema
@@ -187,8 +189,8 @@ object Pipeline {
     // nondeterministic input plan (sampled/recomputed-after-retry) could
     // otherwise tombstone a different key set than it appended, leaving
     // duplicate versions or silently deleting un-replaced rows
-    val dels = updates.sparkSession.read.parquet(s"$tableDir/data")
-      .filter(col("snapshot_id") === snapshotId)
+    val dels = updates.sparkSession.read
+      .parquet(s"$tableDir/data/snapshot_id=$snapshotId") // O(snapshot) listing
       .select(col(mergeKeyCol).cast("string").as("del_key")).distinct()
       .withColumn("delete_snapshot", lit(snapshotId))
     dels.write.mode(SaveMode.Append).parquet(s"$tableDir/deletes")

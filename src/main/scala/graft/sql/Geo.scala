@@ -139,6 +139,8 @@ object Geo {
     "st_snaptogrid" -> (a => geo(G, "snapToGrid", a, Seq(G, DoubleType))),
     "st_point" -> (a => geo(G, "makePoint", a, Seq(DoubleType, DoubleType))),
     "st_makeline" -> { a =>
+      require(a.length == 4 || a.length == 6,
+        s"st_makeline takes 4 (2-point) or 6 (3-point) ordinates; got ${a.length}")
       if (a.length == 6) geo(G, "makeLine3", a, Seq.fill(6)(DoubleType))
       else geo(G, "makeLine2", a, Seq.fill(4)(DoubleType))
     },
@@ -445,7 +447,7 @@ object Geo {
     // element-wise fixed-point vector sum (k-means update without the
     // rows×dim explode — the exchange carries k buffers, not rows)
     "vec_fixedsum_agg" -> (a =>
-      VecFixedSumAgg(a.head).toAggregateExpression()))
+      VecFixedSumAgg(castTo(a.head, longArray)).toAggregateExpression()))
 
   // weak identity set: sessions come and go (bench spins several up);
   // hashCode-keyed sets could collide after GC address reuse

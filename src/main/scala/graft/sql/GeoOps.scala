@@ -231,8 +231,11 @@ object GeoOps {
       total += math.sqrt(dx * dx + dy * dy)
       i += 1
     }
-    if (total == 0.0)
-      return GeoStruct.encode(Geom.point(geom.coords(0), geom.coords(1)))
+    def vertexPoint(v: Int): InternalRow = GeoStruct.encode(
+      new Geom(GeomTypes.Point, geom.dims, geom.srid,
+        java.util.Arrays.copyOfRange(geom.coords, v * s, (v + 1) * s),
+        Geom.emptyInts, Geom.emptyInts, null))
+    if (total == 0.0) return vertexPoint(0)
     val target = frac * total
     var acc = 0.0
     i = 0
@@ -243,13 +246,22 @@ object GeoOps {
       val len = math.sqrt(dx * dx + dy * dy)
       if (acc + len >= target && len > 0.0) {
         val t = (target - acc) / len
-        return GeoStruct.encode(Geom.point(xa + dx * t, ya + dy * t))
+        // distance is 2D (PostGIS semantics) but EVERY ordinate lerps —
+        // Z/M ride along instead of being dropped
+        val out = new Array[Double](s)
+        var d = 0
+        while (d < s) {
+          val va = geom.coords(i * s + d)
+          out(d) = va + (geom.coords((i + 1) * s + d) - va) * t
+          d += 1
+        }
+        return GeoStruct.encode(new Geom(GeomTypes.Point, geom.dims,
+          geom.srid, out, Geom.emptyInts, Geom.emptyInts, null))
       }
       acc += len
       i += 1
     }
-    GeoStruct.encode(
-      Geom.point(geom.coords((n - 1) * s), geom.coords((n - 1) * s + 1)))
+    vertexPoint(n - 1)
   }
 
   /** PostGIS ST_PointN: 1-based vertex of a LINESTRING (negative counts
@@ -262,7 +274,11 @@ object GeoOps {
     val i = if (idx < 0) n + idx else idx - 1
     if (i < 0 || i >= n) return null
     val s = geom.stride
-    GeoStruct.encode(Geom.point(geom.coords(i * s), geom.coords(i * s + 1)))
+    // full-stride vertex copy: Z/M ordinates survive (POINT Z out of a
+    // LINESTRING Z, PostGIS semantics)
+    GeoStruct.encode(new Geom(GeomTypes.Point, geom.dims, geom.srid,
+      java.util.Arrays.copyOfRange(geom.coords, i * s, (i + 1) * s),
+      Geom.emptyInts, Geom.emptyInts, null))
   }
 
   /** POINT buffer: the radius-`r` disc approximated by a regular

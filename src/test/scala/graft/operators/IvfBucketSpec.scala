@@ -167,6 +167,13 @@ class IvfBucketSpec extends AnyFunSuite {
     val (cb13, _) = Ann.trainKmeans(df.repartition(13), "embedding", "vec_id",
       k = 3, iters = 4)
     assert(cb1.toSeq == cb.toSeq && cb13.toSeq == cb.toSeq)
+    // null vectors carry no signal and must not crash the update collect
+    val withNulls = df.unionByName(
+      spark.range(3).selectExpr("id + 1000 AS vec_id",
+        "CAST(NULL AS ARRAY<FLOAT>) AS embedding"))
+    val (cbN, _) = Ann.trainKmeans(withNulls, "embedding", "vec_id",
+      k = 3, iters = 4)
+    assert(cbN.toSeq == cb.toSeq) // identical model — nulls dropped
   }
 
   test("k-means assignment is map-side: no shuffle before the partial aggregate") {

@@ -245,6 +245,36 @@ class GeoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z == "GEOMETRYCOLLECTION Z (POINT Z (11 22 9))")
   }
 
+  test("line accessors: interpolation, vertex access, Z carried, arity guarded") {
+    val r = spark.sql(
+      """SELECT
+        |  st_aswkt(st_lineinterpolate(
+        |    st_makeline(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |      CAST(10.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(0.25 AS DOUBLE))) AS q,
+        |  st_aswkt(st_startpoint(st_geomfromwkt('LINESTRING Z (1 2 3, 4 5 6)'))) AS sp,
+        |  st_aswkt(st_endpoint(st_geomfromwkt('LINESTRING Z (1 2 3, 4 5 6)'))) AS ep,
+        |  st_aswkt(st_pointn(st_geomfromwkt('LINESTRING (1 1, 2 2, 3 3)'), -2)) AS pn,
+        |  st_pointn(st_geomfromwkt('LINESTRING (1 1, 2 2)'), 7) IS NULL AS oob,
+        |  st_pointn(st_geomfromwkt('POINT (1 1)'), 1) IS NULL AS notline""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "POINT (2.5 0)")
+    assert(r.getString(1) == "POINT Z (1 2 3)") // Z survives the accessor
+    assert(r.getString(2) == "POINT Z (4 5 6)")
+    assert(r.getString(3) == "POINT (2 2)") // negative counts from the end
+    assert(r.getBoolean(4) && r.getBoolean(5))
+    // Z lerps along with XY (2D distance, all ordinates interpolated)
+    val z = spark.sql(
+      """SELECT st_aswkt(st_lineinterpolate(
+        |  st_geomfromwkt('LINESTRING Z (0 0 0, 10 0 4)'), CAST(0.5 AS DOUBLE)))"""
+        .stripMargin).collect()(0).getString(0)
+    assert(z == "POINT Z (5 0 2)")
+    // wrong ordinate counts refuse loudly instead of truncating silently
+    val e = intercept[Exception](spark.sql(
+      "SELECT st_makeline(1.0, 2.0, 3.0, 4.0, 5.0)").collect())
+    assert(e.getMessage.contains("st_makeline") ||
+      e.getCause != null && e.getCause.getMessage.contains("st_makeline"))
+  }
+
   test("box to polygon with min>max EMPTY rule") {
     val rows = spark.sql(
       """SELECT st_aswkt(st_boxtopolygon(0d, 0d, 4d, 3d)) AS a,

@@ -1596,6 +1596,27 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q121_intersects_rewrite" -> { (s, d) =>
+      prep(s, d)
+      // the naive geometry-geometry formulation a user would write — just
+      // st_intersects, no join keys. IntersectsJoinRewrite turns it into
+      // the cover equi-join with the exactly-once min-shared-tile claim
+      // (same plan family as q117's hand-built operator); the oracle is
+      // the identical interval logic, so a nested-loop fallback OR a
+      // duplicate-emitting rewrite both fail the row count.
+      val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS zone_id",
+          "st_boxtopolygon(ax, ay, bx, by) AS zg")
+      val boxes = s.sql(s"""WITH pts AS ($PtsCte)
+        |SELECT l_orderkey, l_linenumber,
+        |  st_boxtopolygon(lon - CAST(1.5 AS DOUBLE), lat - CAST(1.0 AS DOUBLE),
+        |    lon + CAST(1.5 AS DOUBLE), lat + CAST(1.0 AS DOUBLE)) AS bg
+        |FROM pts""".stripMargin)
+      boxes.join(zones,
+          call_function("st_intersects", col("bg"), col("zg")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("zone_id"))
+        .orderBy("l_orderkey", "l_linenumber", "zone_id")
+    },
     "q120_line_ops" -> { (s, d) =>
       prep(s, d)
       // linear referencing + vertex accessors: interpolation arithmetic is
@@ -3293,6 +3314,19 @@ object SparkEntry {
          |FROM c2 JOIN kn USING (c),
          |  (SELECT unnest(generate_series(1, 64)) AS i)
          |ORDER BY c, i""".stripMargin,
+    // the auto-rewritten naive intersects join must return exactly the
+    // q117 pair set (same interval oracle)
+    "q121_intersects_rewrite" ->
+      s"""WITH pts AS ($PtsCte),
+         |z AS (SELECT CAST(n_nationkey AS BIGINT) AS zone_id, $ZoneBoxColsSW
+         |      FROM nation)
+         |SELECT l_orderkey, l_linenumber, zone_id
+         |FROM pts, z
+         |WHERE ax <= lon + CAST(1.5 AS DOUBLE)
+         |  AND bx >= lon - CAST(1.5 AS DOUBLE)
+         |  AND ay <= lat + CAST(1.0 AS DOUBLE)
+         |  AND by >= lat - CAST(1.0 AS DOUBLE)
+         |ORDER BY l_orderkey, l_linenumber, zone_id""".stripMargin,
     // linear referencing: same segment-length fold, same owning-segment
     // branch, same lerp — bit-exact; accessors are raw vertex echoes
     "q120_line_ops" ->

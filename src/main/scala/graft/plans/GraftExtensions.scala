@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ElideRedundantGeoCasts)
     ext.injectOptimizerRule(_ => ContainsJoinRewrite)
     ext.injectOptimizerRule(_ => DWithinJoinRewrite)
+    ext.injectOptimizerRule(_ => IntersectsJoinRewrite)
     // analysis-time check: aliases (and their column metadata) are intact
     // here — the optimizer's CollapseProject would inline them away
     ext.injectCheckRule(_ => plan => PlanarEdgesGuard.check(plan))

@@ -472,6 +472,7 @@ object Geo {
           .contains(graft.plans.ContainsJoinRewrite)) {
         spark.experimental.extraOptimizations ++=
           Seq(graft.plans.ContainsJoinRewrite, graft.plans.DWithinJoinRewrite,
+            graft.plans.IntersectsJoinRewrite,
             graft.plans.ElideRedundantGeoCasts, graft.plans.PlanarEdgesGuard)
       }
       registered.add(key)

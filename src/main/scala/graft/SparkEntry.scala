@@ -1596,6 +1596,33 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q122_ring_access" -> { (s, d) =>
+      prep(s, d)
+      // polygon ring accessors over HOLED polygons built from the zone
+      // boxes via WKT (Spark's double→string repr round-trips exactly, so
+      // every parsed ordinate is the original double): exterior ring
+      // vertices echo the box corners in ring order, the hole's second
+      // vertex comes out through the interiorringn→pointn composition,
+      // and an out-of-range ring flags null.
+      s.sql(s"""WITH z AS (SELECT n_nationkey AS k, $ZoneBoxColsSW FROM nation),
+        |h AS (SELECT k, ax, ay, bx, by,
+        |    ax + CAST(3.0 AS DOUBLE) AS hx1, ay + CAST(2.0 AS DOUBLE) AS hy1,
+        |    ax + CAST(8.0 AS DOUBLE) AS hx2, ay + CAST(5.0 AS DOUBLE) AS hy2
+        |  FROM z),
+        |p AS (SELECT k, hx2, hy1, st_geomfromwkt(concat(
+        |    'POLYGON ((', ax, ' ', ay, ', ', bx, ' ', ay, ', ', bx, ' ', by,
+        |    ', ', ax, ' ', by, ', ', ax, ' ', ay, '), (',
+        |    hx1, ' ', hy1, ', ', hx2, ' ', hy1, ', ', hx2, ' ', hy2,
+        |    ', ', hx1, ' ', hy2, ', ', hx1, ' ', hy1, '))')) AS g
+        |  FROM h)
+        |SELECT k, CAST(st_numinteriorrings(g) AS INT) AS nint, idx,
+        |  c.x AS x, c.y AS y,
+        |  st_x(st_pointn(st_interiorringn(g, 1), 2)) AS h2x,
+        |  st_y(st_pointn(st_interiorringn(g, 1), 2)) AS h2y,
+        |  st_interiorringn(g, 2) IS NULL AS oob
+        |FROM p LATERAL VIEW posexplode(st_coords(st_exteriorring(g))) t AS idx, c
+        |ORDER BY k, idx""".stripMargin)
+    },
     "q121_intersects_rewrite" -> { (s, d) =>
       prep(s, d)
       // the naive geometry-geometry formulation a user would write — just
@@ -3314,6 +3341,22 @@ object SparkEntry {
          |FROM c2 JOIN kn USING (c),
          |  (SELECT unnest(generate_series(1, 64)) AS i)
          |ORDER BY c, i""".stripMargin,
+    // ring accessors: exterior vertices echo the box corners in ring
+    // order; the hole's second vertex is (hx2, hy1) by construction
+    "q122_ring_access" ->
+      s"""WITH z AS (SELECT n_nationkey AS k, $ZoneBoxColsSW FROM nation),
+         |h AS (SELECT k, ax, ay, bx, by,
+         |    ax + CAST(3.0 AS DOUBLE) AS hx1, ay + CAST(2.0 AS DOUBLE) AS hy1,
+         |    ax + CAST(8.0 AS DOUBLE) AS hx2, ay + CAST(5.0 AS DOUBLE) AS hy2
+         |  FROM z)
+         |SELECT k, 1 AS nint, CAST(i AS INT) AS idx,
+         |  CASE i WHEN 0 THEN ax WHEN 1 THEN bx WHEN 2 THEN bx
+         |    WHEN 3 THEN ax ELSE ax END AS x,
+         |  CASE i WHEN 0 THEN ay WHEN 1 THEN ay WHEN 2 THEN by
+         |    WHEN 3 THEN by ELSE ay END AS y,
+         |  hx2 AS h2x, hy1 AS h2y, TRUE AS oob
+         |FROM h, (SELECT unnest(generate_series(0, 4)) AS i)
+         |ORDER BY k, idx""".stripMargin,
     // the auto-rewritten naive intersects join must return exactly the
     // q117 pair set (same interval oracle)
     "q121_intersects_rewrite" ->

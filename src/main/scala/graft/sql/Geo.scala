@@ -153,6 +153,12 @@ object Geo {
       Seq(G, IntegerType), nullable = true)),
     "st_endpoint" -> (a => geo(G, "pointN", Seq(a.head, Literal(-1)),
       Seq(G, IntegerType), nullable = true)),
+    "st_exteriorring" -> (a => geo(G, "exteriorRing", a, Seq(G),
+      nullable = true)),
+    "st_interiorringn" -> (a => geo(G, "interiorRingN", a,
+      Seq(G, IntegerType), nullable = true)),
+    "st_numinteriorrings" -> (a => geo(IntegerType, "numInteriorRings", a,
+      Seq(G), nullable = true)),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

@@ -264,6 +264,42 @@ object GeoOps {
     vertexPoint(n - 1)
   }
 
+  private def ringLine(geom: Geom, ring: Int): InternalRow = {
+    val s = geom.stride
+    GeoStruct.encode(new Geom(GeomTypes.LineString, geom.dims, geom.srid,
+      java.util.Arrays.copyOfRange(geom.coords,
+        geom.o0(ring) * s, geom.o0(ring + 1) * s),
+      Geom.emptyInts, Geom.emptyInts, null))
+  }
+
+  /** PostGIS ST_ExteriorRing: a POLYGON's shell as a closed LINESTRING;
+    * null for non-polygons or POLYGON EMPTY. */
+  def exteriorRing(g: InternalRow): InternalRow = {
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType != GeomTypes.Polygon || geom.o0.length < 2) return null
+    ringLine(geom, 0)
+  }
+
+  /** PostGIS ST_InteriorRingN: 1-based hole ring as a LINESTRING; null
+    * for non-polygons or out-of-range. */
+  def interiorRingN(g: InternalRow, n: Int): InternalRow = {
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType != GeomTypes.Polygon) return null
+    val nRings = math.max(0, geom.o0.length - 1)
+    if (n < 1 || n > nRings - 1) return null
+    ringLine(geom, n)
+  }
+
+  /** PostGIS ST_NumInteriorRings: hole count; null for non-polygons. */
+  def numInteriorRings(g: InternalRow): java.lang.Integer = {
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType != GeomTypes.Polygon) return null
+    java.lang.Integer.valueOf(math.max(0, geom.o0.length - 1) match {
+      case 0 => 0
+      case r => r - 1
+    })
+  }
+
   /** PostGIS ST_PointN: 1-based vertex of a LINESTRING (negative counts
     * from the end); null for non-lines or out-of-range — accessors flag,
     * never crash. */

@@ -104,6 +104,10 @@ object functions {
   def st_pointn(g: Column, n: Column): Column = f("st_pointn")(g, n)
   def st_startpoint(g: Column): Column = f("st_startpoint")(g)
   def st_endpoint(g: Column): Column = f("st_endpoint")(g)
+  def st_exteriorring(g: Column): Column = f("st_exteriorring")(g)
+  def st_interiorringn(g: Column, n: Column): Column =
+    f("st_interiorringn")(g, n)
+  def st_numinteriorrings(g: Column): Column = f("st_numinteriorrings")(g)
   def st_makecollection(parts: Column): Column = f("st_makecollection")(parts)
   def st_collect_agg(g: Column): Column = f("st_collect_agg")(g)
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,

@@ -44,6 +44,29 @@ class CodecPropSpec extends AnyFunSuite {
     GeomTypes.MultiPolygon)
   private val allDims = Seq(Dims.XY, Dims.XYZ, Dims.XYM, Dims.XYZM)
 
+  test("dump ∘ collect reconstructs every random multi-geometry bit-for-bit") {
+    // collect(dump(m)) must rebuild the exact flat value for uniform
+    // multis — offsets, ring structure and every coordinate — as long as
+    // the parts go back in storage order (the canonical sort lives in the
+    // SQL layer; core collect is order-preserving by contract)
+    val multiTypes = Seq(GeomTypes.MultiPoint, GeomTypes.MultiLineString,
+      GeomTypes.MultiPolygon)
+    for (_ <- 1 to 300; t <- multiTypes; d <- allDims) {
+      val g = randGeom(t, d)
+      val parts = Geom.dump(g)
+      assert(parts.nonEmpty)
+      val back = Geom.collect(parts.toSeq)
+      assert(back == g, s"type=$t dims=$d wkt=${Wkt.write(g)}")
+      // and every part is the atomic element type
+      val expectedPart = t match {
+        case GeomTypes.MultiPoint => GeomTypes.Point
+        case GeomTypes.MultiLineString => GeomTypes.LineString
+        case GeomTypes.MultiPolygon => GeomTypes.Polygon
+      }
+      assert(parts.forall(_.geomType == expectedPart))
+    }
+  }
+
   test("random geometries round-trip WKB bit-for-bit") {
     for (_ <- 1 to 300; t <- allTypes; d <- allDims) {
       val g = randGeom(t, d)

@@ -46,6 +46,35 @@ object StreamingTiles {
       .drop("__ptile", "__tile")
   }
 
+  /** Stream-static geometry-geometry INTERSECTS join: a geometry stream
+    * (trajectory segments, detection footprints, …) enriched against a
+    * static layer. Same double-cover equi-join + exact refine + exactly-
+    * once min-shared-tile claim as the batch
+    * `SpatialJoins.intersectsJoin`; the static side broadcasts exploded,
+    * so each micro-batch is a map-side join — no streaming state, no
+    * shuffle of the stream. */
+  def intersectsJoinStream(stream: DataFrame, geoms: DataFrame,
+                           streamGeomCol: String, staticGeomCol: String,
+                           zoom: Int = 6): DataFrame = {
+    Geo.register(stream.sparkSession)
+    val staticSide = org.apache.spark.sql.functions.broadcast(
+      geoms
+        .withColumn("__rcover", call_function("st_tilecover",
+          col(staticGeomCol), lit(zoom)))
+        .withColumn("__rtile", explode(col("__rcover"))))
+    stream
+      .withColumn("__lcover", call_function("st_tilecover",
+        col(streamGeomCol), lit(zoom)))
+      .withColumn("__ltile", explode(col("__lcover")))
+      .join(staticSide, col("__ltile") === col("__rtile") &&
+        col("__ltile") === org.apache.spark.sql.functions.array_min(
+          org.apache.spark.sql.functions.array_intersect(
+            col("__lcover"), col("__rcover"))) &&
+        call_function("st_intersects",
+          col(streamGeomCol), col(staticGeomCol)))
+      .drop("__lcover", "__ltile", "__rcover", "__rtile")
+  }
+
   /** Watermarked per-tile windowed counts (update-mode friendly). */
   def tileCounts(stream: DataFrame, tsCol: String, lonCol: String,
                  latCol: String, zoom: Int, windowDur: String,

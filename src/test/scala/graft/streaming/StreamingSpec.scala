@@ -85,6 +85,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static intersects join: exact pairs, exactly once, per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.sql.Geo.register(spark)
+    val zones = spark.sql(
+      """SELECT 'z1' AS zone_id, st_boxtopolygon(0.0, 0.0, 40.0, 30.0) AS zg
+        |UNION ALL
+        |SELECT 'z2', st_boxtopolygon(50.0, 0.0, 90.0, 30.0)""".stripMargin)
+    val input = MemoryStream[(Long, Double, Double)]
+    val boxes = input.toDF().toDF("id", "lon", "lat")
+      .selectExpr("id",
+        "st_boxtopolygon(lon - 5.0, lat - 5.0, lon + 5.0, lat + 5.0) AS bg")
+    val q = StreamingTiles.intersectsJoinStream(boxes, zones, "bg", "zg",
+        zoom = 4)
+      .select("id", "zone_id")
+      .writeStream.format("memory").queryName("isect_stream")
+      .outputMode("append").start()
+    try {
+      // box 1 inside z1; box 2 touches z2; box 3 in the gap (overlaps
+      // neither); box 4 spans MANY tiles and both zones — exactly one row
+      // per overlapped zone despite the multi-tile cover
+      input.addData((1L, 20.0, 15.0), (2L, 55.0, 15.0), (3L, 45.5, 40.0))
+      q.processAllAvailable()
+      input.addData((4L, 45.0, 15.0))
+      q.processAllAvailable()
+      val rows = spark.table("isect_stream").as[(Long, String)].collect().toSeq
+      assert(rows.size == rows.toSet.size, s"duplicate pairs: $rows")
+      assert(rows.toSet == Set((1L, "z1"), (2L, "z2"), (4L, "z1"), (4L, "z2")))
+    } finally q.stop()
+  }
+
   test("stream-static PIP join enriches a point stream against polygons") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1596,6 +1596,25 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q123_closed_reverse" -> { (s, d) =>
+      prep(s, d)
+      // closure predicate + reversal: the bent lines are NEVER closed
+      // (their endpoints differ by a constant (7.6, -1.3) offset — no
+      // rounding can cancel it at these magnitudes), box exterior rings
+      // always are, and st_reverse swaps the endpoints verbatim (the
+      // reversed line starts at the old end, bit-exact coordinates).
+      s.sql(s"""WITH l AS ($LineCte)
+        |SELECT k,
+        |  st_isclosed(g) AS closed_line,
+        |  st_isclosed(st_exteriorring(
+        |    st_boxtopolygon(x1, y1, x2, y2))) AS closed_ring,
+        |  st_x(st_startpoint(st_reverse(g))) AS rx,
+        |  st_y(st_startpoint(st_reverse(g))) AS ry,
+        |  st_x(st_endpoint(st_reverse(g))) AS ex
+        |FROM (SELECT k, x1, y1, x2, y2,
+        |    st_makeline(x1, y1, x2, y2, x3, y3) AS g FROM l)
+        |ORDER BY k""".stripMargin)
+    },
     "q122_ring_access" -> { (s, d) =>
       prep(s, d)
       // polygon ring accessors over HOLED polygons built from the zone
@@ -3341,6 +3360,13 @@ object SparkEntry {
          |FROM c2 JOIN kn USING (c),
          |  (SELECT unnest(generate_series(1, 64)) AS i)
          |ORDER BY c, i""".stripMargin,
+    // closure + reversal: endpoints swap verbatim; the fixed (7.6, -1.3)
+    // end offset makes every line provably open, box rings always closed
+    "q123_closed_reverse" ->
+      s"""WITH l AS ($LineCte)
+         |SELECT k, FALSE AS closed_line, TRUE AS closed_ring,
+         |  x3 AS rx, y3 AS ry, x1 AS ex
+         |FROM l ORDER BY k""".stripMargin,
     // ring accessors: exterior vertices echo the box corners in ring
     // order; the hole's second vertex is (hx2, hy1) by construction
     "q122_ring_access" ->

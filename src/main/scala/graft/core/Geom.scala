@@ -302,6 +302,47 @@ object Geom {
         emptyInts, parts.toArray)
   }
 
+  /** Reverse vertex order (PostGIS ST_Reverse): per coordinate sequence —
+    * linestrings flip end-to-end, polygon rings reverse winding in place,
+    * multipoints flip part order, collections recurse. Coordinates are
+    * moved verbatim (bit-exact). */
+  def reverse(g: Geom): Geom = {
+    if (g.geomType == GeomTypes.Collection)
+      return new Geom(g.geomType, g.dims, g.srid, g.coords, g.o0, g.o1,
+        if (g.parts == null) null else g.parts.map(reverse))
+    val s = g.stride
+    val out = new Array[Double](g.coords.length)
+    def reverseRange(fromCoord: Int, toCoord: Int): Unit = {
+      var i = 0
+      val n = toCoord - fromCoord
+      while (i < n) {
+        var d = 0
+        while (d < s) {
+          out((fromCoord + i) * s + d) = g.coords((toCoord - 1 - i) * s + d)
+          d += 1
+        }
+        i += 1
+      }
+    }
+    g.geomType match {
+      case GeomTypes.Point =>
+        return g
+      case GeomTypes.LineString | GeomTypes.MultiPoint =>
+        reverseRange(0, g.numCoords)
+      case GeomTypes.Polygon =>
+        var r = 0
+        while (r < g.o0.length - 1) { reverseRange(g.o0(r), g.o0(r + 1)); r += 1 }
+      case GeomTypes.MultiLineString =>
+        var p = 0
+        while (p < g.o0.length - 1) { reverseRange(g.o0(p), g.o0(p + 1)); p += 1 }
+      case GeomTypes.MultiPolygon =>
+        var r = 0
+        while (r < g.o1.length - 1) { reverseRange(g.o1(r), g.o1(r + 1)); r += 1 }
+      case _ => return g
+    }
+    new Geom(g.geomType, g.dims, g.srid, out, g.o0, g.o1, null)
+  }
+
   /** Planar affine transform `x' = a·x + b·y + xoff, y' = d·x + e·y + yoff`
     * (PostGIS ST_Affine's 2D form; ST_Translate/ST_Scale are the
     * axis-aligned specializations). Evaluation order is fixed —

@@ -159,6 +159,9 @@ object Geo {
       Seq(G, IntegerType), nullable = true)),
     "st_numinteriorrings" -> (a => geo(IntegerType, "numInteriorRings", a,
       Seq(G), nullable = true)),
+    "st_isclosed" -> (a => geo(BooleanType, "isClosed", a, Seq(G),
+      nullable = true)),
+    "st_reverse" -> (a => geo(G, "reverseGeom", a, Seq(G))),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

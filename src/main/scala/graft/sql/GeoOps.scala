@@ -272,6 +272,27 @@ object GeoOps {
       Geom.emptyInts, Geom.emptyInts, null))
   }
 
+  /** PostGIS ST_IsClosed: first vertex equals last (every ordinate,
+    * double ==); EMPTY lines are closed per PostGIS; null for non-lines. */
+  def isClosed(g: InternalRow): java.lang.Boolean = {
+    val geom = GeoStruct.decode(g)
+    if (geom.geomType != GeomTypes.LineString) return null
+    val n = geom.numCoords
+    if (n == 0) return java.lang.Boolean.TRUE
+    val s = geom.stride
+    var d = 0
+    while (d < s) {
+      if (geom.coords(d) != geom.coords((n - 1) * s + d))
+        return java.lang.Boolean.FALSE
+      d += 1
+    }
+    java.lang.Boolean.TRUE
+  }
+
+  /** PostGIS ST_Reverse (see `Geom.reverse`). */
+  def reverseGeom(g: InternalRow): InternalRow =
+    GeoStruct.encode(Geom.reverse(GeoStruct.decode(g)))
+
   /** PostGIS ST_ExteriorRing: a POLYGON's shell as a closed LINESTRING;
     * null for non-polygons or POLYGON EMPTY. */
   def exteriorRing(g: InternalRow): InternalRow = {

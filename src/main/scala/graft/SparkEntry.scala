@@ -1596,6 +1596,44 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q124_locate_closest" -> { (s, d) =>
+      prep(s, d)
+      // linear-referencing inverses + proximity + azimuth: the query point
+      // sweeps around the bent lines (k%9 / k%5 offsets), so projections
+      // land in BOTH segments' interiors and clamp at vertices across the
+      // 25 rows. Every arithmetic step is order-fixed (clamped projection,
+      // strict-< first-wins, prefix-length fold), so frac and the closest
+      // point replicate bit-for-bit; azimuth is oracled on cardinal
+      // (exact-zero delta ⇒ IEEE atan2 special case) and literal-diagonal
+      // directions only — general directions differ from libm by 1 ulp
+      // (probe-measured) and stay property-tested.
+      s.sql(s"""WITH l AS ($LineCte),
+        |q AS (SELECT k, x1, y1, x2, y2, x3, y3,
+        |    x1 + CAST(k % 9 AS DOUBLE) AS px,
+        |    y1 + CAST(3.0 AS DOUBLE) - CAST(k % 5 AS DOUBLE) AS py,
+        |    st_makeline(x1, y1, x2, y2, x3, y3) AS g
+        |  FROM l)
+        |SELECT k,
+        |  st_linelocatepoint(g, st_point(px, py)) AS frac,
+        |  st_x(st_closestpoint(g, st_point(px, py))) AS cx,
+        |  st_y(st_closestpoint(g, st_point(px, py))) AS cy,
+        |  st_x(st_startpoint(st_shortestline(g, st_point(px, py)))) AS slx,
+        |  st_y(st_endpoint(st_shortestline(g, st_point(px, py)))) AS sly,
+        |  st_azimuth(st_point(x1, y1),
+        |    st_point(x1, y1 + CAST(5.0 AS DOUBLE))) AS az_n,
+        |  st_azimuth(st_point(x1, y1),
+        |    st_point(x1 + CAST(7.0 AS DOUBLE), y1)) AS az_e,
+        |  st_azimuth(st_point(x1, y1),
+        |    st_point(x1, y1 - CAST(3.0 AS DOUBLE))) AS az_s,
+        |  st_azimuth(st_point(x1, y1),
+        |    st_point(x1 - CAST(2.0 AS DOUBLE), y1)) AS az_w,
+        |  st_azimuth(st_point(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |    st_point(CAST(4.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS az_ne,
+        |  st_azimuth(st_point(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |    st_point(CAST(-4.0 AS DOUBLE), CAST(-4.0 AS DOUBLE))) AS az_sw,
+        |  st_azimuth(st_point(x1, y1), st_point(x1, y1)) IS NULL AS az_null
+        |FROM q ORDER BY k""".stripMargin)
+    },
     "q123_closed_reverse" -> { (s, d) =>
       prep(s, d)
       // closure predicate + reversal: the bent lines are NEVER closed
@@ -3362,6 +3400,61 @@ object SparkEntry {
          |ORDER BY c, i""".stripMargin,
     // closure + reversal: endpoints swap verbatim; the fixed (7.6, -1.3)
     // end offset makes every line provably open, box rings always closed
+    // linear-referencing inverses: same clamped projection, same
+    // strict-< first-wins, same prefix-length fold — bit-exact; azimuth
+    // replicated with DuckDB's atan2 on the same special-case inputs
+    // (cardinal = exact-zero deltas, diagonals = literals; probe-verified
+    // bit-equal across libms, unlike general directions)
+    "q124_locate_closest" ->
+      s"""WITH l AS ($LineCte),
+         |q AS (SELECT k, x1, y1, x2, y2, x3, y3,
+         |    x1 + CAST(k % 9 AS DOUBLE) AS px,
+         |    y1 + CAST(3.0 AS DOUBLE) - CAST(k % 5 AS DOUBLE) AS py
+         |  FROM l),
+         |pj AS (SELECT *,
+         |    (x2 - x1) AS dx1, (y2 - y1) AS dy1,
+         |    (x3 - x2) AS dx2, (y3 - y2) AS dy2
+         |  FROM q),
+         |tt AS (SELECT *,
+         |    LEAST(GREATEST(((px - x1) * dx1 + (py - y1) * dy1)
+         |        / (dx1 * dx1 + dy1 * dy1),
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t1,
+         |    LEAST(GREATEST(((px - x2) * dx2 + (py - y2) * dy2)
+         |        / (dx2 * dx2 + dy2 * dy2),
+         |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t2,
+         |    sqrt(dx1 * dx1 + dy1 * dy1) AS len1,
+         |    sqrt(dx2 * dx2 + dy2 * dy2) AS len2
+         |  FROM pj),
+         |cc AS (SELECT *,
+         |    x1 + dx1 * t1 AS c1x, y1 + dy1 * t1 AS c1y,
+         |    x2 + dx2 * t2 AS c2x, y2 + dy2 * t2 AS c2y
+         |  FROM tt),
+         |dd AS (SELECT *,
+         |    (px - c1x) * (px - c1x) + (py - c1y) * (py - c1y) AS d1,
+         |    (px - c2x) * (px - c2x) + (py - c2y) * (py - c2y) AS d2
+         |  FROM cc)
+         |SELECT k,
+         |  CASE WHEN d2 < d1 THEN (len1 + len2 * t2) / (len1 + len2)
+         |       ELSE (len1 * t1) / (len1 + len2) END AS frac,
+         |  CASE WHEN d2 < d1 THEN c2x ELSE c1x END AS cx,
+         |  CASE WHEN d2 < d1 THEN c2y ELSE c1y END AS cy,
+         |  CASE WHEN d2 < d1 THEN c2x ELSE c1x END AS slx,
+         |  py AS sly,
+         |  atan2(CAST(0.0 AS DOUBLE), (y1 + CAST(5.0 AS DOUBLE)) - y1) AS az_n,
+         |  atan2((x1 + CAST(7.0 AS DOUBLE)) - x1, CAST(0.0 AS DOUBLE)) AS az_e,
+         |  CASE WHEN atan2(CAST(0.0 AS DOUBLE),
+         |        (y1 - CAST(3.0 AS DOUBLE)) - y1) < 0
+         |    THEN atan2(CAST(0.0 AS DOUBLE),
+         |        (y1 - CAST(3.0 AS DOUBLE)) - y1) + 2 * pi()
+         |    ELSE atan2(CAST(0.0 AS DOUBLE),
+         |        (y1 - CAST(3.0 AS DOUBLE)) - y1) END AS az_s,
+         |  atan2((x1 - CAST(2.0 AS DOUBLE)) - x1, CAST(0.0 AS DOUBLE))
+         |    + 2 * pi() AS az_w,
+         |  atan2(CAST(4.0 AS DOUBLE), CAST(4.0 AS DOUBLE)) AS az_ne,
+         |  atan2(CAST(-4.0 AS DOUBLE), CAST(-4.0 AS DOUBLE))
+         |    + 2 * pi() AS az_sw,
+         |  TRUE AS az_null
+         |FROM dd ORDER BY k""".stripMargin,
     "q123_closed_reverse" ->
       s"""WITH l AS ($LineCte)
          |SELECT k, FALSE AS closed_line, TRUE AS closed_ring,

@@ -162,6 +162,15 @@ object Geo {
     "st_isclosed" -> (a => geo(BooleanType, "isClosed", a, Seq(G),
       nullable = true)),
     "st_reverse" -> (a => geo(G, "reverseGeom", a, Seq(G))),
+    // linear-referencing inverses + proximity accessors (q124)
+    "st_linelocatepoint" -> (a => geo(DoubleType, "lineLocatePoint", a,
+      Seq(G, G), nullable = true)),
+    "st_closestpoint" -> (a => geo(G, "closestPoint", a, Seq(G, G),
+      nullable = true)),
+    "st_shortestline" -> (a => geo(G, "shortestLine", a, Seq(G, G),
+      nullable = true)),
+    "st_azimuth" -> (a => geo(DoubleType, "azimuth", a, Seq(G, G),
+      nullable = true)),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

@@ -293,6 +293,154 @@ object GeoOps {
   def reverseGeom(g: InternalRow): InternalRow =
     GeoStruct.encode(Geom.reverse(GeoStruct.decode(g)))
 
+  /** Closest point on `geom` to (px, py) over vertices/segments in
+    * storage order, strict-< first-wins. Per segment the projection is
+    * `t = clamp(((px-xa)·dx + (py-ya)·dy) / (dx·dx + dy·dy), 0, 1)` and
+    * the candidate `(xa + dx·t, ya + dy·t)` — every step order-fixed so
+    * the q124 oracle replicates the winning ordinates bit-for-bit.
+    * POINT/MULTIPOINT compare vertices; LINESTRING/MULTILINESTRING
+    * compare segments (parts in storage order). Returns (x, y). */
+  private def closestOnGeom(geom: Geom, px: Double, py: Double): Array[Double] = {
+    val s = geom.stride
+    var bestD2 = Double.PositiveInfinity
+    var bestX = Double.NaN
+    var bestY = Double.NaN
+    def trySegment(a: Int, b: Int): Unit = {
+      val xa = geom.coords(a * s); val ya = geom.coords(a * s + 1)
+      var cx = xa; var cy = ya
+      if (b >= 0) {
+        val dx = geom.coords(b * s) - xa
+        val dy = geom.coords(b * s + 1) - ya
+        val len2 = dx * dx + dy * dy
+        val tr = if (len2 == 0.0) 0.0
+                 else ((px - xa) * dx + (py - ya) * dy) / len2
+        val t = if (tr < 0.0) 0.0 else if (tr > 1.0) 1.0 else tr
+        cx = xa + dx * t; cy = ya + dy * t
+      }
+      val ddx = px - cx; val ddy = py - cy
+      val d2 = ddx * ddx + ddy * ddy
+      if (d2 < bestD2) { bestD2 = d2; bestX = cx; bestY = cy }
+    }
+    geom.geomType match {
+      case GeomTypes.Point | GeomTypes.MultiPoint =>
+        var v = 0
+        while (v < geom.numCoords) { trySegment(v, -1); v += 1 }
+      case GeomTypes.LineString =>
+        var i = 0
+        while (i < geom.numCoords - 1) { trySegment(i, i + 1); i += 1 }
+        if (geom.numCoords == 1) trySegment(0, -1)
+      case GeomTypes.MultiLineString =>
+        var p = 0
+        while (p < geom.o0.length - 1) {
+          var i = geom.o0(p)
+          while (i < geom.o0(p + 1) - 1) { trySegment(i, i + 1); i += 1 }
+          if (geom.o0(p + 1) - geom.o0(p) == 1) trySegment(geom.o0(p), -1)
+          p += 1
+        }
+      case _ => throw new IllegalArgumentException(
+        "closest-point targets must be POINT/MULTIPOINT/LINESTRING/" +
+          "MULTILINESTRING (st_dump polygons to their rings first)")
+    }
+    Array(bestX, bestY)
+  }
+
+  /** PostGIS ST_ClosestPoint(target, point): the point on `target`
+    * nearest to `p` (2D). Null when either side is EMPTY. */
+  def closestPoint(g: InternalRow, p: InternalRow): InternalRow = {
+    val target = GeoStruct.decode(g)
+    val pt = GeoStruct.decode(p)
+    require(pt.geomType == GeomTypes.Point,
+      "st_closestpoint locates POINT inputs only")
+    if (target.isEmpty || pt.isEmpty) return null
+    val c = closestOnGeom(target, pt.coords(0), pt.coords(1))
+    GeoStruct.encode(Geom.point(c(0), c(1)))
+  }
+
+  /** PostGIS ST_ShortestLine(target, point): 2-point LINESTRING from the
+    * closest point on `target` to `p`. Null when either side is EMPTY. */
+  def shortestLine(g: InternalRow, p: InternalRow): InternalRow = {
+    val target = GeoStruct.decode(g)
+    val pt = GeoStruct.decode(p)
+    require(pt.geomType == GeomTypes.Point,
+      "st_shortestline locates POINT inputs only")
+    if (target.isEmpty || pt.isEmpty) return null
+    val c = closestOnGeom(target, pt.coords(0), pt.coords(1))
+    GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY,
+      Array(c(0), c(1), pt.coords(0), pt.coords(1))))
+  }
+
+  /** PostGIS ST_LineLocatePoint(line, point): fraction of the line's 2D
+    * length at the point nearest to `p`. Same segment-length fold as
+    * `lineInterpolatePoint` (its exact inverse on on-line points), same
+    * projection arithmetic as `closestOnGeom`, strict-< first-wins —
+    * bit-replicable (q124). Zero-length lines locate at 0; null when
+    * either side is EMPTY. */
+  def lineLocatePoint(g: InternalRow, p: InternalRow): java.lang.Double = {
+    val line = GeoStruct.decode(g)
+    val pt = GeoStruct.decode(p)
+    require(line.geomType == GeomTypes.LineString,
+      "st_linelocatepoint supports LINESTRING targets only")
+    require(pt.geomType == GeomTypes.Point,
+      "st_linelocatepoint locates POINT inputs only")
+    if (line.isEmpty || pt.isEmpty) return null
+    val px = pt.coords(0); val py = pt.coords(1)
+    val s = line.stride
+    val n = line.numCoords
+    var bestD2 = Double.PositiveInfinity
+    var bestSeg = 0
+    var bestT = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val xa = line.coords(i * s); val ya = line.coords(i * s + 1)
+      val dx = line.coords((i + 1) * s) - xa
+      val dy = line.coords((i + 1) * s + 1) - ya
+      val len2 = dx * dx + dy * dy
+      val tr = if (len2 == 0.0) 0.0
+               else ((px - xa) * dx + (py - ya) * dy) / len2
+      val t = if (tr < 0.0) 0.0 else if (tr > 1.0) 1.0 else tr
+      val cx = xa + dx * t; val cy = ya + dy * t
+      val ddx = px - cx; val ddy = py - cy
+      val d2 = ddx * ddx + ddy * ddy
+      if (d2 < bestD2) { bestD2 = d2; bestSeg = i; bestT = t }
+      i += 1
+    }
+    var total = 0.0
+    var prefix = 0.0
+    var segLen = 0.0
+    i = 0
+    while (i < n - 1) {
+      val dx = line.coords((i + 1) * s) - line.coords(i * s)
+      val dy = line.coords((i + 1) * s + 1) - line.coords(i * s + 1)
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (i < bestSeg) prefix += len
+      if (i == bestSeg) segLen = len
+      total += len
+      i += 1
+    }
+    if (n < 2 || total == 0.0) return java.lang.Double.valueOf(0.0)
+    java.lang.Double.valueOf((prefix + segLen * bestT) / total)
+  }
+
+  /** PostGIS ST_Azimuth(a, b): bearing from `a` to `b` in radians
+    * clockwise from north, in [0, 2π) — `atan2(dx, dy)` wrapped. Null
+    * for coincident or EMPTY points (PostGIS nulls coincident inputs).
+    * NOTE for oracles: libm atan2 differs from the JVM's by 1 ulp on
+    * general inputs (probe-measured 88/100); cardinal and 45°-diagonal
+    * directions ARE bit-equal (probe 8/8), which is what q124 uses —
+    * general directions are property-tested instead. */
+  def azimuth(a: InternalRow, b: InternalRow): java.lang.Double = {
+    val pa = GeoStruct.decode(a)
+    val pb = GeoStruct.decode(b)
+    require(pa.geomType == GeomTypes.Point && pb.geomType == GeomTypes.Point,
+      "st_azimuth takes two POINTs")
+    if (pa.isEmpty || pb.isEmpty) return null
+    val dx = pb.coords(0) - pa.coords(0)
+    val dy = pb.coords(1) - pa.coords(1)
+    if (dx == 0.0 && dy == 0.0) return null
+    val az = math.atan2(dx, dy)
+    java.lang.Double.valueOf(if (az < 0) az + 2.0 * math.Pi else az)
+  }
+
   /** PostGIS ST_ExteriorRing: a POLYGON's shell as a closed LINESTRING;
     * null for non-polygons or POLYGON EMPTY. */
   def exteriorRing(g: InternalRow): InternalRow = {

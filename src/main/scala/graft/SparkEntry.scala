@@ -1596,6 +1596,67 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q126_clip_box" -> { (s, d) =>
+      prep(s, d)
+      // fast box clip, both families. Polygon leg: zone boxes clipped by a
+      // per-k shifted window — Sutherland–Hodgman on axis-aligned input
+      // emits ONLY original or boundary-constant ordinates, so the
+      // envelope is exactly GREATEST/LEAST of the corners (k%4==3 rows go
+      // disjoint and flag EMPTY). Line leg: the (x1,y1)→(x3,y3) diagonal
+      // clipped by a vertical slab — Liang–Barsky t0/t1 are max/min folds
+      // of pinned divisions (rounding-free folds), endpoints verbatim at
+      // t=0/1 and pinned lerps otherwise; slab position/width sweep k%3 /
+      // k%4 so all four endpoint behaviors occur.
+      s.sql(s"""WITH z AS (SELECT n_nationkey AS k, $ZoneBoxColsSW FROM nation),
+        |l AS ($LineCte),
+        |c AS (SELECT z.k, ax, ay, bx, by, x1, y1, x3, y3,
+        |    ax - CAST(4.0 AS DOUBLE)
+        |      + CAST(z.k % 7 AS DOUBLE) * CAST(5.0 AS DOUBLE) AS cx1,
+        |    ay - CAST(2.0 AS DOUBLE)
+        |      + CAST(z.k % 4 AS DOUBLE) * CAST(4.0 AS DOUBLE) AS cy1,
+        |    x1 + CAST(z.k % 3 AS DOUBLE) * CAST(2.0 AS DOUBLE)
+        |      - CAST(1.0 AS DOUBLE) AS slo
+        |  FROM z JOIN l ON z.k = l.k),
+        |cc AS (SELECT *, cx1 + CAST(17.3 AS DOUBLE) AS cx2,
+        |    cy1 + CAST(6.9 AS DOUBLE) AS cy2,
+        |    slo + CAST(k % 4 + 1 AS DOUBLE) * CAST(3.0 AS DOUBLE) AS shi
+        |  FROM c),
+        |r AS (SELECT k, cx1, cy1, cx2, cy2,
+        |    st_clipbybox2d(st_boxtopolygon(ax, ay, bx, by),
+        |      cx1, cy1, cx2, cy2) AS pc,
+        |    st_clipbybox2d(st_makeline(x1, y1, x3, y3),
+        |      slo, y1 - CAST(50.0 AS DOUBLE),
+        |      shi, y1 + CAST(50.0 AS DOUBLE)) AS lc
+        |  FROM cc)
+        |SELECT k, st_isempty(pc) AS pempty,
+        |  st_npoints(pc) AS pnp,
+        |  CASE WHEN st_isempty(pc) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE st_envelope(pc).xmin END AS ex1,
+        |  CASE WHEN st_isempty(pc) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE st_envelope(pc).ymin END AS ey1,
+        |  CASE WHEN st_isempty(pc) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE st_envelope(pc).xmax END AS ex2,
+        |  CASE WHEN st_isempty(pc) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE st_envelope(pc).ymax END AS ey2,
+        |  st_x(st_startpoint(lc)) AS lsx,
+        |  st_y(st_startpoint(lc)) AS lsy,
+        |  st_x(st_endpoint(lc)) AS lex,
+        |  st_y(st_endpoint(lc)) AS ley
+        |FROM r ORDER BY k""".stripMargin)
+    },
+    "q125_segmentize" -> { (s, d) =>
+      prep(s, d)
+      // densification: every vertex of the segmentized bent line echoes —
+      // inserted points sit at exact i/n fractions (n = ceil(len/maxLen))
+      // with the pinned lerp, original vertices ride through verbatim.
+      s.sql(s"""WITH l AS ($LineCte),
+        |sg AS (SELECT k, st_segmentize(
+        |    st_makeline(x1, y1, x2, y2, x3, y3), CAST(3.0 AS DOUBLE)) AS g
+        |  FROM l)
+        |SELECT k, idx, c.x AS x, c.y AS y
+        |FROM sg LATERAL VIEW posexplode(st_coords(g)) t AS idx, c
+        |ORDER BY k, idx""".stripMargin)
+    },
     "q124_locate_closest" -> { (s, d) =>
       prep(s, d)
       // linear-referencing inverses + proximity + azimuth: the query point
@@ -3400,6 +3461,82 @@ object SparkEntry {
          |ORDER BY c, i""".stripMargin,
     // closure + reversal: endpoints swap verbatim; the fixed (7.6, -1.3)
     // end offset makes every line provably open, box rings always closed
+    // box clip: polygon leg = intersection rectangle (envelope is exact
+    // GREATEST/LEAST of the corners, npoints 5, k%4==3 disjoint -> EMPTY);
+    // line leg = Liang–Barsky t0/t1 replicated (max/min folds of the same
+    // pinned divisions; only the x-slab terms can bind — the ±50 y-slab
+    // terms never do, so the fold elides them value-identically)
+    "q126_clip_box" ->
+      s"""WITH z AS (SELECT n_nationkey AS k, $ZoneBoxColsSW FROM nation),
+         |l AS ($LineCte),
+         |c AS (SELECT z.k, ax, ay, bx, by, x1, y1, x3, y3,
+         |    ax - CAST(4.0 AS DOUBLE)
+         |      + CAST(z.k % 7 AS DOUBLE) * CAST(5.0 AS DOUBLE) AS cx1,
+         |    ay - CAST(2.0 AS DOUBLE)
+         |      + CAST(z.k % 4 AS DOUBLE) * CAST(4.0 AS DOUBLE) AS cy1,
+         |    x1 + CAST(z.k % 3 AS DOUBLE) * CAST(2.0 AS DOUBLE)
+         |      - CAST(1.0 AS DOUBLE) AS slo
+         |  FROM z JOIN l ON z.k = l.k),
+         |cc AS (SELECT *, cx1 + CAST(17.3 AS DOUBLE) AS cx2,
+         |    cy1 + CAST(6.9 AS DOUBLE) AS cy2,
+         |    slo + CAST(k % 4 + 1 AS DOUBLE) * CAST(3.0 AS DOUBLE) AS shi,
+         |    (x3 - x1) AS dx, (y3 - y1) AS dy
+         |  FROM c),
+         |tt AS (SELECT *,
+         |    (cy1 > by OR cy2 < ay OR cx1 > bx OR cx2 < ax) AS pempty,
+         |    GREATEST(CAST(0.0 AS DOUBLE), (slo - x1) / dx) AS t0,
+         |    LEAST(CAST(1.0 AS DOUBLE), (shi - x1) / dx) AS t1
+         |  FROM cc)
+         |SELECT k, pempty,
+         |  CASE WHEN pempty THEN 0 ELSE 5 END AS pnp,
+         |  CASE WHEN pempty THEN CAST(0.0 AS DOUBLE)
+         |       ELSE GREATEST(ax, cx1) END AS ex1,
+         |  CASE WHEN pempty THEN CAST(0.0 AS DOUBLE)
+         |       ELSE GREATEST(ay, cy1) END AS ey1,
+         |  CASE WHEN pempty THEN CAST(0.0 AS DOUBLE)
+         |       ELSE LEAST(bx, cx2) END AS ex2,
+         |  CASE WHEN pempty THEN CAST(0.0 AS DOUBLE)
+         |       ELSE LEAST(by, cy2) END AS ey2,
+         |  CASE WHEN t0 = 0 THEN x1 ELSE x1 + dx * t0 END AS lsx,
+         |  CASE WHEN t0 = 0 THEN y1 ELSE y1 + dy * t0 END AS lsy,
+         |  CASE WHEN t1 = 1 THEN x3 ELSE x1 + dx * t1 END AS lex,
+         |  CASE WHEN t1 = 1 THEN y3 ELSE y1 + dy * t1 END AS ley
+         |FROM tt ORDER BY k""".stripMargin,
+    // densification: vertex idx0 = v1, 1..n1-1 = seg1 lerps at i/n1,
+    // n1 = v2, n1+1..n1+n2-1 = seg2 lerps, n1+n2 = v3 — same ceil(len/m),
+    // same i/n division, same lerp shape
+    "q125_segmentize" ->
+      s"""WITH l AS ($LineCte),
+         |pj AS (SELECT k, x1, y1, x2, y2, x3, y3,
+         |    sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS len1,
+         |    sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2)) AS len2
+         |  FROM l),
+         |nn AS (SELECT *,
+         |    CASE WHEN len1 > CAST(3.0 AS DOUBLE)
+         |      THEN CAST(ceil(len1 / CAST(3.0 AS DOUBLE)) AS BIGINT)
+         |      ELSE 1 END AS n1,
+         |    CASE WHEN len2 > CAST(3.0 AS DOUBLE)
+         |      THEN CAST(ceil(len2 / CAST(3.0 AS DOUBLE)) AS BIGINT)
+         |      ELSE 1 END AS n2
+         |  FROM pj),
+         |v AS (SELECT k, i,
+         |    CASE WHEN i = 0 THEN x1
+         |         WHEN i < n1 THEN x1 + (x2 - x1)
+         |           * (CAST(i AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |         WHEN i = n1 THEN x2
+         |         WHEN i < n1 + n2 THEN x2 + (x3 - x2)
+         |           * (CAST(i - n1 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         |         ELSE x3 END AS x,
+         |    CASE WHEN i = 0 THEN y1
+         |         WHEN i < n1 THEN y1 + (y2 - y1)
+         |           * (CAST(i AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |         WHEN i = n1 THEN y2
+         |         WHEN i < n1 + n2 THEN y2 + (y3 - y2)
+         |           * (CAST(i - n1 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         |         ELSE y3 END AS y
+         |  FROM nn, LATERAL (SELECT unnest(generate_series(0, n1 + n2)) AS i))
+         |SELECT k, CAST(i AS INT) AS idx, x, y
+         |FROM v ORDER BY k, idx""".stripMargin,
     // linear-referencing inverses: same clamped projection, same
     // strict-< first-wins, same prefix-length fold — bit-exact; azimuth
     // replicated with DuckDB's atan2 on the same special-case inputs

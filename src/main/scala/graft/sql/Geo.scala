@@ -171,6 +171,10 @@ object Geo {
       nullable = true)),
     "st_azimuth" -> (a => geo(DoubleType, "azimuth", a, Seq(G, G),
       nullable = true)),
+    // densify + fast box clip (q125/q126)
+    "st_segmentize" -> (a => geo(G, "segmentizeGeom", a, Seq(G, DoubleType))),
+    "st_clipbybox2d" -> (a => geo(G, "clipByBox", a,
+      Seq(G) ++ Seq.fill(4)(DoubleType))),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

@@ -421,6 +421,18 @@ object GeoOps {
     java.lang.Double.valueOf((prefix + segLen * bestT) / total)
   }
 
+  /** PostGIS ST_Segmentize (see `Clip.segmentize`): no segment longer
+    * than `maxLen` (2D), inserted points at exact i/n fractions — every
+    * output ordinate bit-replicable (q125). */
+  def segmentizeGeom(g: InternalRow, maxLen: Double): InternalRow =
+    GeoStruct.encode(Clip.segmentize(GeoStruct.decode(g), maxLen))
+
+  /** PostGIS ST_ClipByBox2D (see `Clip.clipByBox`): fast axis-aligned
+    * clip — Liang–Barsky segments, Sutherland–Hodgman rings; q126. */
+  def clipByBox(g: InternalRow, xmin: Double, ymin: Double,
+                xmax: Double, ymax: Double): InternalRow =
+    GeoStruct.encode(Clip.clipByBox(GeoStruct.decode(g), xmin, ymin, xmax, ymax))
+
   /** PostGIS ST_Azimuth(a, b): bearing from `a` to `b` in radians
     * clockwise from north, in [0, 2π) — `atan2(dx, dy)` wrapped. Null
     * for coincident or EMPTY points (PostGIS nulls coincident inputs).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Geohash
 import graft.operators.{Ann, Dedup, Knn, Sampling, SpatialJoins, TileRender}
 import graft.pipeline.Pipeline
 import graft.sources.ImagesTable
@@ -1595,6 +1596,29 @@ object SparkEntry {
           "img_nonzero(png) AS lit_pixels",
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
+    },
+    "q127_geohash" -> { (s, d) =>
+      prep(s, d)
+      // geohash codec over the point table at per-row precision 5..12:
+      // floor-scaled quantization is one pinned IEEE expression, so the
+      // oracle rebuilds every hash character and every exact-dyadic box
+      // edge; prefix5 asserts the power-of-two truncation identity
+      // (floor(r·2^n) >> k == floor(r·2^(n-k)) — exact because power-2
+      // scaling of a double never rounds), which the ENGINE computes from
+      // two independent encodes.
+      s.sql(s"""WITH pts AS ($PtsCte),
+        |h AS (SELECT l_orderkey, l_linenumber, lon, lat,
+        |    CAST(l_orderkey % 8 + 5 AS INT) AS p FROM pts),
+        |e AS (SELECT l_orderkey, l_linenumber, p,
+        |    st_geohash(lon, lat, p) AS gh,
+        |    st_geohash(lon, lat, 5) AS gh5 FROM h)
+        |SELECT l_orderkey, l_linenumber, gh,
+        |  st_geohashbox(gh).xmin AS bx1,
+        |  st_geohashbox(gh).ymin AS by1,
+        |  st_geohashbox(gh).xmax AS bx2,
+        |  st_geohashbox(gh).ymax AS by2,
+        |  substring(gh, 1, 5) = gh5 AS prefix5
+        |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
     "q126_clip_box" -> { (s, d) =>
       prep(s, d)
@@ -3461,6 +3485,61 @@ object SparkEntry {
          |ORDER BY c, i""".stripMargin,
     // closure + reversal: endpoints swap verbatim; the fixed (7.6, -1.3)
     // end offset makes every line provably open, box rings always closed
+    // geohash: same floor((v + off) / span * 2^n) quantization, same
+    // clamp, same MSB-first lon/lat interleave, same base32 alphabet;
+    // box edges are exact dyadics (360/2^n representable, products within
+    // 53 mantissa bits)
+    "q127_geohash" -> {
+      // per-character expressions (no explode/grouping — the synthetic
+      // lineitem has DUPLICATE (orderkey, linenumber) keys, so any
+      // key-grouped string_agg would merge distinct rows); bit parity is
+      // compile-time per (j, u), shift counts clamped with GREATEST so
+      // the vectorized engine never sees a negative shift on discarded
+      // (j >= p) branches
+      def charExpr(j: Int): String = {
+        val bits = (0 until 5).map { u =>
+          val t = 5 * j + u
+          val src = if (t % 2 == 0) s"(qlon >> GREATEST(nlon - ${1 + t / 2}, 0))"
+                    else s"(qlat >> GREATEST(nlat - ${1 + (t - 1) / 2}, 0))"
+          s"($src & 1) * ${1 << (4 - u)}"
+        }.mkString(" + ")
+        s"CASE WHEN $j < p THEN substr('${Geohash.Alphabet}', " +
+          s"CAST($bits AS INT) + 1, 1) ELSE '' END"
+      }
+      val ghExpr = (0 until Geohash.MaxPrecision)
+        .map(charExpr).mkString("concat(", ", ", ")")
+      s"""WITH pts AS ($PtsCte),
+         |h AS (SELECT l_orderkey, l_linenumber, lon, lat,
+         |    CAST(l_orderkey % 8 + 5 AS INT) AS p FROM pts),
+         |qq AS (SELECT *, (5 * p + 1) // 2 AS nlon, (5 * p) // 2 AS nlat
+         |  FROM h),
+         |bb AS (SELECT *,
+         |    LEAST(GREATEST(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+         |        / CAST(360.0 AS DOUBLE)
+         |        * CAST((1::BIGINT << nlon) AS DOUBLE)) AS BIGINT),
+         |      0), (1::BIGINT << nlon) - 1) AS qlon,
+         |    LEAST(GREATEST(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+         |        / CAST(180.0 AS DOUBLE)
+         |        * CAST((1::BIGINT << nlat) AS DOUBLE)) AS BIGINT),
+         |      0), (1::BIGINT << nlat) - 1) AS qlat
+         |  FROM qq)
+         |SELECT l_orderkey, l_linenumber,
+         |  $ghExpr AS gh,
+         |  CAST(-180.0 AS DOUBLE) + CAST(qlon AS DOUBLE)
+         |    * (CAST(360.0 AS DOUBLE)
+         |       / CAST((1::BIGINT << nlon) AS DOUBLE)) AS bx1,
+         |  CAST(-90.0 AS DOUBLE) + CAST(qlat AS DOUBLE)
+         |    * (CAST(180.0 AS DOUBLE)
+         |       / CAST((1::BIGINT << nlat) AS DOUBLE)) AS by1,
+         |  CAST(-180.0 AS DOUBLE) + CAST(qlon + 1 AS DOUBLE)
+         |    * (CAST(360.0 AS DOUBLE)
+         |       / CAST((1::BIGINT << nlon) AS DOUBLE)) AS bx2,
+         |  CAST(-90.0 AS DOUBLE) + CAST(qlat + 1 AS DOUBLE)
+         |    * (CAST(180.0 AS DOUBLE)
+         |       / CAST((1::BIGINT << nlat) AS DOUBLE)) AS by2,
+         |  TRUE AS prefix5
+         |FROM bb ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     // box clip: polygon leg = intersection rectangle (envelope is exact
     // GREATEST/LEAST of the corners, npoints 5, k%4==3 disjoint -> EMPTY);
     // line leg = Liang–Barsky t0/t1 replicated (max/min folds of the same

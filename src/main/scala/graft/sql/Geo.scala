@@ -175,6 +175,10 @@ object Geo {
     "st_segmentize" -> (a => geo(G, "segmentizeGeom", a, Seq(G, DoubleType))),
     "st_clipbybox2d" -> (a => geo(G, "clipByBox", a,
       Seq(G) ++ Seq.fill(4)(DoubleType))),
+    // geohash codec (q127)
+    "st_geohash" -> (a => geo(StringType, "geohashEncode", a,
+      Seq(DoubleType, DoubleType, IntegerType))),
+    "st_geohashbox" -> (a => geo(B, "geohashBox", a, Seq(StringType))),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

@@ -433,6 +433,17 @@ object GeoOps {
                 xmax: Double, ymax: Double): InternalRow =
     GeoStruct.encode(Clip.clipByBox(GeoStruct.decode(g), xmin, ymin, xmax, ymax))
 
+  /** Geohash encode (see `core/Geohash` — floor-scaled quantization,
+    * bit-replicable; q127). */
+  def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String =
+    UTF8String.fromString(Geohash.encode(lon, lat, precision))
+
+  /** Geohash cell box — exact dyadic edges (q127). */
+  def geohashBox(hash: UTF8String): InternalRow = {
+    val b = Geohash.decodeBox(hash.toString)
+    GeoStruct.encodeBox(b)
+  }
+
   /** PostGIS ST_Azimuth(a, b): bearing from `a` to `b` in radians
     * clockwise from north, in [0, 2π) — `atan2(dx, dy)` wrapped. Null
     * for coincident or EMPTY points (PostGIS nulls coincident inputs).

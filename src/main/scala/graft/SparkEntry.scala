@@ -1597,6 +1597,20 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q128_hexbin" -> { (s, d) =>
+      prep(s, d)
+      // H3-style hexagonal heatmap binning: cube rounding is pinned IEEE
+      // arithmetic (half-up floor(v+0.5), original-value branch tests),
+      // so per-cell counts AND the decoded centers replicate bit-for-bit
+      // — boundary points land in the same hex in both engines.
+      s.sql(s"""WITH pts AS ($PtsCte),
+        |h AS (SELECT st_hexcell(lon, lat, CAST(2.5 AS DOUBLE)) AS cell
+        |  FROM pts)
+        |SELECT cell, count(*) AS n,
+        |  st_x(st_hexcenter(cell, CAST(2.5 AS DOUBLE))) AS cx,
+        |  st_y(st_hexcenter(cell, CAST(2.5 AS DOUBLE))) AS cy
+        |FROM h GROUP BY cell ORDER BY cell""".stripMargin)
+    },
     "q127_geohash" -> { (s, d) =>
       prep(s, d)
       // geohash codec over the point table at per-row precision 5..12:
@@ -3489,6 +3503,30 @@ object SparkEntry {
     // clamp, same MSB-first lon/lat interleave, same base32 alphabet;
     // box edges are exact dyadics (360/2^n representable, products within
     // 53 mantissa bits)
+    // hexbin: same fractional axial transform, same half-up cube
+    // rounding on original values, same int32 packing and center decode
+    "q128_hexbin" ->
+      s"""WITH pts AS ($PtsCte),
+         |f AS (SELECT
+         |    (sqrt(3.0) / 3.0 * lon - 1.0 / 3.0 * lat) / 2.5 AS qf,
+         |    (2.0 / 3.0 * lat) / 2.5 AS rf FROM pts),
+         |g AS (SELECT *, -qf - rf AS yf FROM f),
+         |r0 AS (SELECT *, floor(qf + 0.5) AS rq0, floor(rf + 0.5) AS rr0,
+         |    floor(yf + 0.5) AS ry0 FROM g),
+         |d AS (SELECT *, abs(rq0 - qf) AS dq, abs(rr0 - rf) AS dr,
+         |    abs(ry0 - yf) AS dy FROM r0),
+         |c AS (SELECT
+         |    CASE WHEN dq > dr AND dq > dy THEN -rr0 - ry0
+         |         ELSE rq0 END AS rq,
+         |    CASE WHEN NOT (dq > dr AND dq > dy) AND dr > dy
+         |         THEN -rq0 - ry0 ELSE rr0 END AS rr
+         |  FROM d),
+         |cl AS (SELECT (CAST(rq AS BIGINT) * 4294967296)
+         |    | (CAST(rr AS BIGINT) & 4294967295) AS cell, rq, rr FROM c)
+         |SELECT cell, count(*) AS n,
+         |  2.5 * (sqrt(3.0) * rq + sqrt(3.0) / 2.0 * rr) AS cx,
+         |  2.5 * (1.5 * rr) AS cy
+         |FROM cl GROUP BY cell, rq, rr ORDER BY cell""".stripMargin,
     "q127_geohash" -> {
       // per-character expressions (no explode/grouping — the synthetic
       // lineitem has DUPLICATE (orderkey, linenumber) keys, so any

@@ -179,6 +179,10 @@ object Geo {
     "st_geohash" -> (a => geo(StringType, "geohashEncode", a,
       Seq(DoubleType, DoubleType, IntegerType))),
     "st_geohashbox" -> (a => geo(B, "geohashBox", a, Seq(StringType))),
+    // H3-style hexagonal binning (q128)
+    "st_hexcell" -> (a => geo(LongType, "hexCell", a,
+      Seq(DoubleType, DoubleType, DoubleType))),
+    "st_hexcenter" -> (a => geo(G, "hexCenter", a, Seq(LongType, DoubleType))),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {

@@ -438,6 +438,13 @@ object GeoOps {
   def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geohash.encode(lon, lat, precision))
 
+  /** H3-style hexagonal binning (see `core/Hex` — pinned cube rounding,
+    * bit-replicable; q128). */
+  def hexCell(x: Double, y: Double, size: Double): Long = Hex.cell(x, y, size)
+
+  def hexCenter(cell: Long, size: Double): InternalRow =
+    GeoStruct.encode(Geom.point(Hex.centerX(cell, size), Hex.centerY(cell, size)))
+
   /** Geohash cell box — exact dyadic edges (q127). */
   def geohashBox(hash: UTF8String): InternalRow = {
     val b = Geohash.decodeBox(hash.toString)

@@ -1597,6 +1597,78 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q130_overlay_holes" -> { (s, d) =>
+      prep(s, d)
+      // boolean overlay, containment family: B strictly inside A (A
+      // corners even, B odd — no coordinate collisions), so
+      // st_difference(A,B) is A's shell plus B as a CW hole. The full
+      // 10-vertex canonical dump (shell CCW from its min corner, hole CW
+      // from its min corner) plus exact integer areas and the
+      // union/intersection vertex counts replicate in closed form.
+      s.sql("""WITH f AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |    CAST(-100 + (n_nationkey % 5) * 40 AS DOUBLE) AS ax1,
+        |    CAST(-60 + CAST((n_nationkey - n_nationkey % 5) / 5 AS INT) * 24 AS DOUBLE) AS ay1
+        |  FROM nation),
+        |g AS (SELECT k, ax1, ay1,
+        |    ax1 + CAST(30 AS DOUBLE) AS ax2, ay1 + CAST(20 AS DOUBLE) AS ay2,
+        |    ax1 + CAST(3 + 2 * (k % 5) AS DOUBLE) AS bx1,
+        |    ay1 + CAST(3 + 2 * (k % 3) AS DOUBLE) AS by1,
+        |    ax1 + CAST(13 + 2 * (k % 5) AS DOUBLE) AS bx2,
+        |    ay1 + CAST(11 + 2 * (k % 3) AS DOUBLE) AS by2
+        |  FROM f),
+        |r AS (SELECT k,
+        |    st_difference(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                  st_boxtopolygon(bx1, by1, bx2, by2)) AS dg,
+        |    st_area(st_symdifference(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                             st_boxtopolygon(bx1, by1, bx2, by2))) AS area_x,
+        |    st_npoints(st_union(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                        st_boxtopolygon(bx1, by1, bx2, by2))) AS un_np,
+        |    st_npoints(st_intersection(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                               st_boxtopolygon(bx1, by1, bx2, by2))) AS in_np
+        |  FROM g)
+        |SELECT k, idx, c.x AS x, c.y AS y, st_area(dg) AS area_d,
+        |  area_x, un_np, in_np
+        |FROM r LATERAL VIEW posexplode(st_coords(dg)) t AS idx, c
+        |ORDER BY k, idx""".stripMargin)
+    },
+    "q129_overlay" -> { (s, d) =>
+      prep(s, d)
+      // boolean overlay (Martínez–Rueda sweep): rect × rect in strict
+      // general position (A corners even, B odd). k%4==3 rows are
+      // disjoint, k=17 is strict containment, the rest proper overlaps.
+      // All four operation areas are exact integer arithmetic in double,
+      // and the intersection ring dumps its canonical 5 corners
+      // (min-corner first, CCW) — both replicated in closed form.
+      s.sql("""WITH f AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |    CAST(-100 + (n_nationkey % 5) * 40 AS DOUBLE) AS ax1,
+        |    CAST(-60 + CAST((n_nationkey - n_nationkey % 5) / 5 AS INT) * 24 AS DOUBLE) AS ay1
+        |  FROM nation),
+        |g AS (SELECT k, ax1, ay1,
+        |    ax1 + CAST(30 AS DOUBLE) AS ax2, ay1 + CAST(20 AS DOUBLE) AS ay2,
+        |    ax1 + CAST((k % 7) * 6 - 15 AS DOUBLE) AS bx1,
+        |    ay1 + CAST((k % 4) * 10 - 9 AS DOUBLE) AS by1,
+        |    ax1 + CAST((k % 7) * 6 + 7 AS DOUBLE) AS bx2,
+        |    ay1 + CAST((k % 4) * 10 + 5 AS DOUBLE) AS by2
+        |  FROM f),
+        |r AS (SELECT k,
+        |    st_intersection(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                    st_boxtopolygon(bx1, by1, bx2, by2)) AS ig,
+        |    st_area(st_intersection(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                            st_boxtopolygon(bx1, by1, bx2, by2))) AS area_i,
+        |    st_area(st_union(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                     st_boxtopolygon(bx1, by1, bx2, by2))) AS area_u,
+        |    st_area(st_difference(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                          st_boxtopolygon(bx1, by1, bx2, by2))) AS area_d,
+        |    st_area(st_symdifference(st_boxtopolygon(ax1, ay1, ax2, ay2),
+        |                             st_boxtopolygon(bx1, by1, bx2, by2))) AS area_x
+        |  FROM g)
+        |SELECT k, coalesce(idx, -1) AS idx,
+        |  coalesce(c.x, CAST(0.0 AS DOUBLE)) AS x,
+        |  coalesce(c.y, CAST(0.0 AS DOUBLE)) AS y,
+        |  area_i, area_u, area_d, area_x
+        |FROM r LATERAL VIEW OUTER posexplode(st_coords(ig)) t AS idx, c
+        |ORDER BY k, idx""".stripMargin)
+    },
     "q128_hexbin" -> { (s, d) =>
       prep(s, d)
       // H3-style hexagonal heatmap binning: cube rounding is pinned IEEE
@@ -3503,6 +3575,73 @@ object SparkEntry {
     // clamp, same MSB-first lon/lat interleave, same base32 alphabet;
     // box edges are exact dyadics (360/2^n representable, products within
     // 53 mantissa bits)
+    // overlay, containment family: difference = A shell (CCW from its min
+    // corner) + B as a CW hole (from B's min corner) — 10 vertices in
+    // canonical dump order; areas exact integer arithmetic; union is A
+    // (5 points), intersection is B (5 points)
+    "q130_overlay_holes" ->
+      """WITH f AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |    CAST(-100 + (n_nationkey % 5) * 40 AS DOUBLE) AS ax1,
+        |    CAST(-60 + CAST((n_nationkey - n_nationkey % 5) / 5 AS INT) * 24 AS DOUBLE) AS ay1
+        |  FROM nation),
+        |g AS (SELECT k, ax1, ay1,
+        |    ax1 + CAST(30 AS DOUBLE) AS ax2, ay1 + CAST(20 AS DOUBLE) AS ay2,
+        |    ax1 + CAST(3 + 2 * (k % 5) AS DOUBLE) AS bx1,
+        |    ay1 + CAST(3 + 2 * (k % 3) AS DOUBLE) AS by1,
+        |    ax1 + CAST(13 + 2 * (k % 5) AS DOUBLE) AS bx2,
+        |    ay1 + CAST(11 + 2 * (k % 3) AS DOUBLE) AS by2
+        |  FROM f),
+        |v AS (SELECT g.*, i.idx FROM g
+        |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) AS i(idx))
+        |SELECT k, idx,
+        |  CASE idx WHEN 0 THEN ax1 WHEN 1 THEN ax2 WHEN 2 THEN ax2
+        |           WHEN 3 THEN ax1 WHEN 4 THEN ax1 WHEN 5 THEN bx1
+        |           WHEN 6 THEN bx1 WHEN 7 THEN bx2 WHEN 8 THEN bx2
+        |           ELSE bx1 END AS x,
+        |  CASE idx WHEN 0 THEN ay1 WHEN 1 THEN ay1 WHEN 2 THEN ay2
+        |           WHEN 3 THEN ay2 WHEN 4 THEN ay1 WHEN 5 THEN by1
+        |           WHEN 6 THEN by2 WHEN 7 THEN by2 WHEN 8 THEN by1
+        |           ELSE by1 END AS y,
+        |  CAST(600 AS DOUBLE) - (bx2 - bx1) * (by2 - by1) AS area_d,
+        |  CAST(600 AS DOUBLE) - (bx2 - bx1) * (by2 - by1) AS area_x,
+        |  5 AS un_np, 5 AS in_np
+        |FROM v ORDER BY k, idx""".stripMargin,
+    // overlay, general-position rect × rect: intersection corners are
+    // GREATEST/LEAST folds of the inputs (exact — the sweep pins
+    // axis-parallel crossings to input ordinates), areas are
+    // inclusion–exclusion over exact integer products
+    "q129_overlay" ->
+      """WITH f AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |    CAST(-100 + (n_nationkey % 5) * 40 AS DOUBLE) AS ax1,
+        |    CAST(-60 + CAST((n_nationkey - n_nationkey % 5) / 5 AS INT) * 24 AS DOUBLE) AS ay1
+        |  FROM nation),
+        |g AS (SELECT k, ax1, ay1,
+        |    ax1 + CAST(30 AS DOUBLE) AS ax2, ay1 + CAST(20 AS DOUBLE) AS ay2,
+        |    ax1 + CAST((k % 7) * 6 - 15 AS DOUBLE) AS bx1,
+        |    ay1 + CAST((k % 4) * 10 - 9 AS DOUBLE) AS by1,
+        |    ax1 + CAST((k % 7) * 6 + 7 AS DOUBLE) AS bx2,
+        |    ay1 + CAST((k % 4) * 10 + 5 AS DOUBLE) AS by2
+        |  FROM f),
+        |m AS (SELECT *, GREATEST(ax1, bx1) AS gx, GREATEST(ay1, by1) AS gy,
+        |    LEAST(ax2, bx2) AS lx, LEAST(ay2, by2) AS ly FROM g),
+        |mm AS (SELECT *, (gx < lx AND gy < ly) AS ov FROM m),
+        |aa AS (SELECT *, CASE WHEN ov THEN (lx - gx) * (ly - gy)
+        |    ELSE CAST(0 AS DOUBLE) END AS ai,
+        |    CAST(600 AS DOUBLE) AS pa, CAST(308 AS DOUBLE) AS pb FROM mm),
+        |v AS (SELECT aa.*, i.idx
+        |    FROM aa CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS i(idx)
+        |    WHERE aa.ov
+        |  UNION ALL SELECT aa.*, -1 AS idx FROM aa WHERE NOT aa.ov)
+        |SELECT k, idx,
+        |  CASE idx WHEN 0 THEN gx WHEN 1 THEN lx WHEN 2 THEN lx
+        |           WHEN 3 THEN gx WHEN 4 THEN gx
+        |           ELSE CAST(0.0 AS DOUBLE) END AS x,
+        |  CASE idx WHEN 0 THEN gy WHEN 1 THEN gy WHEN 2 THEN ly
+        |           WHEN 3 THEN ly WHEN 4 THEN gy
+        |           ELSE CAST(0.0 AS DOUBLE) END AS y,
+        |  ai AS area_i, pa + pb - ai AS area_u, pa - ai AS area_d,
+        |  pa + pb - CAST(2 AS DOUBLE) * ai AS area_x
+        |FROM v ORDER BY k, idx""".stripMargin,
     // hexbin: same fractional axial transform, same half-up cube
     // rounding on original values, same int32 packing and center decode
     "q128_hexbin" ->

@@ -109,6 +109,10 @@ object functions {
     f("st_interiorringn")(g, n)
   def st_numinteriorrings(g: Column): Column = f("st_numinteriorrings")(g)
   def st_makecollection(parts: Column): Column = f("st_makecollection")(parts)
+  def st_intersection(a: Column, b: Column): Column = f("st_intersection")(a, b)
+  def st_union(a: Column, b: Column): Column = f("st_union")(a, b)
+  def st_difference(a: Column, b: Column): Column = f("st_difference")(a, b)
+  def st_symdifference(a: Column, b: Column): Column = f("st_symdifference")(a, b)
   def st_collect_agg(g: Column): Column = f("st_collect_agg")(g)
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
                 xoff: Column, yoff: Column): Column =

@@ -1,0 +1,1006 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Polygon boolean overlay: intersection / union / difference / symmetric
+  * difference over POLYGON and MULTIPOLYGON (XY, holes supported).
+  *
+  * Algorithm: the Martínez–Rueda–Feito sweep (Martínez, Rueda, Feito, "A
+  * new algorithm for computing Boolean operations on polygons", Computers &
+  * Geosciences 2009) for SUBDIVISION and labeling — a single left-to-right
+  * plane sweep splits every edge at its intersections and annotates each
+  * piece with the other polygon's membership — followed by a ring
+  * connection phase of our own design:
+  *
+  *  - each result edge knows which side its own polygon's interior is on
+  *    EXACTLY (from the input ring's signed area + shell/hole position —
+  *    `ownLeft`, no floating-point sweep state involved), and which side
+  *    the other polygon is on (sweep `otherInOut`, or the coincident-edge
+  *    transition class for overlaps);
+  *  - combining the two memberships per operation yields, for each edge,
+  *    whether the RESULT interior lies to its left or right, which both
+  *    selects the edge and directs it so the result interior is on its
+  *    LEFT;
+  *  - rings are then extracted by planar face traversal: at each vertex
+  *    the walk continues onto the first outgoing edge CLOCKWISE from the
+  *    reversed incoming direction. This provably pairs edge wedges of the
+  *    same face, so crossing vertices (degree 4+) never weld two faces
+  *    into one self-touching "bowtie" ring — the failure mode of the
+  *    published algorithm's position-ordered reconnection for XOR.
+  *
+  * Shells come out CCW and holes CW by construction; hole→shell parentage
+  * is assigned by even-odd containment of a hole vertex against the
+  * smallest enclosing shell.
+  *
+  * Determinism and oracle-ability:
+  *  - intersection points snap to exact input ordinates whenever a segment
+  *    is axis-parallel (a vertical edge forces the exact x, a horizontal
+  *    edge the exact y), so axis-aligned fixtures (q129/q130) produce
+  *    bit-exact corner coordinates with NO floating-point residue;
+  *  - output rings are canonicalized: shells CCW, holes CW, every ring
+  *    rotated to start at its lexicographically smallest vertex, holes
+  *    sorted within their polygon, polygons sorted by smallest shell
+  *    vertex — the result is a pure function of the input VALUE, not of
+  *    traversal order.
+  *
+  * Scope (documented, PostGIS-compatible subset):
+  *  - polygon × polygon (and MULTI): all four operations; inputs must be
+  *    valid (first ring = shell, rest holes; no self-overlapping edges —
+  *    detected overlaps within one operand throw);
+  *  - point/multipoint × polygon and linestring/multilinestring × polygon:
+  *    intersection and difference (clip / anti-clip); union/xor of mixed
+  *    dimensionality would yield GEOMETRYCOLLECTION and is rejected;
+  *  - XY only (overlay Z interpolation across two inputs is undefined);
+  *  - dimensional collapse is dropped: overlaps of zero area (shared
+  *    edges, corner touches) yield POLYGON EMPTY, as does any zero-area
+  *    result ring. A hole touching its shell at one point comes out as a
+  *    single self-touching ring (even-odd equivalent).
+  */
+object Overlay {
+
+  final val OpIntersection = 0
+  final val OpUnion = 1
+  final val OpDifference = 2
+  final val OpXor = 3
+
+  // coincident-edge annotation
+  private final val Normal = 0
+  private final val NonContributing = 1
+  private final val SameTransition = 2
+  private final val DifferentTransition = 3
+
+  /** Hard cap on sweep events — a 100-TB guard against adversarial inputs
+    * whose subdivision would explode (quadratic intersection counts). */
+  final val MaxEvents: Int = 1 << 24
+
+  // =====================================================================
+  // public entry points
+  // =====================================================================
+
+  def intersection(a: Geom, b: Geom): Geom = dispatch(a, b, OpIntersection)
+  def union(a: Geom, b: Geom): Geom = dispatch(a, b, OpUnion)
+  def difference(a: Geom, b: Geom): Geom = dispatch(a, b, OpDifference)
+  def symDifference(a: Geom, b: Geom): Geom = dispatch(a, b, OpXor)
+
+  private def isPoly(g: Geom): Boolean =
+    g.geomType == GeomTypes.Polygon || g.geomType == GeomTypes.MultiPolygon
+  private def isLine(g: Geom): Boolean =
+    g.geomType == GeomTypes.LineString || g.geomType == GeomTypes.MultiLineString
+  private def isPoint(g: Geom): Boolean =
+    g.geomType == GeomTypes.Point || g.geomType == GeomTypes.MultiPoint
+
+  private def dispatch(a: Geom, b: Geom, op: Int): Geom = {
+    require(a.dims == Dims.XY && b.dims == Dims.XY,
+      "overlay supports XY geometries only (Z/M overlay interpolation is undefined)")
+    if (isPoly(a) && isPoly(b)) return boolOp(a, b, op)
+    // lower-dimension × polygon: clip semantics for intersection/difference
+    op match {
+      case OpIntersection =>
+        if (isLine(a) && isPoly(b)) lineClip(a, b, keepInside = true)
+        else if (isPoly(a) && isLine(b)) lineClip(b, a, keepInside = true)
+        else if (isPoint(a) && isPoly(b)) pointClip(a, b, keepInside = true)
+        else if (isPoly(a) && isPoint(b)) pointClip(b, a, keepInside = true)
+        else unsupported(a, b, "st_intersection")
+      case OpDifference =>
+        if (isLine(a) && isPoly(b)) lineClip(a, b, keepInside = false)
+        else if (isPoint(a) && isPoly(b)) pointClip(a, b, keepInside = false)
+        else unsupported(a, b, "st_difference")
+      case _ => unsupported(a, b,
+        if (op == OpUnion) "st_union" else "st_symdifference")
+    }
+  }
+
+  private def unsupported(a: Geom, b: Geom, fn: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: unsupported type combination ${GeomTypes.name(a.geomType)} × " +
+        s"${GeomTypes.name(b.geomType)}")
+
+  // =====================================================================
+  // polygon × polygon boolean core
+  // =====================================================================
+
+  def boolOp(subject: Geom, clipping: Geom, op: Int): Geom = {
+    val srid = subject.srid
+    val subjEmpty = subject.isEmpty
+    val clipEmpty = clipping.isEmpty
+    if (subjEmpty && clipEmpty) return emptyPolygon(srid)
+    if (subjEmpty) return op match {
+      case OpIntersection | OpDifference => emptyPolygon(srid)
+      case _ => normalizeCopy(clipping)
+    }
+    if (clipEmpty) return op match {
+      case OpIntersection => emptyPolygon(srid)
+      case _ => normalizeCopy(subject)
+    }
+
+    val queue = new java.util.PriorityQueue[Ev](64, EvOrdering)
+    var nEvents = 0
+
+    /** One closed ring [from,until) of coord indices (last vertex repeats
+      * the first). `isHole`: the ring's own-polygon interior is OUTSIDE
+      * the ring (valid-input assumption: first ring shell, rest holes). */
+    def addRing(g: Geom, from: Int, until: Int, subj: Boolean,
+                isHole: Boolean): Unit = {
+      val s = g.stride
+      // ring signed area decides which traversal side the ring interior
+      // is on; zero-area rings contribute no region and are skipped
+      var area2 = 0.0
+      var k = from
+      while (k < until - 1) {
+        val x0 = g.coords(k * s); val y0 = g.coords(k * s + 1)
+        val x1 = g.coords((k + 1) * s); val y1 = g.coords((k + 1) * s + 1)
+        area2 += x0 * y1 - x1 * y0
+        k += 1
+      }
+      if (area2 == 0.0) return
+      val ringInteriorLeft = area2 > 0.0 // CCW: enclosed area left of travel
+      val ownLeftOrig = if (isHole) !ringInteriorLeft else ringInteriorLeft
+      var i = from
+      while (i < until - 1) {
+        val x0 = g.coords(i * s); val y0 = g.coords(i * s + 1)
+        val x1 = g.coords((i + 1) * s); val y1 = g.coords((i + 1) * s + 1)
+        if (!(x0 == x1 && y0 == y1)) { // skip degenerate zero-length edges
+          val e1 = new Ev(x0, y0, subj)
+          val e2 = new Ev(x1, y1, subj)
+          e1.other = e2; e2.other = e1
+          val forward = x0 < x1 || (x0 == x1 && y0 < y1)
+          if (forward) e1.left = true else e2.left = true
+          // own-interior side relative to the LEFT→RIGHT sweep direction
+          val ownLeft = if (forward) ownLeftOrig else !ownLeftOrig
+          e1.ownLeft = ownLeft; e2.ownLeft = ownLeft
+          queue.add(e1); queue.add(e2)
+          nEvents += 2
+          require(nEvents < MaxEvents, "overlay: input too large")
+        }
+        i += 1
+      }
+    }
+    def addPoly(g: Geom, subj: Boolean): Unit = g.geomType match {
+      case GeomTypes.Polygon =>
+        var r = 0
+        while (r < g.o0.length - 1) {
+          addRing(g, g.o0(r), g.o0(r + 1), subj, isHole = r > 0); r += 1
+        }
+      case GeomTypes.MultiPolygon =>
+        var p = 0
+        while (p < g.o0.length - 1) {
+          var r = g.o0(p)
+          while (r < g.o0(p + 1)) {
+            addRing(g, g.o1(r), g.o1(r + 1), subj, isHole = r > g.o0(p))
+            r += 1
+          }
+          p += 1
+        }
+      case _ => throw new IllegalArgumentException(
+        s"overlay operand must be POLYGON/MULTIPOLYGON, got ${GeomTypes.name(g.geomType)}")
+    }
+    addPoly(subject, subj = true)
+    addPoly(clipping, subj = false)
+
+    // ---- sweep: subdivide + label ------------------------------------
+    val status = new java.util.TreeSet[Ev](SegOrdering)
+    val lefts = new ArrayBuffer[Ev](nEvents / 2)
+    while (!queue.isEmpty) {
+      val event = queue.poll()
+      require(lefts.length < MaxEvents, "overlay: subdivision too large")
+      if (event.left) {
+        lefts += event
+        status.add(event)
+        val prev = status.lower(event)
+        val next = status.higher(event)
+        computeFields(event, prev)
+        if (next != null && possibleIntersection(event, next, queue) == 2) {
+          computeFields(event, prev)
+          computeFields(next, event)
+        }
+        if (prev != null && possibleIntersection(prev, event, queue) == 2) {
+          val prevPrev = status.lower(prev)
+          computeFields(prev, prevPrev)
+          computeFields(event, prev)
+        }
+      } else {
+        val left = event.other
+        val prev = status.lower(left)
+        val next = status.higher(left)
+        if (!status.remove(left)) {
+          // comparator drift (a division mutated a neighbor's right cap
+          // while this segment sat in the tree): fall back to identity scan
+          val it = status.iterator()
+          var removed = false
+          while (it.hasNext && !removed) {
+            if (it.next() eq left) { it.remove(); removed = true }
+          }
+        }
+        if (prev != null && next != null) possibleIntersection(prev, next, queue)
+      }
+    }
+
+    buildFromEdges(lefts, op, srid)
+  }
+
+  // =====================================================================
+  // sweep event machinery
+  // =====================================================================
+
+  private val nextEvId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private final class Ev(val x: Double, val y: Double, val subject: Boolean) {
+    var left: Boolean = false
+    var other: Ev = _
+    var typ: Int = Normal
+    /** own-polygon interior side relative to the left→right sweep
+      * direction of this edge — EXACT, derived from the input ring. */
+    var ownLeft: Boolean = false
+    var inOut: Boolean = false
+    var otherInOut: Boolean = false
+    val id: Long = nextEvId.getAndIncrement()
+
+    def isVertical: Boolean = x == other.x
+    def samePoint(e: Ev): Boolean = x == e.x && y == e.y
+    /** true when this event's SEGMENT lies below point (px,py). */
+    def segBelow(px: Double, py: Double): Boolean =
+      if (left) signedArea(x, y, other.x, other.y, px, py) > 0
+      else signedArea(other.x, other.y, x, y, px, py) > 0
+    def segAbove(px: Double, py: Double): Boolean = !segBelow(px, py)
+  }
+
+  private def signedArea(x0: Double, y0: Double, x1: Double, y1: Double,
+                         x2: Double, y2: Double): Double =
+    (x0 - x2) * (y1 - y2) - (x1 - x2) * (y0 - y2)
+
+  /** Sweep processing order: x, then y, then right-before-left at the same
+    * point, then bottom segment first; collinear ties: subject first. */
+  private def cmpEv(a: Ev, b: Ev): Int = {
+    if (a eq b) return 0
+    if (a.x != b.x) return java.lang.Double.compare(a.x, b.x)
+    if (a.y != b.y) return java.lang.Double.compare(a.y, b.y)
+    if (a.left != b.left) return if (a.left) 1 else -1
+    val sa = signedArea(a.x, a.y, a.other.x, a.other.y, b.other.x, b.other.y)
+    if (sa != 0.0) return if (a.segBelow(b.other.x, b.other.y)) -1 else 1
+    if (a.subject != b.subject) return if (a.subject) -1 else 1
+    java.lang.Long.compare(a.id, b.id)
+  }
+
+  private object EvOrdering extends java.util.Comparator[Ev] {
+    def compare(a: Ev, b: Ev): Int = cmpEv(a, b)
+  }
+
+  /** Sweep-line status order: below-to-above at the current sweep
+    * position. Both arguments are left events. */
+  private object SegOrdering extends java.util.Comparator[Ev] {
+    def compare(a: Ev, b: Ev): Int = {
+      if (a eq b) return 0
+      val s1 = signedArea(a.x, a.y, a.other.x, a.other.y, b.x, b.y)
+      val s2 = signedArea(a.x, a.y, a.other.x, a.other.y, b.other.x, b.other.y)
+      if (s1 != 0.0 || s2 != 0.0) {
+        // not collinear
+        if (a.samePoint(b)) // same left endpoint: order by right endpoint
+          return if (a.segBelow(b.other.x, b.other.y)) -1 else 1
+        if (cmpEv(a, b) > 0) // b was inserted first
+          return if (b.segAbove(a.x, a.y)) -1 else 1
+        return if (a.segBelow(b.x, b.y)) -1 else 1
+      }
+      // collinear segments
+      if (a.subject == b.subject) return java.lang.Long.compare(a.id, b.id)
+      if (a.subject) -1 else 1
+    }
+  }
+
+  /** Maintain the paper's transition flags relative to the nearest status
+    * edge below: `inOut` — crossing this edge upward leaves its own
+    * polygon; `otherInOut` — same flag of the closest OTHER-polygon edge
+    * below. Only `otherInOut` feeds the result selection (it encodes
+    * "does this edge lie inside the other polygon"); `inOut` exists to
+    * propagate the chain. */
+  private def computeFields(e: Ev, prev: Ev): Unit = {
+    if (prev == null) {
+      e.inOut = false
+      e.otherInOut = true
+    } else if (e.subject == prev.subject) {
+      e.inOut = !prev.inOut
+      e.otherInOut = prev.otherInOut
+    } else {
+      e.inOut = !prev.otherInOut
+      e.otherInOut = if (prev.isVertical) !prev.inOut else prev.inOut
+    }
+  }
+
+  /** Split [se, se.other] at (px,py): right cap for the left piece plus a
+    * fresh left event for the right piece, both queued. */
+  private def divideSegment(se: Ev, px: Double, py: Double,
+                            queue: java.util.PriorityQueue[Ev]): Unit = {
+    val r = new Ev(px, py, se.subject)
+    r.other = se
+    r.ownLeft = se.ownLeft
+    val l = new Ev(px, py, se.subject)
+    l.left = true
+    l.other = se.other
+    l.ownLeft = se.ownLeft
+    // typ deliberately NOT copied: the far piece of a divided coincident
+    // edge is no longer coincident; if it still is, the sweep re-detects
+    // and re-classifies when the two pieces become status neighbors
+    // rounding guard: the split point must not sort after the original
+    // right endpoint; if FP noise makes it, flip the piece's polarity
+    if (cmpEv(l, se.other) > 0) {
+      se.other.left = true
+      l.left = false
+    }
+    se.other.other = l
+    se.other = r
+    queue.add(l)
+    queue.add(r)
+  }
+
+  /** Detect and handle the intersection of two adjacent status edges.
+    * Returns 0 (none/shared endpoint only), 1 (proper crossing, segments
+    * divided), 2 (overlap starting at a shared left endpoint — caller must
+    * recompute fields), 3 (other overlap shapes). */
+  private def possibleIntersection(e1: Ev, e2: Ev,
+                                   queue: java.util.PriorityQueue[Ev]): Int = {
+    val inter = segmentIntersection(
+      e1.x, e1.y, e1.other.x, e1.other.y,
+      e2.x, e2.y, e2.other.x, e2.other.y)
+    if (inter == null) return 0
+    if (inter.length == 2) {
+      // single intersection point
+      val px = inter(0); val py = inter(1)
+      // shared endpoint → nothing to divide
+      if (e1.samePoint(e2) || e1.other.samePoint(e2.other)) return 0
+      var divided = 0
+      if (!(px == e1.x && py == e1.y) && !(px == e1.other.x && py == e1.other.y)) {
+        divideSegment(e1, px, py, queue); divided += 1
+      }
+      if (!(px == e2.x && py == e2.y) && !(px == e2.other.x && py == e2.other.y)) {
+        divideSegment(e2, px, py, queue); divided += 1
+      }
+      return if (divided > 0) 1 else 0
+    }
+    // collinear overlap
+    if (e1.subject == e2.subject)
+      throw new IllegalArgumentException(
+        "overlay: input polygon has overlapping edges (invalid geometry)")
+    val leftCoincide = e1.samePoint(e2)
+    val rightCoincide = e1.other.samePoint(e2.other)
+    val rights =
+      if (rightCoincide) null
+      else if (cmpEv(e1.other, e2.other) > 0) Array(e2.other, e1.other)
+      else Array(e1.other, e2.other)
+
+    if (leftCoincide) {
+      // share the left endpoint (possibly the whole overlap piece):
+      // e2 drops out; e1 carries the coincident-edge class, decided
+      // EXACTLY by whether the two interiors are on the same side
+      e2.typ = NonContributing
+      e1.typ =
+        if (e1.ownLeft == e2.ownLeft) SameTransition else DifferentTransition
+      if (!rightCoincide)
+        divideSegment(rights(1).other, rights(0).x, rights(0).y, queue)
+      return 2
+    }
+    val lefts =
+      if (cmpEv(e1, e2) > 0) Array(e2, e1)
+      else Array(e1, e2)
+    if (rightCoincide) {
+      // share the right endpoint: split the earlier at the later's start
+      divideSegment(lefts(0), lefts(1).x, lefts(1).y, queue)
+      return 3
+    }
+    if (lefts(0) ne rights(1).other) {
+      // partial overlap, neither contains the other
+      divideSegment(lefts(0), lefts(1).x, lefts(1).y, queue)
+      divideSegment(lefts(1), rights(0).x, rights(0).y, queue)
+      return 3
+    }
+    // one segment fully contains the other
+    divideSegment(lefts(0), lefts(1).x, lefts(1).y, queue)
+    divideSegment(rights(1).other, rights(0).x, rights(0).y, queue)
+    3
+  }
+
+  /** Segment × segment intersection. Returns null (none), a 2-element
+    * array (one point) or a 4-element array (collinear overlap range).
+    * Intersection ordinates snap to exact input coordinates whenever a
+    * segment is axis-parallel — axis-aligned fixtures stay bit-exact. */
+  private[core] def segmentIntersection(
+      x0: Double, y0: Double, x1: Double, y1: Double,
+      x2: Double, y2: Double, x3: Double, y3: Double): Array[Double] = {
+    val dax = x1 - x0; val day = y1 - y0
+    val dbx = x3 - x2; val dby = y3 - y2
+    val ex = x2 - x0; val ey = y2 - y0
+    val kross = dax * dby - day * dbx
+    if (kross != 0.0) {
+      val s = (ex * dby - ey * dbx) / kross
+      if (s < 0.0 || s > 1.0) return null
+      val t = (ex * day - ey * dax) / kross
+      if (t < 0.0 || t > 1.0) return null
+      // endpoint hits reproduce the endpoint exactly
+      if (s == 0.0) return Array(x0, y0)
+      if (s == 1.0) return Array(x1, y1)
+      if (t == 0.0) return Array(x2, y2)
+      if (t == 1.0) return Array(x3, y3)
+      var px = x0 + s * dax
+      var py = y0 + s * day
+      // axis-parallel snap: a vertical edge pins x, a horizontal edge pins y
+      if (x0 == x1) px = x0 else if (x2 == x3) px = x2
+      if (y0 == y1) py = y0 else if (y2 == y3) py = y2
+      return Array(px, py)
+    }
+    // parallel: collinear only when the cross of (e, da) vanishes
+    if (ex * day - ey * dax != 0.0) return null
+    // collinear: overlap range by lexicographic endpoint order
+    def lt(ax: Double, ay: Double, bx: Double, by: Double): Boolean =
+      ax < bx || (ax == bx && ay < by)
+    var a0x = x0; var a0y = y0; var a1x = x1; var a1y = y1
+    if (lt(a1x, a1y, a0x, a0y)) { val tx = a0x; val ty = a0y; a0x = a1x; a0y = a1y; a1x = tx; a1y = ty }
+    var b0x = x2; var b0y = y2; var b1x = x3; var b1y = y3
+    if (lt(b1x, b1y, b0x, b0y)) { val tx = b0x; val ty = b0y; b0x = b1x; b0y = b1y; b1x = tx; b1y = ty }
+    // overlap = [max(a0,b0), min(a1,b1)]
+    val (ox0, oy0) = if (lt(a0x, a0y, b0x, b0y)) (b0x, b0y) else (a0x, a0y)
+    val (ox1, oy1) = if (lt(a1x, a1y, b1x, b1y)) (a1x, a1y) else (b1x, b1y)
+    if (lt(ox1, oy1, ox0, oy0)) null
+    else if (ox0 == ox1 && oy0 == oy1) Array(ox0, oy0)
+    else Array(ox0, oy0, ox1, oy1)
+  }
+
+  // =====================================================================
+  // result selection + direction (interior-on-left)
+  // =====================================================================
+
+  /** Result membership combine. `own`/`other` are the two memberships on
+    * one side of the edge; `subj` is which polygon the edge belongs to. */
+  private def combine(op: Int, subj: Boolean, own: Boolean, other: Boolean): Boolean =
+    op match {
+      case OpIntersection => own && other
+      case OpUnion => own || other
+      case OpXor => own != other
+      case OpDifference => if (subj) own && !other else other && !own
+    }
+
+  /** For an in-result edge: +1 traverse left→right (result interior on the
+    * left of the sweep direction), -1 traverse right→left, 0 not in
+    * result. */
+  private def resultDir(e: Ev, op: Int): Int = {
+    if (e.typ == NonContributing) return 0
+    // own membership transitions across the edge: left side = ownLeft
+    val ownL = e.ownLeft
+    val ownR = !e.ownLeft
+    // other membership per side
+    val (othL, othR) = e.typ match {
+      case Normal =>
+        val in = !e.otherInOut // constant across a non-coincident edge
+        (in, in)
+      case SameTransition => (e.ownLeft, !e.ownLeft)
+      case DifferentTransition => (!e.ownLeft, e.ownLeft)
+      case _ => return 0
+    }
+    val inL = combine(op, e.subject, ownL, othL)
+    val inR = combine(op, e.subject, ownR, othR)
+    if (inL == inR) 0 else if (inL) 1 else -1
+  }
+
+  // =====================================================================
+  // ring extraction: planar face traversal, clockwise-first rule
+  // =====================================================================
+
+  private final class DEdge(val fx: Double, val fy: Double,
+                            val tx: Double, val ty: Double) {
+    var used: Boolean = false
+    def dx: Double = tx - fx
+    def dy: Double = ty - fy
+  }
+
+  private def vKey(x: Double, y: Double): Long = {
+    // -0.0 normalizes to +0.0 so coincident vertices share a key
+    val xb = java.lang.Double.doubleToLongBits(x + 0.0)
+    val yb = java.lang.Double.doubleToLongBits(y + 0.0)
+    xb * 0x9e3779b97f4a7c15L ^ (yb + 0x632be59bd9b4e019L + (xb << 6))
+  }
+
+  /** Among outgoing directions, pick the FIRST one rotating CLOCKWISE from
+    * the reversed incoming direction (rx,ry) — the edge bounding the same
+    * face as the incoming edge when every edge keeps its interior on the
+    * left. Exact: comparisons use cross/dot signs only. */
+  private def pickClockwise(rx: Double, ry: Double,
+                            cands: ArrayBuffer[DEdge]): DEdge = {
+    var best: DEdge = null
+    var bestGroup = Int.MaxValue
+    var i = 0
+    while (i < cands.length) {
+      val c = cands(i)
+      if (!c.used) {
+        val cross = rx * c.dy - ry * c.dx
+        val dot = rx * c.dx + ry * c.dy
+        // CW-from-reference ordering groups:
+        //   0: cross<0           (strictly clockwise side, first)
+        //   1: cross==0 && dot<0 (directly opposite)
+        //   2: cross>0           (counterclockwise side)
+        //   3: cross==0 && dot>0 (same direction as reference, last)
+        val group =
+          if (cross < 0.0) 0
+          else if (cross == 0.0 && dot < 0.0) 1
+          else if (cross > 0.0) 2
+          else 3
+        if (best == null || group < bestGroup ||
+          (group == bestGroup && (group == 0 || group == 2) &&
+            (c.dx * best.dy - c.dy * best.dx) < 0.0)) {
+          // within a strict side group, c is earlier in clockwise order
+          // than best iff cross(c, best) < 0 (best lies clockwise of c,
+          // i.e. later); groups 1/3 hold at most one distinct direction
+          best = c
+          bestGroup = group
+        }
+      }
+      i += 1
+    }
+    best
+  }
+
+  private def buildFromEdges(lefts: ArrayBuffer[Ev], op: Int, srid: Int): Geom = {
+    // collect directed result edges, grouped by origin vertex
+    val out = new java.util.HashMap[Long, ArrayBuffer[DEdge]]()
+    val all = new ArrayBuffer[DEdge]()
+    def add(fx: Double, fy: Double, tx: Double, ty: Double): Unit = {
+      val e = new DEdge(fx, fy, tx, ty)
+      all += e
+      val k = vKey(fx, fy)
+      var lst = out.get(k)
+      if (lst == null) { lst = new ArrayBuffer[DEdge](4); out.put(k, lst) }
+      lst += e
+    }
+    var i = 0
+    while (i < lefts.length) {
+      val e = lefts(i)
+      resultDir(e, op) match {
+        case 1 => add(e.x, e.y, e.other.x, e.other.y)
+        case -1 => add(e.other.x, e.other.y, e.x, e.y)
+        case _ => ()
+      }
+      i += 1
+    }
+
+    // walk faces. Closure is by VERTEX REPETITION with cycle-splitting:
+    // returning to the walk's start vertex closes the ring; revisiting any
+    // other vertex splits the enclosed loop off as its own ring (pinched
+    // faces, FP sliver loops). Termination and non-stuckness follow from
+    // per-vertex in/out degree balance: every arrival at a non-start
+    // vertex leaves at least one unused outgoing edge.
+    val rings = new ArrayBuffer[ArrayBuffer[Double]]()
+    i = 0
+    while (i < all.length) {
+      val start = all(i)
+      if (!start.used) {
+        val ring = new ArrayBuffer[Double]()
+        val seen = new java.util.HashMap[Long, Integer]()
+        val k0 = vKey(start.fx, start.fy)
+        ring += start.fx; ring += start.fy
+        seen.put(k0, Integer.valueOf(0))
+        var cur = start
+        var open = true
+        var steps = 0
+        while (open) {
+          steps += 1
+          require(steps <= all.length + 1, "overlay: malformed result graph")
+          cur.used = true
+          val kv = vKey(cur.tx, cur.ty)
+          if (kv == k0) {
+            ring += cur.tx; ring += cur.ty // close on the start vertex
+            rings += ring
+            open = false
+          } else {
+            val prevIdx = seen.get(kv)
+            if (prevIdx != null) {
+              // loop back to an interior vertex: split the cycle off
+              val at = prevIdx.intValue() * 2
+              val sub = new ArrayBuffer[Double](ring.length - at + 2)
+              var j = at
+              while (j < ring.length) { sub += ring(j); j += 1 }
+              sub += cur.tx; sub += cur.ty
+              rings += sub
+              var jj = at + 2
+              while (jj < ring.length - 1) {
+                seen.remove(vKey(ring(jj), ring(jj + 1)))
+                jj += 2
+              }
+              ring.dropRightInPlace(ring.length - (at + 2))
+            } else {
+              seen.put(kv, Integer.valueOf(ring.length / 2))
+              ring += cur.tx; ring += cur.ty
+            }
+            val cands = out.get(kv)
+            require(cands != null, "overlay: dangling result edge")
+            val nxt = pickClockwise(-cur.dx, -cur.dy, cands)
+            require(nxt != null, "overlay: stuck result walk")
+            cur = nxt
+          }
+        }
+      }
+      i += 1
+    }
+    assembleRings(rings, srid)
+  }
+
+  // =====================================================================
+  // canonical geometry assembly
+  // =====================================================================
+
+  private def ringSignedArea2(pts: ArrayBuffer[Double], n: Int): Double = {
+    var a = 0.0
+    var i = 0
+    var jx = pts((n - 1) * 2); var jy = pts((n - 1) * 2 + 1)
+    while (i < n) {
+      val ix = pts(i * 2); val iy = pts(i * 2 + 1)
+      a += jx * iy - ix * jy
+      jx = ix; jy = iy
+      i += 1
+    }
+    a
+  }
+
+  /** Canonical CLOSED ring: rotated to the lexicographically smallest
+    * vertex, oriented CCW for shells / CW for holes, first point repeated
+    * at the end. Returns null for degenerate (<3 distinct points or zero
+    * area) rings. */
+  private def canonicalRing(ptsIn: ArrayBuffer[Double], ccw: Boolean): Array[Double] = {
+    // drop the duplicated closing point(s) from the walk
+    var n = ptsIn.length / 2
+    while (n > 1 && ptsIn(0) == ptsIn((n - 1) * 2) &&
+      ptsIn(1) == ptsIn((n - 1) * 2 + 1)) n -= 1
+    if (n < 3) return null
+    val area2 = ringSignedArea2(ptsIn, n)
+    if (area2 == 0.0) return null
+    val reverse = (area2 > 0.0) != ccw
+    var minI = 0
+    var i = 1
+    while (i < n) {
+      val x = ptsIn(i * 2); val y = ptsIn(i * 2 + 1)
+      val mx = ptsIn(minI * 2); val my = ptsIn(minI * 2 + 1)
+      if (x < mx || (x == mx && y < my)) minI = i
+      i += 1
+    }
+    val out = new Array[Double]((n + 1) * 2)
+    i = 0
+    while (i < n) {
+      val src = if (reverse) (minI - i + n) % n else (minI + i) % n
+      out(i * 2) = ptsIn(src * 2)
+      out(i * 2 + 1) = ptsIn(src * 2 + 1)
+      i += 1
+    }
+    out(n * 2) = out(0)
+    out(n * 2 + 1) = out(1)
+    out
+  }
+
+  /** Even-odd ray cast of (x,y) against one CLOSED ring in a flat array. */
+  private def ringContains(ring: Array[Double], x: Double, y: Double): Boolean = {
+    val n = ring.length / 2 - 1 // closed: last repeats first
+    var inside = false
+    var i = 0
+    var jx = ring((n - 1) * 2); var jy = ring((n - 1) * 2 + 1)
+    while (i < n) {
+      val ix = ring(i * 2); val iy = ring(i * 2 + 1)
+      if ((iy > y) != (jy > y) &&
+        x < (jx - ix) * (y - iy) / (jy - iy) + ix) inside = !inside
+      jx = ix; jy = iy
+      i += 1
+    }
+    inside
+  }
+
+  /** Assemble walked rings into canonical POLYGON/MULTIPOLYGON: ring
+    * orientation from the walk (interior-left ⇒ shells CCW, holes CW),
+    * hole parentage by smallest enclosing shell. */
+  private def assembleRings(walked: ArrayBuffer[ArrayBuffer[Double]],
+                            srid: Int): Geom = {
+    val shells = new ArrayBuffer[Array[Double]]()
+    val holes = new ArrayBuffer[Array[Double]]()
+    walked.foreach { pts =>
+      var n = pts.length / 2
+      while (n > 1 && pts(0) == pts((n - 1) * 2) && pts(1) == pts((n - 1) * 2 + 1)) n -= 1
+      if (n >= 3) {
+        val a2 = ringSignedArea2(pts, n)
+        if (a2 > 0.0) { val r = canonicalRing(pts, ccw = true); if (r != null) shells += r }
+        else if (a2 < 0.0) { val r = canonicalRing(pts, ccw = false); if (r != null) holes += r }
+      }
+    }
+    if (shells.isEmpty) return emptyPolygon(srid)
+
+    def shellArea2(r: Array[Double]): Double = {
+      var a = 0.0
+      var i = 0
+      val n = r.length / 2 - 1
+      var jx = r((n - 1) * 2); var jy = r((n - 1) * 2 + 1)
+      while (i < n) {
+        a += jx * r(i * 2 + 1) - r(i * 2) * jy
+        jx = r(i * 2); jy = r(i * 2 + 1)
+        i += 1
+      }
+      math.abs(a)
+    }
+    val shellAreas = shells.map(shellArea2)
+    val holesOf = Array.fill(shells.length)(new ArrayBuffer[Array[Double]]())
+    holes.foreach { h =>
+      // representative: the hole's first (lexicographically smallest) vertex
+      val hx = h(0); val hy = h(1)
+      var best = -1
+      var bestArea = Double.MaxValue
+      var siNdx = 0
+      while (siNdx < shells.length) {
+        if (shellAreas(siNdx) < bestArea && ringContains(shells(siNdx), hx, hy)) {
+          best = siNdx; bestArea = shellAreas(siNdx)
+        }
+        siNdx += 1
+      }
+      if (best >= 0) holesOf(best) += h
+      // a hole with no enclosing shell is degenerate output — drop it
+    }
+
+    final case class Poly(shell: Array[Double], hs: Array[Array[Double]])
+    val polys = shells.indices.map { si =>
+      Poly(shells(si), holesOf(si).toArray.sortWith { (a, b) =>
+        a(0) < b(0) || (a(0) == b(0) && a(1) < b(1))
+      })
+    }.sortWith { (p, q) =>
+      p.shell(0) < q.shell(0) || (p.shell(0) == q.shell(0) && p.shell(1) < q.shell(1))
+    }
+
+    if (polys.length == 1) {
+      val p = polys(0)
+      val rings = Array(p.shell) ++ p.hs
+      val coords = rings.flatten
+      val o0 = rings.scanLeft(0)((acc, r) => acc + r.length / 2)
+      Geom(GeomTypes.Polygon, Dims.XY, coords, o0, Geom.emptyInts, null, srid)
+    } else {
+      val coords = new ArrayBuffer[Double]()
+      val o0 = new ArrayBuffer[Int](); o0 += 0
+      val o1 = new ArrayBuffer[Int](); o1 += 0
+      polys.foreach { p =>
+        val rings = Array(p.shell) ++ p.hs
+        rings.foreach { r =>
+          coords ++= r
+          o1 += o1.last + r.length / 2
+        }
+        o0 += o0.last + rings.length
+      }
+      Geom(GeomTypes.MultiPolygon, Dims.XY, coords.toArray, o0.toArray,
+        o1.toArray, null, srid)
+    }
+  }
+
+  private def emptyPolygon(srid: Int): Geom =
+    Geom(GeomTypes.Polygon, Dims.XY, Geom.emptyDoubles, Array(0),
+      Geom.emptyInts, null, srid)
+
+  /** Normalize a polygon/multipolygon VALUE through the same canonical
+    * form the overlay emits (used for the empty-operand shortcuts so
+    * `union(A, EMPTY)` equals `union(A, B_disjoint)`'s representation of
+    * A). Rings are canonicalized directly, no sweep. */
+  def normalizeCopy(g: Geom): Geom = {
+    val walked = new ArrayBuffer[ArrayBuffer[Double]]()
+    def addRing(from: Int, until: Int, hole: Boolean): Unit = {
+      val pts = new ArrayBuffer[Double]((until - from) * 2)
+      var i = from
+      while (i < until) {
+        pts += g.coords(i * g.stride); pts += g.coords(i * g.stride + 1)
+        i += 1
+      }
+      // orient like the walk output: shells CCW, holes CW
+      var n = pts.length / 2
+      while (n > 1 && pts(0) == pts((n - 1) * 2) && pts(1) == pts((n - 1) * 2 + 1)) n -= 1
+      if (n >= 3) {
+        val a2 = ringSignedArea2(pts, n)
+        if (a2 != 0.0) {
+          val needCcw = !hole
+          if ((a2 > 0.0) != needCcw) {
+            // reverse in place (keep first vertex first)
+            val rev = new ArrayBuffer[Double](n * 2)
+            var k = 0
+            while (k < n) {
+              val src = (n - k) % n
+              rev += pts(src * 2); rev += pts(src * 2 + 1)
+              k += 1
+            }
+            walked += rev
+          } else walked += pts.take(n * 2)
+        }
+      }
+    }
+    g.geomType match {
+      case GeomTypes.Polygon =>
+        var r = 0
+        while (r < g.o0.length - 1) { addRing(g.o0(r), g.o0(r + 1), r > 0); r += 1 }
+      case GeomTypes.MultiPolygon =>
+        var p = 0
+        while (p < g.o0.length - 1) {
+          var r = g.o0(p)
+          while (r < g.o0(p + 1)) { addRing(g.o1(r), g.o1(r + 1), r > g.o0(p)); r += 1 }
+          p += 1
+        }
+      case _ => throw new IllegalArgumentException(
+        s"overlay operand must be POLYGON/MULTIPOLYGON, got ${GeomTypes.name(g.geomType)}")
+    }
+    assembleRings(walked, g.srid)
+  }
+
+  // =====================================================================
+  // line × polygon clip (split at crossings, classify midpoints)
+  // =====================================================================
+
+  /** Clip a LINESTRING/MULTILINESTRING by a polygon: split every segment
+    * at its crossings with the polygon boundary, keep the pieces whose
+    * midpoints are inside (intersection) or outside (difference).
+    * Boundary-riding pieces count as inside (closed-polygon semantics,
+    * PostGIS-compatible). */
+  private def lineClip(line: Geom, poly: Geom, keepInside: Boolean): Geom = {
+    if (line.isEmpty || poly.isEmpty)
+      return if (keepInside)
+        Geom(GeomTypes.LineString, Dims.XY, Geom.emptyDoubles, Geom.emptyInts, Geom.emptyInts, null, line.srid)
+      else line
+    val s = line.stride
+    val parts = new ArrayBuffer[ArrayBuffer[Double]]() // open polylines
+    var current: ArrayBuffer[Double] = null
+
+    def polyEdges: Iterator[(Double, Double, Double, Double)] = poly.geomType match {
+      case GeomTypes.Polygon =>
+        (0 until poly.o0.length - 1).iterator.flatMap { r =>
+          (poly.o0(r) until poly.o0(r + 1) - 1).iterator.map { i =>
+            (poly.coords(i * poly.stride), poly.coords(i * poly.stride + 1),
+              poly.coords((i + 1) * poly.stride), poly.coords((i + 1) * poly.stride + 1))
+          }
+        }
+      case GeomTypes.MultiPolygon =>
+        (0 until poly.o1.length - 1).iterator.flatMap { r =>
+          (poly.o1(r) until poly.o1(r + 1) - 1).iterator.map { i =>
+            (poly.coords(i * poly.stride), poly.coords(i * poly.stride + 1),
+              poly.coords((i + 1) * poly.stride), poly.coords((i + 1) * poly.stride + 1))
+          }
+        }
+      case _ => Iterator.empty
+    }
+
+    def onBoundary(x: Double, y: Double): Boolean =
+      polyEdges.exists { case (ax, ay, bx, by) =>
+        signedArea(ax, ay, bx, by, x, y) == 0.0 &&
+          x >= math.min(ax, bx) && x <= math.max(ax, bx) &&
+          y >= math.min(ay, by) && y <= math.max(ay, by)
+      }
+
+    def keep(mx: Double, my: Double): Boolean = {
+      val in = Pip.containsPoint(poly, mx, my) || onBoundary(mx, my)
+      if (keepInside) in else !in
+    }
+
+    def clipSegment(x0: Double, y0: Double, x1: Double, y1: Double): Unit = {
+      val ts = ArrayBuffer(0.0, 1.0)
+      polyEdges.foreach { case (ax, ay, bx, by) =>
+        val r = segmentIntersection(x0, y0, x1, y1, ax, ay, bx, by)
+        if (r != null) {
+          def tOf(px: Double, py: Double): Double = {
+            val dx = x1 - x0; val dy = y1 - y0
+            if (math.abs(dx) >= math.abs(dy)) (px - x0) / dx else (py - y0) / dy
+          }
+          if (r.length == 2) ts += tOf(r(0), r(1))
+          else { ts += tOf(r(0), r(1)); ts += tOf(r(2), r(3)) }
+        }
+      }
+      val sortedTs = ts.filter(t => t >= 0.0 && t <= 1.0).distinct.sorted
+      var i = 0
+      while (i < sortedTs.length - 1) {
+        val ta = sortedTs(i); val tb = sortedTs(i + 1)
+        val tm = (ta + tb) * 0.5
+        val mx = x0 + (x1 - x0) * tm
+        val my = y0 + (y1 - y0) * tm
+        def at(t: Double): (Double, Double) =
+          (if (t == 0.0) x0 else if (t == 1.0) x1 else x0 + (x1 - x0) * t,
+            if (t == 0.0) y0 else if (t == 1.0) y1 else y0 + (y1 - y0) * t)
+        if (keep(mx, my)) {
+          val (ax, ay) = at(ta); val (bx, by) = at(tb)
+          if (current == null) {
+            current = ArrayBuffer(ax, ay, bx, by)
+          } else if (current(current.length - 2) == ax && current.last == ay) {
+            current += bx; current += by
+          } else {
+            parts += current
+            current = ArrayBuffer(ax, ay, bx, by)
+          }
+        } else if (current != null) {
+          parts += current; current = null
+        }
+        i += 1
+      }
+    }
+
+    def walkPath(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until - 1) {
+        clipSegment(line.coords(i * s), line.coords(i * s + 1),
+          line.coords((i + 1) * s), line.coords((i + 1) * s + 1))
+        i += 1
+      }
+      if (current != null) { parts += current; current = null }
+    }
+
+    line.geomType match {
+      case GeomTypes.LineString => walkPath(0, line.numCoords)
+      case GeomTypes.MultiLineString =>
+        var r = 0
+        while (r < line.o0.length - 1) { walkPath(line.o0(r), line.o0(r + 1)); r += 1 }
+      case _ => ()
+    }
+
+    val nonEmpty = parts.filter(_.length >= 4)
+    if (nonEmpty.isEmpty)
+      Geom(GeomTypes.LineString, Dims.XY, Geom.emptyDoubles, Geom.emptyInts, Geom.emptyInts, null, line.srid)
+    else if (nonEmpty.length == 1)
+      Geom(GeomTypes.LineString, Dims.XY, nonEmpty(0).toArray, Geom.emptyInts, Geom.emptyInts, null, line.srid)
+    else {
+      val coords = new ArrayBuffer[Double]()
+      val o0 = new ArrayBuffer[Int](); o0 += 0
+      nonEmpty.foreach { p => coords ++= p; o0 += o0.last + p.length / 2 }
+      Geom(GeomTypes.MultiLineString, Dims.XY, coords.toArray, o0.toArray,
+        Geom.emptyInts, null, line.srid)
+    }
+  }
+
+  /** Point/multipoint × polygon clip (closed-polygon semantics: boundary
+    * points are inside). */
+  private def pointClip(pts: Geom, poly: Geom, keepInside: Boolean): Geom = {
+    val s = pts.stride
+    val kept = new ArrayBuffer[Double]()
+    def onBoundaryP(x: Double, y: Double): Boolean = {
+      def edges(from: Int, until: Int): Boolean = {
+        var i = from
+        var found = false
+        while (i < until - 1 && !found) {
+          val ax = poly.coords(i * poly.stride); val ay = poly.coords(i * poly.stride + 1)
+          val bx = poly.coords((i + 1) * poly.stride); val by = poly.coords((i + 1) * poly.stride + 1)
+          found = signedArea(ax, ay, bx, by, x, y) == 0.0 &&
+            x >= math.min(ax, bx) && x <= math.max(ax, bx) &&
+            y >= math.min(ay, by) && y <= math.max(ay, by)
+          i += 1
+        }
+        found
+      }
+      poly.geomType match {
+        case GeomTypes.Polygon =>
+          (0 until poly.o0.length - 1).exists(r => edges(poly.o0(r), poly.o0(r + 1)))
+        case GeomTypes.MultiPolygon =>
+          (0 until poly.o1.length - 1).exists(r => edges(poly.o1(r), poly.o1(r + 1)))
+        case _ => false
+      }
+    }
+    var i = 0
+    val n = pts.numCoords
+    while (i < n) {
+      val x = pts.coords(i * s); val y = pts.coords(i * s + 1)
+      val in = Pip.containsPoint(poly, x, y) || onBoundaryP(x, y)
+      if (in == keepInside) { kept += x; kept += y }
+      i += 1
+    }
+    if (kept.isEmpty)
+      Geom(GeomTypes.Point, Dims.XY, Geom.emptyDoubles, Geom.emptyInts, Geom.emptyInts, null, pts.srid)
+    else if (kept.length == 2)
+      Geom(GeomTypes.Point, Dims.XY, kept.toArray, Geom.emptyInts, Geom.emptyInts, null, pts.srid)
+    else
+      Geom(GeomTypes.MultiPoint, Dims.XY, kept.toArray, Geom.emptyInts, Geom.emptyInts, null, pts.srid)
+  }
+}

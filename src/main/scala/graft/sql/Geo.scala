@@ -255,6 +255,11 @@ object Geo {
     "st_centroid" -> (a => geo(G, "centroid", a, Seq(G))),
     "st_distance" -> (a => geo(DoubleType, "distance", a, Seq(G, G))),
     "st_intersects" -> (a => geo(BooleanType, "intersects", a, Seq(G, G))),
+    // boolean overlay (Martínez–Rueda sweep, canonical output; q129/q130)
+    "st_intersection" -> (a => geo(G, "intersectionGeom", a, Seq(G, G))),
+    "st_union" -> (a => geo(G, "unionGeom", a, Seq(G, G))),
+    "st_difference" -> (a => geo(G, "differenceGeom", a, Seq(G, G))),
+    "st_symdifference" -> (a => geo(G, "symDifferenceGeom", a, Seq(G, G))),
     "st_convexhull" -> (a => geo(G, "convexHull", a, Seq(G))),
     "st_simplify" -> (a => geo(G, "simplifyGeom", a, Seq(G, DoubleType))),
     "st_npoints" -> (a => geo(IntegerType, "nPoints", a, Seq(G))),

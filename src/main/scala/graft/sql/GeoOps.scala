@@ -736,6 +736,26 @@ object GeoOps {
   def intersects(a: InternalRow, b: InternalRow): Boolean =
     Measure.intersects(GeoStruct.decode(a), GeoStruct.decode(b))
 
+  // --- boolean overlay (see `core/Overlay` — Martínez–Rueda sweep with
+  // interior-on-left face reconnection; canonical output, q129/q130) ---
+
+  /** PostGIS ST_Intersection: polygon×polygon boolean core; line×polygon
+    * and point×polygon clip. */
+  def intersectionGeom(a: InternalRow, b: InternalRow): InternalRow =
+    GeoStruct.encode(Overlay.intersection(GeoStruct.decode(a), GeoStruct.decode(b)))
+
+  /** PostGIS ST_Union (two-argument form), polygon operands. */
+  def unionGeom(a: InternalRow, b: InternalRow): InternalRow =
+    GeoStruct.encode(Overlay.union(GeoStruct.decode(a), GeoStruct.decode(b)))
+
+  /** PostGIS ST_Difference: polygon−polygon; line/point anti-clip. */
+  def differenceGeom(a: InternalRow, b: InternalRow): InternalRow =
+    GeoStruct.encode(Overlay.difference(GeoStruct.decode(a), GeoStruct.decode(b)))
+
+  /** PostGIS ST_SymDifference, polygon operands. */
+  def symDifferenceGeom(a: InternalRow, b: InternalRow): InternalRow =
+    GeoStruct.encode(Overlay.symDifference(GeoStruct.decode(a), GeoStruct.decode(b)))
+
   /** Convex hull (monotone chain; PostGIS degenerate-case semantics). */
   def convexHull(g: InternalRow): InternalRow =
     GeoStruct.encode(Hull.convexHull(GeoStruct.decode(g)))

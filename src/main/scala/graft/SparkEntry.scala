@@ -1597,6 +1597,26 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q131_union_agg" -> { (s, d) =>
+      prep(s, d)
+      // deterministic dissolve (st_union_agg): per-group unit boxes
+      // [i, i+1] × [0, 1] with planted gaps ((i + k) % 5 == 0 dropped);
+      // the canonical cascaded union welds each run of adjacent boxes
+      // into one ring (shared vertical edges vanish, collinear shared
+      // corners survive as ring vertices) and gaps split islands. The
+      // oracle re-derives the FULL canonical WKT per group in closed
+      // form (gaps-and-islands + string construction) plus exact area,
+      // vertex and part counts.
+      s.sql("""WITH f AS (SELECT CAST(o_custkey % 40 AS INT) AS k,
+        |    CAST((o_orderkey % 96) DIV 8 AS INT) AS i FROM orders),
+        |d AS (SELECT DISTINCT k, i FROM f WHERE (i + k) % 5 <> 0),
+        |b AS (SELECT k, st_boxtopolygon(CAST(i AS DOUBLE), CAST(0 AS DOUBLE),
+        |    CAST(i + 1 AS DOUBLE), CAST(1 AS DOUBLE)) AS g FROM d),
+        |u AS (SELECT k, st_union_agg(g) AS ug FROM b GROUP BY k)
+        |SELECT k, st_area(ug) AS area, st_npoints(ug) AS np,
+        |  st_numgeometries(ug) AS ng, st_aswkt(ug) AS wkt
+        |FROM u ORDER BY k""".stripMargin)
+    },
     "q130_overlay_holes" -> { (s, d) =>
       prep(s, d)
       // boolean overlay, containment family: B strictly inside A (A
@@ -3577,6 +3597,36 @@ object SparkEntry {
     // 53 mantissa bits)
     // overlay, containment family: difference = A shell (CCW from its min
     // corner) + B as a CW hole (from B's min corner) — 10 vertices in
+    // dissolve: gaps-and-islands over the distinct (k, i) cells, each
+    // island [lo, hi+1]×[0,1] rebuilt as canonical ring text (bottom
+    // left→right keeps every shared box corner, right edge up, top
+    // right→left, close at the min corner); one island → POLYGON, more →
+    // MULTIPOLYGON sorted by island start; area = cell count (exact),
+    // npoints = Σ(2w+3), parts = island count
+    "q131_union_agg" ->
+      """WITH f AS (SELECT CAST(o_custkey % 40 AS INT) AS k,
+        |    CAST((o_orderkey % 96) // 8 AS INT) AS i FROM orders),
+        |d AS (SELECT DISTINCT k, i FROM f WHERE (i + k) % 5 <> 0),
+        |isl AS (SELECT k, i,
+        |    i - CAST(row_number() OVER (PARTITION BY k ORDER BY i) AS INT) AS grp
+        |  FROM d),
+        |runs AS (SELECT k, grp, MIN(i) AS lo, MAX(i) AS hi,
+        |    CAST(COUNT(*) AS INT) AS w FROM isl GROUP BY k, grp),
+        |rings AS (SELECT k, lo, w,
+        |    '((' || array_to_string(
+        |      list_transform(generate_series(lo, hi + 1), x -> x::VARCHAR || ' 0')
+        |      || list_transform(generate_series(hi + 1, lo, -1), x -> x::VARCHAR || ' 1')
+        |      || [lo::VARCHAR || ' 0'], ', ') || '))' AS ring
+        |  FROM runs),
+        |agg AS (SELECT k, CAST(SUM(w) AS DOUBLE) AS area,
+        |    CAST(SUM(2 * w + 3) AS INT) AS np,
+        |    CAST(COUNT(*) AS INT) AS ng,
+        |    string_agg(ring, ', ' ORDER BY lo) AS body
+        |  FROM rings GROUP BY k)
+        |SELECT k, area, np, ng,
+        |  CASE WHEN ng = 1 THEN 'POLYGON ' || body
+        |       ELSE 'MULTIPOLYGON (' || body || ')' END AS wkt
+        |FROM agg ORDER BY k""".stripMargin,
     // canonical dump order; areas exact integer arithmetic; union is A
     // (5 points), intersection is B (5 points)
     "q130_overlay_holes" ->

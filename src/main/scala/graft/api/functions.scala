@@ -114,6 +114,9 @@ object functions {
   def st_difference(a: Column, b: Column): Column = f("st_difference")(a, b)
   def st_symdifference(a: Column, b: Column): Column = f("st_symdifference")(a, b)
   def st_collect_agg(g: Column): Column = f("st_collect_agg")(g)
+  def st_union_agg(g: Column): Column = f("st_union_agg")(g)
+  def st_hexcellofgeom(g: Column, size: Column): Column =
+    f("st_hexcellofgeom")(g, size)
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
                 xoff: Column, yoff: Column): Column =
     f("st_affine")(g, a, b, d, e, xoff, yoff)

@@ -183,6 +183,9 @@ object Geo {
     "st_hexcell" -> (a => geo(LongType, "hexCell", a,
       Seq(DoubleType, DoubleType, DoubleType))),
     "st_hexcenter" -> (a => geo(G, "hexCenter", a, Seq(LongType, DoubleType))),
+    // hex bucket of a geometry's first vertex — the dissolve partial key
+    "st_hexcellofgeom" -> (a => geo(LongType, "hexCellOfGeom", a,
+      Seq(G, DoubleType))),
     // POINT buffer (regular k-gon disc; line/polygon offsetting rejected)
     "st_buffer" -> { a =>
       val full = a match {
@@ -202,6 +205,12 @@ object Geo {
     // deterministic ST_Collect aggregate: collect_list + canonical-order
     // finisher (partition/retry-invariant, unlike PostGIS's scan order)
     "st_collect_agg" -> (a => geo(G, "collectGeoms",
+      Seq(aggregate.CollectList(a.head).toAggregateExpression()),
+      Seq(ArrayType(G, containsNull = false)))),
+    // deterministic ST_Union aggregate (dissolve): collect + canonical
+    // cascaded union — the fold order/tree is a pure function of the
+    // group VALUE, so the result is partition/retry-invariant (q131)
+    "st_union_agg" -> (a => geo(G, "unionGeoms",
       Seq(aggregate.CollectList(a.head).toAggregateExpression()),
       Seq(ArrayType(G, containsNull = false)))),
     // planar affine transform + its axis-aligned specializations —

@@ -594,13 +594,7 @@ object GeoOps {
       parts.map(p => GeoStruct.encode(p): Any))
   }
 
-  /** Deterministic ST_Collect finisher over a collected geometry array:
-    * parts are sorted by (first vertex x, first vertex y, WKB bytes — the
-    * total-order tiebreak; empties last), so the result is CANONICAL —
-    * invariant to partitioning, task order and retries, unlike PostGIS's
-    * scan-order ST_Collect. Uniform single-type parts build the flat
-    * MULTI; mixed types nest as GEOMETRYCOLLECTION; nulls are skipped. */
-  def collectGeoms(arr: ArrayData): InternalRow = {
+  private def decodeGeomArray(arr: ArrayData): scala.collection.mutable.ArrayBuffer[Geom] = {
     val n = arr.numElements()
     val buf = scala.collection.mutable.ArrayBuffer.empty[Geom]
     var i = 0
@@ -609,11 +603,21 @@ object GeoOps {
         buf += GeoStruct.decode(arr.getStruct(i, 7))
       i += 1
     }
-    // IEEE-total-order comparisons (java.lang.Double.compare): NaN sorts
-    // above +Inf consistently, so the comparator keeps a strict weak
-    // ordering even for NaN ordinates (a `!=`/`<` comparator would break
-    // the sort contract and make the "canonical" order input-dependent)
-    val sorted = buf.sortWith { (p, q) =>
+    buf
+  }
+
+  /** Canonical total order over geometries — (first vertex x, first
+    * vertex y, WKB bytes as the total-order tiebreak; empties last) —
+    * shared by the deterministic aggregates (st_collect_agg,
+    * st_union_agg) so their results are pure functions of the group
+    * VALUE, invariant to partitioning, task order and retries.
+    * IEEE-total-order comparisons (java.lang.Double.compare): NaN sorts
+    * above +Inf consistently, so the comparator keeps a strict weak
+    * ordering even for NaN ordinates (a `!=`/`<` comparator would break
+    * the sort contract and make the "canonical" order input-dependent). */
+  private def canonicalGeomSort(
+      buf: scala.collection.mutable.ArrayBuffer[Geom]): scala.collection.mutable.ArrayBuffer[Geom] =
+    buf.sortWith { (p, q) =>
       val px = if (p.isEmpty) Double.PositiveInfinity else p.coords(0)
       val qx = if (q.isEmpty) Double.PositiveInfinity else q.coords(0)
       val cx = java.lang.Double.compare(px, qx)
@@ -627,7 +631,61 @@ object GeoOps {
           graft.core.Wkb.write(p), graft.core.Wkb.write(q)) < 0
       }
     }
-    GeoStruct.encode(Geom.collect(sorted.toSeq))
+
+  /** Deterministic ST_Collect finisher over a collected geometry array:
+    * parts are sorted into the canonical order, so the result is
+    * CANONICAL — invariant to partitioning, task order and retries,
+    * unlike PostGIS's scan-order ST_Collect. Uniform single-type parts
+    * build the flat MULTI; mixed types nest as GEOMETRYCOLLECTION;
+    * nulls are skipped. */
+  def collectGeoms(arr: ArrayData): InternalRow =
+    GeoStruct.encode(Geom.collect(canonicalGeomSort(decodeGeomArray(arr)).toSeq))
+
+  /** Deterministic ST_Union aggregate finisher (dissolve): operands sort
+    * into the canonical order, then merge as a BALANCED binary tree of
+    * pairwise [[graft.core.Overlay.union]] calls — cascaded union, so a
+    * k-geometry group costs O(k) small merges up a log-depth tree rather
+    * than a left fold's k progressively-larger sweeps. The tree shape is
+    * a pure function of the sorted operand list, so the result VALUE is
+    * invariant to partitioning, task order and retries (the q131 oracle
+    * re-derives it in closed form). EMPTY operands drop out (union
+    * identity); an all-empty or all-null group yields POLYGON EMPTY.
+    * Operands must be polygonal — the overlay core's domain. */
+  def unionGeoms(arr: ArrayData): InternalRow = {
+    val all = decodeGeomArray(arr)
+    val nonEmpty = all.filter(!_.isEmpty)
+    if (nonEmpty.isEmpty) {
+      val srid = if (all.isEmpty) 0 else all(0).srid
+      return GeoStruct.encode(Geom(GeomTypes.Polygon, Dims.XY,
+        Geom.emptyDoubles, Array(0), Geom.emptyInts, null, srid))
+    }
+    var layer: Seq[Geom] = canonicalGeomSort(nonEmpty).toSeq
+    if (layer.length == 1)
+      return GeoStruct.encode(Overlay.normalizeCopy(layer.head))
+    while (layer.length > 1)
+      layer = layer.grouped(2).map {
+        case scala.collection.Seq(a, b) => Overlay.union(a, b)
+        case scala.collection.Seq(a) => a
+      }.toSeq
+    GeoStruct.encode(layer.head)
+  }
+
+  /** Hex bucket of a geometry's FIRST stored vertex — the
+    * value-deterministic (schedule-independent) spatial bucket the
+    * two-level dissolve groups its partial unions on
+    * ([[graft.operators.Dissolve]]). Nearby geometries share buckets, so
+    * within-bucket partials weld into compact polygons before the
+    * second-level shuffle. EMPTY geometries bucket together at
+    * Long.MinValue (distinct from every packed (q, r): valid cells have
+    * int32 q, and q = Int.MinValue with r = 0 packs to 0x8000000000000000L
+    * only for that one cell — size bounds in practice keep |q| far
+    * smaller, and even a collision only co-groups, never corrupts). */
+  def hexCellOfGeom(g: InternalRow, size: Double): Long = {
+    var geom = GeoStruct.decode(g)
+    while (geom.geomType == GeomTypes.Collection &&
+      geom.parts != null && geom.parts.nonEmpty) geom = geom.parts(0)
+    if (geom.isEmpty || geom.numCoords == 0) Long.MinValue
+    else Hex.cell(geom.coords(0), geom.coords(1), size)
   }
 
   /** Planar affine transform (fixed left-associated double evaluation —

@@ -226,9 +226,16 @@ object Clip {
       val xa = g.coords(i * s); val ya = g.coords(i * s + 1)
       val xb = g.coords((i + 1) * s); val yb = g.coords((i + 1) * s + 1)
       val dx = xb - xa; val dy = yb - ya
-      var reject = false
+      // degenerate input segment (duplicate consecutive vertices):
+      // contributes no length — skip WITHOUT breaking the stitch (the
+      // neighbors share the vertex, so their pieces still weld); a
+      // standalone zero-length line therefore clips to EMPTY, matching
+      // the zero-length-graze drop rule
+      var reject = dx == 0.0 && dy == 0.0
+      var degenerate = reject
       var t0 = 0.0; var t1 = 1.0
-      if (dx == 0.0) { if (xa < xmin || xa > xmax) reject = true }
+      if (reject) {}
+      else if (dx == 0.0) { if (xa < xmin || xa > xmax) reject = true }
       else {
         val te = if (dx > 0) (xmin - xa) / dx else (xmax - xa) / dx
         val tx = if (dx > 0) (xmax - xa) / dx else (xmin - xa) / dx
@@ -254,7 +261,7 @@ object Clip {
           cur = new ArrayBuffer[Double]()
           cur ++= head; cur ++= tail
         }
-      } else {
+      } else if (!degenerate) {
         if (cur != null) { pieces += cur.toArray; cur = null }
       }
       i += 1

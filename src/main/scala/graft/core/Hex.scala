@@ -15,6 +15,9 @@ object Hex {
 
   def cell(x: Double, y: Double, size: Double): Long = {
     require(size > 0.0 && !size.isNaN, s"hex size must be > 0: $size")
+    // NaN would flow through floor/toLong to cell (0,0) silently —
+    // fail loudly like Geohash.encode does
+    require(!x.isNaN && !y.isNaN, "hex cell of NaN ordinate")
     val qf = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
     val rf = (2.0 / 3.0 * y) / size
     val yf = -qf - rf

@@ -509,12 +509,14 @@ object Overlay {
     def dy: Double = ty - fy
   }
 
-  private def vKey(x: Double, y: Double): Long = {
-    // -0.0 normalizes to +0.0 so coincident vertices share a key
-    val xb = java.lang.Double.doubleToLongBits(x + 0.0)
-    val yb = java.lang.Double.doubleToLongBits(y + 0.0)
-    xb * 0x9e3779b97f4a7c15L ^ (yb + 0x632be59bd9b4e019L + (xb << 6))
-  }
+  /** Vertex identity for the face walk: the EXACT ordinate bit pair
+    * (-0.0 normalized to +0.0 so coincident vertices share a key) — a
+    * hashed long here would make two distinct vertices collide with
+    * birthday probability and silently weld unrelated faces; the tuple
+    * key makes equality exact and leaves hashing to the map. */
+  private def vKey(x: Double, y: Double): (Long, Long) =
+    (java.lang.Double.doubleToLongBits(x + 0.0),
+      java.lang.Double.doubleToLongBits(y + 0.0))
 
   /** Among outgoing directions, pick the FIRST one rotating CLOCKWISE from
     * the reversed incoming direction (rx,ry) — the edge bounding the same
@@ -557,7 +559,7 @@ object Overlay {
 
   private def buildFromEdges(lefts: ArrayBuffer[Ev], op: Int, srid: Int): Geom = {
     // collect directed result edges, grouped by origin vertex
-    val out = new java.util.HashMap[Long, ArrayBuffer[DEdge]]()
+    val out = new java.util.HashMap[(Long, Long), ArrayBuffer[DEdge]]()
     val all = new ArrayBuffer[DEdge]()
     def add(fx: Double, fy: Double, tx: Double, ty: Double): Unit = {
       val e = new DEdge(fx, fy, tx, ty)
@@ -590,7 +592,7 @@ object Overlay {
       val start = all(i)
       if (!start.used) {
         val ring = new ArrayBuffer[Double]()
-        val seen = new java.util.HashMap[Long, Integer]()
+        val seen = new java.util.HashMap[(Long, Long), Integer]()
         val k0 = vKey(start.fx, start.fy)
         ring += start.fx; ring += start.fy
         seen.put(k0, Integer.valueOf(0))
@@ -795,6 +797,11 @@ object Overlay {
     * `union(A, EMPTY)` equals `union(A, B_disjoint)`'s representation of
     * A). Rings are canonicalized directly, no sweep. */
   def normalizeCopy(g: Geom): Geom = {
+    // same domain guard as dispatch — callers that shortcut straight
+    // here (empty-operand paths, unionGeoms' singleton case) must not
+    // silently drop Z/M where the two-operand path would throw
+    require(g.dims == Dims.XY,
+      "overlay supports XY geometries only (Z/M overlay interpolation is undefined)")
     val walked = new ArrayBuffer[ArrayBuffer[Double]]()
     def addRing(from: Int, until: Int, hole: Boolean): Unit = {
       val pts = new ArrayBuffer[Double]((until - from) * 2)
@@ -859,30 +866,44 @@ object Overlay {
     val parts = new ArrayBuffer[ArrayBuffer[Double]]() // open polylines
     var current: ArrayBuffer[Double] = null
 
-    def polyEdges: Iterator[(Double, Double, Double, Double)] = poly.geomType match {
-      case GeomTypes.Polygon =>
-        (0 until poly.o0.length - 1).iterator.flatMap { r =>
-          (poly.o0(r) until poly.o0(r + 1) - 1).iterator.map { i =>
-            (poly.coords(i * poly.stride), poly.coords(i * poly.stride + 1),
-              poly.coords((i + 1) * poly.stride), poly.coords((i + 1) * poly.stride + 1))
-          }
+    // materialize the boundary once into flat arrays (no per-probe
+    // iterator/tuple churn) with per-edge bboxes for cheap rejection —
+    // the clip is otherwise O(segments × edges) in allocations
+    val (eax, eay, ebx, eby) = {
+      val ax = new ArrayBuffer[Double](); val ay = new ArrayBuffer[Double]()
+      val bx = new ArrayBuffer[Double](); val by = new ArrayBuffer[Double]()
+      def addRun(from: Int, until: Int): Unit = {
+        var i = from
+        while (i < until - 1) {
+          ax += poly.coords(i * poly.stride); ay += poly.coords(i * poly.stride + 1)
+          bx += poly.coords((i + 1) * poly.stride); by += poly.coords((i + 1) * poly.stride + 1)
+          i += 1
         }
-      case GeomTypes.MultiPolygon =>
-        (0 until poly.o1.length - 1).iterator.flatMap { r =>
-          (poly.o1(r) until poly.o1(r + 1) - 1).iterator.map { i =>
-            (poly.coords(i * poly.stride), poly.coords(i * poly.stride + 1),
-              poly.coords((i + 1) * poly.stride), poly.coords((i + 1) * poly.stride + 1))
-          }
-        }
-      case _ => Iterator.empty
-    }
-
-    def onBoundary(x: Double, y: Double): Boolean =
-      polyEdges.exists { case (ax, ay, bx, by) =>
-        signedArea(ax, ay, bx, by, x, y) == 0.0 &&
-          x >= math.min(ax, bx) && x <= math.max(ax, bx) &&
-          y >= math.min(ay, by) && y <= math.max(ay, by)
       }
+      poly.geomType match {
+        case GeomTypes.Polygon =>
+          var r = 0
+          while (r < poly.o0.length - 1) { addRun(poly.o0(r), poly.o0(r + 1)); r += 1 }
+        case GeomTypes.MultiPolygon =>
+          var r = 0
+          while (r < poly.o1.length - 1) { addRun(poly.o1(r), poly.o1(r + 1)); r += 1 }
+        case _ => ()
+      }
+      (ax.toArray, ay.toArray, bx.toArray, by.toArray)
+    }
+    val nEdges = eax.length
+
+    def onBoundary(x: Double, y: Double): Boolean = {
+      var e = 0
+      while (e < nEdges) {
+        val ax = eax(e); val ay = eay(e); val bx = ebx(e); val by = eby(e)
+        if (x >= math.min(ax, bx) && x <= math.max(ax, bx) &&
+          y >= math.min(ay, by) && y <= math.max(ay, by) &&
+          signedArea(ax, ay, bx, by, x, y) == 0.0) return true
+        e += 1
+      }
+      false
+    }
 
     def keep(mx: Double, my: Double): Boolean = {
       val in = Pip.containsPoint(poly, mx, my) || onBoundary(mx, my)
@@ -891,16 +912,25 @@ object Overlay {
 
     def clipSegment(x0: Double, y0: Double, x1: Double, y1: Double): Unit = {
       val ts = ArrayBuffer(0.0, 1.0)
-      polyEdges.foreach { case (ax, ay, bx, by) =>
-        val r = segmentIntersection(x0, y0, x1, y1, ax, ay, bx, by)
-        if (r != null) {
-          def tOf(px: Double, py: Double): Double = {
-            val dx = x1 - x0; val dy = y1 - y0
-            if (math.abs(dx) >= math.abs(dy)) (px - x0) / dx else (py - y0) / dy
+      val sxmin = math.min(x0, x1); val sxmax = math.max(x0, x1)
+      val symin = math.min(y0, y1); val symax = math.max(y0, y1)
+      var e = 0
+      while (e < nEdges) {
+        val ax = eax(e); val ay = eay(e); val bx = ebx(e); val by = eby(e)
+        // bbox reject before the exact intersection
+        if (math.min(ax, bx) <= sxmax && math.max(ax, bx) >= sxmin &&
+          math.min(ay, by) <= symax && math.max(ay, by) >= symin) {
+          val r = segmentIntersection(x0, y0, x1, y1, ax, ay, bx, by)
+          if (r != null) {
+            def tOf(px: Double, py: Double): Double = {
+              val dx = x1 - x0; val dy = y1 - y0
+              if (math.abs(dx) >= math.abs(dy)) (px - x0) / dx else (py - y0) / dy
+            }
+            if (r.length == 2) ts += tOf(r(0), r(1))
+            else { ts += tOf(r(0), r(1)); ts += tOf(r(2), r(3)) }
           }
-          if (r.length == 2) ts += tOf(r(0), r(1))
-          else { ts += tOf(r(0), r(1)); ts += tOf(r(2), r(3)) }
         }
+        e += 1
       }
       val sortedTs = ts.filter(t => t >= 0.0 && t <= 1.0).distinct.sorted
       var i = 0

@@ -86,6 +86,24 @@ class DissolveSpec extends AnyFunSuite {
       .columns.toSeq == Seq("k", "g"))
   }
 
+  test("Z operands are rejected at every group size (no silent Z drop)") {
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    // singleton group used to shortcut past the dims guard and silently
+    // drop Z where a 2-element group threw
+    for (vals <- Seq(
+      "(st_geomfromwkt('POLYGON Z ((0 0 1, 1 0 1, 1 1 1, 0 1 1, 0 0 1))'))",
+      """(st_geomfromwkt('POLYGON Z ((0 0 1, 1 0 1, 1 1 1, 0 1 1, 0 0 1))')),
+        |(st_geomfromwkt('POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))'))""".stripMargin)) {
+      val t = intercept[Throwable](
+        spark.sql(s"SELECT st_aswkt(st_union_agg(g)) FROM VALUES $vals AS t(g)")
+          .collect())
+      assert(causes(t).exists(c =>
+        c.getMessage != null && c.getMessage.contains("XY geometries only")),
+        s"expected the XY-only guard, got $t")
+    }
+  }
+
   test("single-geometry groups come out canonical (CW shell input flips CCW)") {
     val got = spark.sql(
       """SELECT st_aswkt(st_union_agg(

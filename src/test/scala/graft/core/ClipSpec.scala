@@ -80,6 +80,12 @@ class ClipSpec extends AnyFunSuite {
     assert(Clip.clipByBox(g("LINESTRING (20 20, 30 30)"), 0, 0, 10, 10).isEmpty)
     // corner graze (zero-length piece) drops
     assert(Clip.clipByBox(g("LINESTRING (-5 5, 5 -5)"), 0, 0, 10, 10).isEmpty)
+    // duplicate consecutive vertices: the zero-length segment is skipped
+    // WITHOUT splitting the stitched piece or duplicating the vertex
+    assert(w(Clip.clipByBox(g("LINESTRING (5 5, 5 5, 9 9)"), 0, 0, 10, 10)) ==
+      "LINESTRING (5 5, 9 9)")
+    // a standalone zero-length line clips to EMPTY, inside the box or not
+    assert(Clip.clipByBox(g("LINESTRING (5 5, 5 5)"), 0, 0, 10, 10).isEmpty)
   }
 
   test("clip: axis-aligned polygons clip to exact GREATEST/LEAST corners") {

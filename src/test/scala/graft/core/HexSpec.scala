@@ -49,5 +49,8 @@ class HexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Hex.cell(0, 0, 0.0))
     intercept[IllegalArgumentException](Hex.cell(0, 0, -1.0))
     intercept[IllegalArgumentException](Hex.cell(1e18, 0, 1e-9))
+    // NaN must not silently bin to cell (0, 0)
+    intercept[IllegalArgumentException](Hex.cell(Double.NaN, 3.0, 2.5))
+    intercept[IllegalArgumentException](Hex.cell(3.0, Double.NaN, 2.5))
   }
 }

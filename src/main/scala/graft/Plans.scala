@@ -202,7 +202,15 @@ object Plans {
         fmt(imagesPq
           .select(col("phash").cast("double").as("__v"), col("image_id"))
           .orderBy(md5(col("image_id").cast("binary")), col("image_id"))
-          .limit(1024)))
+          .limit(1024)),
+      "Dissolve (st_union_agg): ObjectHashAggregate with partial_collect " +
+        "before the ONE key exchange — buffers, not rows, cross the wire; " +
+        "the cascaded-union finisher is a codegen'd static_invoke over the " +
+        "merged buffer, parallel across final-agg partitions" ->
+        fmt(graft.operators.Dissolve.dissolve(
+          imagesPq.withColumn("g", call_function("st_boxtopolygon",
+            col("lon"), col("lat"), col("lon") + lit(1.0), col("lat") + lit(1.0))),
+          Seq("phash"), "g")))
 
     // drive GeoParquet + Multimodal end-to-end through their public API
     val gpDir = "target/plans_geoparquet"

@@ -3,24 +3,31 @@ package graft.core
 import scala.collection.mutable.ArrayBuffer
 
 /** Polygon boolean overlay: intersection / union / difference / symmetric
-  * difference over POLYGON and MULTIPOLYGON (XY, holes supported).
+  * difference over POLYGON and MULTIPOLYGON (XY, holes supported), plus
+  * the N-ARY union [[unionAll]] (the dissolve aggregate's engine — every
+  * operand in one sweep instead of a log-k cascade).
   *
-  * Algorithm: the Martínez–Rueda–Feito sweep (Martínez, Rueda, Feito, "A
-  * new algorithm for computing Boolean operations on polygons", Computers &
-  * Geosciences 2009) for SUBDIVISION and labeling — a single left-to-right
-  * plane sweep splits every edge at its intersections and annotates each
-  * piece with the other polygon's membership — followed by a ring
-  * connection phase of our own design:
+  * Algorithm: a Martínez–Rueda-style plane sweep (Martínez, Rueda, Feito,
+  * "A new algorithm for computing Boolean operations on polygons",
+  * Computers & Geosciences 2009) for SUBDIVISION — splitting every edge
+  * at its intersections and folding coincident cross-operand bundles —
+  * but labeling and reconnection of our own design:
   *
-  *  - each result edge knows which side its own polygon's interior is on
-  *    EXACTLY (from the input ring's signed area + shell/hole position —
-  *    `ownLeft`, no floating-point sweep state involved), and which side
-  *    the other polygon is on (sweep `otherInOut`, or the coincident-edge
-  *    transition class for overlaps);
-  *  - combining the two memberships per operation yields, for each edge,
-  *    whether the RESULT interior lies to its left or right, which both
-  *    selects the edge and directs it so the result interior is on its
-  *    LEFT;
+  *  - labeling is WINDING-COVER COUNTING, not the paper's inOut flag
+  *    pairs: each edge carries an exact per-channel toggle (±1, derived
+  *    from the input ring's signed area + shell/hole position — no
+  *    floating-point sweep state), and a SECOND sweep pass — run after
+  *    all divisions and folds are final, so nothing it reads can go
+  *    stale — accumulates the cover counts below each edge on the x+ε
+  *    evaluation line (verticals never cross that line: they skip the
+  *    chain, and their own deltas classify their west/east sides). The
+  *    paper's flag propagation mislabels vertex-on-edge stacks next to
+  *    vertical edges (observed: all four ops crashed on a triangle whose
+  *    corner lies on the other operand's edge); integer cover counting
+  *    with final-state evaluation has no such order sensitivity.
+  *  - evaluating the operation on each edge's two side-memberships
+  *    selects boundary edges and directs them so the result interior is
+  *    on their LEFT;
   *  - rings are then extracted by planar face traversal: at each vertex
   *    the walk continues onto the first outgoing edge CLOCKWISE from the
   *    reversed incoming direction. This provably pairs edge wedges of the
@@ -62,12 +69,6 @@ object Overlay {
   final val OpUnion = 1
   final val OpDifference = 2
   final val OpXor = 3
-
-  // coincident-edge annotation
-  private final val Normal = 0
-  private final val NonContributing = 1
-  private final val SameTransition = 2
-  private final val DifferentTransition = 3
 
   /** Hard cap on sweep events — a 100-TB guard against adversarial inputs
     * whose subdivision would explode (quadratic intersection counts). */
@@ -134,72 +135,69 @@ object Overlay {
     }
 
     val queue = new java.util.PriorityQueue[Ev](64, EvOrdering)
+    var nEvents = addPolyEvents(subject, operand = 0, chan = 0, queue, 0)
+    nEvents = addPolyEvents(clipping, operand = 1, chan = 1, queue, nEvents)
+
+    val lefts = sweep(queue, nEvents)
+    buildFromEdges(lefts, coverDir(_, op), srid)
+  }
+
+  /** Union of MANY polygons in ONE sweep (the dissolve aggregate's
+    * engine): instead of a log-k cascade of binary unions — each
+    * materializing and re-sweeping its intermediate result — every ring
+    * of every operand enters a single subdivision sweep that maintains a
+    * COVER COUNT (how many operand polygons contain the region), and an
+    * edge is a result boundary iff the cover is zero on exactly one of
+    * its sides. Deltas come from the EXACT per-ring orientation
+    * (`ownLeft`), never from floating-point sweep state.
+    *
+    * Cover-chain soundness: the chain is evaluated on the x+ε line, which
+    * VERTICAL edges (in status only at exactly x) never cross — so
+    * verticals contribute nothing to the chain, and after subdivision no
+    * edge crosses a vertical piece's interior, making the chain value at
+    * a vertical its EAST-side cover (its own west→east delta recovers the
+    * west side). Coincident cross-operand bundles fold their deltas into
+    * the status-lowest edge (idempotent — folded edges zero out).
+    *
+    * Output is the same canonical form as the binary ops. Operand list
+    * order only breaks comparator ties, so for exact-arithmetic inputs
+    * the result VALUE is order-invariant; [[graft.sql.GeoOps.unionGeoms]]
+    * canonical-sorts operands first, which pins even tie order. */
+  def unionAll(geoms: Seq[Geom]): Geom = {
+    // indexed access: a List operand sequence would make the loop below
+    // O(n²) in length/apply alone (observed as a hang at 250k operands)
+    val nonEmpty = geoms.iterator.filter(!_.isEmpty).toArray
+    if (nonEmpty.isEmpty)
+      return emptyPolygon(if (geoms.isEmpty) 0 else geoms.head.srid)
+    if (nonEmpty.length == 1) return normalizeCopy(nonEmpty.head)
+    val srid = nonEmpty.head.srid
+    val queue = new java.util.PriorityQueue[Ev](64, EvOrdering)
     var nEvents = 0
-
-    /** One closed ring [from,until) of coord indices (last vertex repeats
-      * the first). `isHole`: the ring's own-polygon interior is OUTSIDE
-      * the ring (valid-input assumption: first ring shell, rest holes). */
-    def addRing(g: Geom, from: Int, until: Int, subj: Boolean,
-                isHole: Boolean): Unit = {
-      val s = g.stride
-      // ring signed area decides which traversal side the ring interior
-      // is on; zero-area rings contribute no region and are skipped
-      var area2 = 0.0
-      var k = from
-      while (k < until - 1) {
-        val x0 = g.coords(k * s); val y0 = g.coords(k * s + 1)
-        val x1 = g.coords((k + 1) * s); val y1 = g.coords((k + 1) * s + 1)
-        area2 += x0 * y1 - x1 * y0
-        k += 1
-      }
-      if (area2 == 0.0) return
-      val ringInteriorLeft = area2 > 0.0 // CCW: enclosed area left of travel
-      val ownLeftOrig = if (isHole) !ringInteriorLeft else ringInteriorLeft
-      var i = from
-      while (i < until - 1) {
-        val x0 = g.coords(i * s); val y0 = g.coords(i * s + 1)
-        val x1 = g.coords((i + 1) * s); val y1 = g.coords((i + 1) * s + 1)
-        if (!(x0 == x1 && y0 == y1)) { // skip degenerate zero-length edges
-          val e1 = new Ev(x0, y0, subj)
-          val e2 = new Ev(x1, y1, subj)
-          e1.other = e2; e2.other = e1
-          val forward = x0 < x1 || (x0 == x1 && y0 < y1)
-          if (forward) e1.left = true else e2.left = true
-          // own-interior side relative to the LEFT→RIGHT sweep direction
-          val ownLeft = if (forward) ownLeftOrig else !ownLeftOrig
-          e1.ownLeft = ownLeft; e2.ownLeft = ownLeft
-          queue.add(e1); queue.add(e2)
-          nEvents += 2
-          require(nEvents < MaxEvents, "overlay: input too large")
-        }
-        i += 1
-      }
+    var gi = 0
+    while (gi < nonEmpty.length) {
+      require(nonEmpty(gi).dims == Dims.XY,
+        "overlay supports XY geometries only (Z/M overlay interpolation is undefined)")
+      nEvents = addPolyEvents(nonEmpty(gi), operand = gi,
+        chan = 0, queue, nEvents)
+      gi += 1
     }
-    def addPoly(g: Geom, subj: Boolean): Unit = g.geomType match {
-      case GeomTypes.Polygon =>
-        var r = 0
-        while (r < g.o0.length - 1) {
-          addRing(g, g.o0(r), g.o0(r + 1), subj, isHole = r > 0); r += 1
-        }
-      case GeomTypes.MultiPolygon =>
-        var p = 0
-        while (p < g.o0.length - 1) {
-          var r = g.o0(p)
-          while (r < g.o0(p + 1)) {
-            addRing(g, g.o1(r), g.o1(r + 1), subj, isHole = r > g.o0(p))
-            r += 1
-          }
-          p += 1
-        }
-      case _ => throw new IllegalArgumentException(
-        s"overlay operand must be POLYGON/MULTIPOLYGON, got ${GeomTypes.name(g.geomType)}")
-    }
-    addPoly(subject, subj = true)
-    addPoly(clipping, subj = false)
+    val lefts = sweep(queue, nEvents)
+    // everything on the subject channel: union membership = count > 0
+    buildFromEdges(lefts, coverDir(_, OpUnion), srid)
+  }
 
-    // ---- sweep: subdivide + label ------------------------------------
+  /** Subdivision + fold sweep shared by the binary ops and [[unionAll]].
+    * NO labeling happens here: a later coincident fold mutates deltas
+    * BELOW already-labeled edges, so any insertion-time chain value can
+    * go stale (this exact staleness — and the published algorithm's
+    * vertical-edge flag fragility around vertex-on-edge stacks — were
+    * both observed as dangling-result-graph failures before the split).
+    * The covers come from [[coverPass]] AFTER subdivision+folding is
+    * final. Returns all left events. */
+  private def sweep(queue: java.util.PriorityQueue[Ev],
+                    nEvents: Int): ArrayBuffer[Ev] = {
     val status = new java.util.TreeSet[Ev](SegOrdering)
-    val lefts = new ArrayBuffer[Ev](nEvents / 2)
+    val lefts = new ArrayBuffer[Ev](math.max(nEvents / 2, 8))
     while (!queue.isEmpty) {
       val event = queue.poll()
       require(lefts.length < MaxEvents, "overlay: subdivision too large")
@@ -208,16 +206,8 @@ object Overlay {
         status.add(event)
         val prev = status.lower(event)
         val next = status.higher(event)
-        computeFields(event, prev)
-        if (next != null && possibleIntersection(event, next, queue) == 2) {
-          computeFields(event, prev)
-          computeFields(next, event)
-        }
-        if (prev != null && possibleIntersection(prev, event, queue) == 2) {
-          val prevPrev = status.lower(prev)
-          computeFields(prev, prevPrev)
-          computeFields(event, prev)
-        }
+        if (next != null) possibleIntersection(event, next, queue)
+        if (prev != null) possibleIntersection(prev, event, queue)
       } else {
         val left = event.other
         val prev = status.lower(left)
@@ -234,8 +224,40 @@ object Overlay {
         if (prev != null && next != null) possibleIntersection(prev, next, queue)
       }
     }
+    coverPass(lefts)
+    lefts
+  }
 
-    buildFromEdges(lefts, op, srid)
+  /** Second pass: with every division and delta fold FINAL, re-run the
+    * sweep order over the final segments and fill the cover chains —
+    * no stale reads possible. No geometry changes here (all crossings
+    * are already subdivided; coincident bundles already folded), so the
+    * pass is pure bookkeeping at O(E log E). */
+  private def coverPass(lefts: ArrayBuffer[Ev]): Unit = {
+    val queue = new java.util.PriorityQueue[Ev](
+      math.max(lefts.length * 2, 8), EvOrdering)
+    var i = 0
+    while (i < lefts.length) {
+      queue.add(lefts(i)); queue.add(lefts(i).other)
+      i += 1
+    }
+    val status = new java.util.TreeSet[Ev](SegOrdering)
+    while (!queue.isEmpty) {
+      val event = queue.poll()
+      if (event.left) {
+        status.add(event)
+        coverFields(event, status.lower(event))
+      } else {
+        val left = event.other
+        if (!status.remove(left)) {
+          val it = status.iterator()
+          var removed = false
+          while (it.hasNext && !removed) {
+            if (it.next() eq left) { it.remove(); removed = true }
+          }
+        }
+      }
+    }
   }
 
   // =====================================================================
@@ -244,15 +266,37 @@ object Overlay {
 
   private val nextEvId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private final class Ev(val x: Double, val y: Double, val subject: Boolean) {
+  /** `operand`: which input polygon the edge belongs to — 0/1 for the
+    * binary ops (subject/clipping), the list index for [[unionAll]];
+    * overlap WITHIN one operand is invalid input in both modes.
+    * `chan`: which cover channel the edge's delta toggles — 0 = subject,
+    * 1 = clipping for binary; all 0 for unionAll. */
+  private final class Ev(val x: Double, val y: Double,
+                         val operand: Int, val chan: Int) {
     var left: Boolean = false
     var other: Ev = _
-    var typ: Int = Normal
     /** own-polygon interior side relative to the left→right sweep
       * direction of this edge — EXACT, derived from the input ring. */
     var ownLeft: Boolean = false
-    var inOut: Boolean = false
-    var otherInOut: Boolean = false
+    /** Winding-count contribution per channel: crossing the edge upward
+      * (non-vertical) / west→east (vertical) changes that channel's
+      * cover by this much; coincident bundles fold their deltas into
+      * the status-lowest edge (the folded-out members zero). */
+    var dSubj: Int = 0
+    var dClip: Int = 0
+    /** Cover per channel of the region the chain evaluates just below
+      * this edge on the x+ε line (for a vertical edge: its east side).
+      * Filled by [[coverPass]] AFTER subdivision+folding is final. */
+    var bSubj: Int = 0
+    var bClip: Int = 0
+    /** The bundle-bottom edge this coincident edge's deltas were folded
+      * into (null = not folded). Folding must be TRANSITIVE into the one
+      * bundle bottom — spreading deltas across members makes the
+      * fictional inter-bundle covers non-monotone (mixed-sign bundles
+      * would select several directed edges for one physical boundary and
+      * leave the result graph unbalanced). */
+    var foldRoot: Ev = _
+    def folded: Boolean = foldRoot != null
     val id: Long = nextEvId.getAndIncrement()
 
     def isVertical: Boolean = x == other.x
@@ -268,6 +312,88 @@ object Overlay {
                          x2: Double, y2: Double): Double =
     (x0 - x2) * (y1 - y2) - (x1 - x2) * (y0 - y2)
 
+  /** One closed ring [from,until) of coord indices (last vertex repeats
+    * the first). `isHole`: the ring's own-polygon interior is OUTSIDE
+    * the ring (valid-input assumption: first ring shell, rest holes).
+    * Returns the updated event count (hard-capped at [[MaxEvents]]). */
+  private def addRingEvents(g: Geom, from: Int, until: Int,
+                            operand: Int, chan: Int, isHole: Boolean,
+                            queue: java.util.PriorityQueue[Ev],
+                            nEvents0: Int): Int = {
+    val s = g.stride
+    // ring signed area decides which traversal side the ring interior
+    // is on; zero-area rings contribute no region and are skipped
+    var area2 = 0.0
+    var k = from
+    while (k < until - 1) {
+      val x0 = g.coords(k * s); val y0 = g.coords(k * s + 1)
+      val x1 = g.coords((k + 1) * s); val y1 = g.coords((k + 1) * s + 1)
+      area2 += x0 * y1 - x1 * y0
+      k += 1
+    }
+    if (area2 == 0.0) return nEvents0
+    val ringInteriorLeft = area2 > 0.0 // CCW: enclosed area left of travel
+    val ownLeftOrig = if (isHole) !ringInteriorLeft else ringInteriorLeft
+    var nEvents = nEvents0
+    var i = from
+    while (i < until - 1) {
+      val x0 = g.coords(i * s); val y0 = g.coords(i * s + 1)
+      val x1 = g.coords((i + 1) * s); val y1 = g.coords((i + 1) * s + 1)
+      if (!(x0 == x1 && y0 == y1)) { // skip degenerate zero-length edges
+        val e1 = new Ev(x0, y0, operand, chan)
+        val e2 = new Ev(x1, y1, operand, chan)
+        e1.other = e2; e2.other = e1
+        val forward = x0 < x1 || (x0 == x1 && y0 < y1)
+        if (forward) e1.left = true else e2.left = true
+        // own-interior side relative to the LEFT→RIGHT sweep direction
+        // (for a vertical edge: relative to UPWARD travel, i.e. west)
+        val ownLeft = if (forward) ownLeftOrig else !ownLeftOrig
+        e1.ownLeft = ownLeft; e2.ownLeft = ownLeft
+        // cover delta: non-vertical edges toggle crossing UPWARD
+        // (+1 iff interior above = ownLeft); vertical edges toggle
+        // crossing WEST→EAST (+1 iff interior east = !ownLeft)
+        val d = if (x0 == x1) { if (ownLeft) -1 else 1 }
+                else { if (ownLeft) 1 else -1 }
+        if (chan == 0) { e1.dSubj = d; e2.dSubj = d }
+        else { e1.dClip = d; e2.dClip = d }
+        queue.add(e1); queue.add(e2)
+        nEvents += 2
+        require(nEvents < MaxEvents, "overlay: input too large")
+      }
+      i += 1
+    }
+    nEvents
+  }
+
+  private def addPolyEvents(g: Geom, operand: Int, chan: Int,
+                            queue: java.util.PriorityQueue[Ev],
+                            nEvents0: Int): Int = {
+    var nEvents = nEvents0
+    g.geomType match {
+      case GeomTypes.Polygon =>
+        var r = 0
+        while (r < g.o0.length - 1) {
+          nEvents = addRingEvents(g, g.o0(r), g.o0(r + 1), operand,
+            chan, isHole = r > 0, queue, nEvents)
+          r += 1
+        }
+      case GeomTypes.MultiPolygon =>
+        var p = 0
+        while (p < g.o0.length - 1) {
+          var r = g.o0(p)
+          while (r < g.o0(p + 1)) {
+            nEvents = addRingEvents(g, g.o1(r), g.o1(r + 1), operand,
+              chan, isHole = r > g.o0(p), queue, nEvents)
+            r += 1
+          }
+          p += 1
+        }
+      case _ => throw new IllegalArgumentException(
+        s"overlay operand must be POLYGON/MULTIPOLYGON, got ${GeomTypes.name(g.geomType)}")
+    }
+    nEvents
+  }
+
   /** Sweep processing order: x, then y, then right-before-left at the same
     * point, then bottom segment first; collinear ties: subject first. */
   private def cmpEv(a: Ev, b: Ev): Int = {
@@ -277,7 +403,7 @@ object Overlay {
     if (a.left != b.left) return if (a.left) 1 else -1
     val sa = signedArea(a.x, a.y, a.other.x, a.other.y, b.other.x, b.other.y)
     if (sa != 0.0) return if (a.segBelow(b.other.x, b.other.y)) -1 else 1
-    if (a.subject != b.subject) return if (a.subject) -1 else 1
+    if (a.operand != b.operand) return Integer.compare(a.operand, b.operand)
     java.lang.Long.compare(a.id, b.id)
   }
 
@@ -301,44 +427,72 @@ object Overlay {
         return if (a.segBelow(b.x, b.y)) -1 else 1
       }
       // collinear segments
-      if (a.subject == b.subject) return java.lang.Long.compare(a.id, b.id)
-      if (a.subject) -1 else 1
+      if (a.operand == b.operand) return java.lang.Long.compare(a.id, b.id)
+      Integer.compare(a.operand, b.operand)
     }
   }
 
-  /** Maintain the paper's transition flags relative to the nearest status
-    * edge below: `inOut` — crossing this edge upward leaves its own
-    * polygon; `otherInOut` — same flag of the closest OTHER-polygon edge
-    * below. Only `otherInOut` feeds the result selection (it encodes
-    * "does this edge lie inside the other polygon"); `inOut` exists to
-    * propagate the chain. */
-  private def computeFields(e: Ev, prev: Ev): Unit = {
+  /** Cover chain (both modes): per channel, the winding count just below
+    * `e` on the x+ε evaluation line = the value just below `prev` plus
+    * `prev`'s toggles — EXCEPT vertical prevs, which exist only at
+    * exactly x and never cross the x+ε line (their deltas are west→east
+    * toggles, used only for their own side classification). Folded-out
+    * coincident edges carry zero deltas, so the chain walks through
+    * bundles unchanged. Valid operands make every count non-negative
+    * (shell +1 / hole -1 nesting), so membership is `count > 0`. */
+  private def coverFields(e: Ev, prev: Ev): Unit =
     if (prev == null) {
-      e.inOut = false
-      e.otherInOut = true
-    } else if (e.subject == prev.subject) {
-      e.inOut = !prev.inOut
-      e.otherInOut = prev.otherInOut
+      e.bSubj = 0; e.bClip = 0
+    } else if (prev.isVertical) {
+      e.bSubj = prev.bSubj; e.bClip = prev.bClip
     } else {
-      e.inOut = !prev.otherInOut
-      e.otherInOut = if (prev.isVertical) !prev.inOut else prev.inOut
+      e.bSubj = prev.bSubj + prev.dSubj
+      e.bClip = prev.bClip + prev.dClip
     }
+
+  private def opCombine(op: Int, s: Boolean, c: Boolean): Boolean =
+    op match {
+      case OpIntersection => s && c
+      case OpUnion => s || c
+      case OpXor => s != c
+      case OpDifference => s && !c
+    }
+
+  /** Result selection (both modes): evaluate the op on the channel
+    * memberships of the edge's two sides; boundary iff they differ,
+    * directed so the result interior is on the LEFT of the stored
+    * traversal (left→right for non-verticals — left = above;
+    * bottom→top for verticals — left = west; the chain value at a
+    * vertical is its EAST side, its own deltas recover the west). */
+  private def coverDir(e: Ev, op: Int): Int = {
+    if (e.folded) return 0 // deltas live on its bundle root
+    val (sLeft, cLeft, sRight, cRight) =
+      if (e.isVertical)
+        (e.bSubj - e.dSubj, e.bClip - e.dClip, e.bSubj, e.bClip)
+      else
+        (e.bSubj + e.dSubj, e.bClip + e.dClip, e.bSubj, e.bClip)
+    val inL = opCombine(op, sLeft > 0, cLeft > 0)
+    val inR = opCombine(op, sRight > 0, cRight > 0)
+    if (inL == inR) 0 else if (inL) 1 else -1
   }
 
   /** Split [se, se.other] at (px,py): right cap for the left piece plus a
     * fresh left event for the right piece, both queued. */
   private def divideSegment(se: Ev, px: Double, py: Double,
                             queue: java.util.PriorityQueue[Ev]): Unit = {
-    val r = new Ev(px, py, se.subject)
+    val r = new Ev(px, py, se.operand, se.chan)
     r.other = se
     r.ownLeft = se.ownLeft
-    val l = new Ev(px, py, se.subject)
+    r.dSubj = se.dSubj; r.dClip = se.dClip
+    val l = new Ev(px, py, se.operand, se.chan)
     l.left = true
     l.other = se.other
     l.ownLeft = se.ownLeft
-    // typ deliberately NOT copied: the far piece of a divided coincident
-    // edge is no longer coincident; if it still is, the sweep re-detects
-    // and re-classifies when the two pieces become status neighbors
+    l.dSubj = se.dSubj; l.dClip = se.dClip
+    // foldRoot deliberately NOT copied: the far piece of a divided
+    // folded edge is no longer coincident (folding only happens on
+    // exactly-equal spans); if it still is, the sweep re-detects and
+    // re-folds when the two pieces become status neighbors
     // rounding guard: the split point must not sort after the original
     // right endpoint; if FP noise makes it, flip the piece's polarity
     if (cmpEv(l, se.other) > 0) {
@@ -351,10 +505,11 @@ object Overlay {
     queue.add(r)
   }
 
-  /** Detect and handle the intersection of two adjacent status edges.
-    * Returns 0 (none/shared endpoint only), 1 (proper crossing, segments
-    * divided), 2 (overlap starting at a shared left endpoint — caller must
-    * recompute fields), 3 (other overlap shapes). */
+  /** Detect and handle the intersection of two adjacent status edges
+    * (`e1` must be the status-LOWER of the pair — the fold target walk
+    * relies on it). Returns 0 (none/shared endpoint only), 1 (proper
+    * crossing, segments divided), 2 (overlap starting at a shared left
+    * endpoint — deltas folded), 3 (other overlap shapes). */
   private def possibleIntersection(e1: Ev, e2: Ev,
                                    queue: java.util.PriorityQueue[Ev]): Int = {
     val inter = segmentIntersection(
@@ -376,7 +531,7 @@ object Overlay {
       return if (divided > 0) 1 else 0
     }
     // collinear overlap
-    if (e1.subject == e2.subject)
+    if (e1.operand == e2.operand)
       throw new IllegalArgumentException(
         "overlay: input polygon has overlapping edges (invalid geometry)")
     val leftCoincide = e1.samePoint(e2)
@@ -387,14 +542,39 @@ object Overlay {
       else Array(e1.other, e2.other)
 
     if (leftCoincide) {
-      // share the left endpoint (possibly the whole overlap piece):
-      // e2 drops out; e1 carries the coincident-edge class, decided
-      // EXACTLY by whether the two interiors are on the same side
-      e2.typ = NonContributing
-      e1.typ =
-        if (e1.ownLeft == e2.ownLeft) SameTransition else DifferentTransition
+      // split the longer edge's tail FIRST (the tail keeps its pre-fold
+      // deltas; invariant — a folded edge never extends beyond its
+      // bundle span), then fold the exactly-coincident pair's cover
+      // deltas TRANSITIVELY into the bundle-bottom edge. `foldRoot`
+      // guards idempotence under re-detection, and a later-arriving
+      // lower member inherits an upper root's accumulated totals.
       if (!rightCoincide)
         divideSegment(rights(1).other, rights(0).x, rights(0).y, queue)
+      if (e2.foldRoot == null) {
+        var root = e1
+        while (root.foldRoot != null) root = root.foldRoot
+        if (root ne e2) {
+          // INVARIANT: a root's accumulated deltas describe its whole
+          // current span uniformly — so spans must be EQUAL at fold
+          // time. The transitive root may be longer than the pair's
+          // coincident span (it collected an earlier, longer member)
+          // or shorter (it was divided since): split the longer one
+          // at the shorter's right end first. Divided tails keep the
+          // pre-fold deltas they inherit, which is exactly their
+          // uniform bundle total over the remaining span.
+          val rx = root.other.x; val ry = root.other.y
+          val ex = e2.other.x; val ey = e2.other.y
+          if (!(rx == ex && ry == ey)) {
+            val rootLonger = ex < rx || (ex == rx && ey < ry)
+            if (rootLonger) divideSegment(root, ex, ey, queue)
+            else divideSegment(e2, rx, ry, queue)
+          }
+          root.dSubj += e2.dSubj
+          root.dClip += e2.dClip
+          e2.dSubj = 0; e2.dClip = 0
+          e2.foldRoot = root
+        }
+      }
       return 2
     }
     val lefts =
@@ -463,42 +643,6 @@ object Overlay {
   }
 
   // =====================================================================
-  // result selection + direction (interior-on-left)
-  // =====================================================================
-
-  /** Result membership combine. `own`/`other` are the two memberships on
-    * one side of the edge; `subj` is which polygon the edge belongs to. */
-  private def combine(op: Int, subj: Boolean, own: Boolean, other: Boolean): Boolean =
-    op match {
-      case OpIntersection => own && other
-      case OpUnion => own || other
-      case OpXor => own != other
-      case OpDifference => if (subj) own && !other else other && !own
-    }
-
-  /** For an in-result edge: +1 traverse left→right (result interior on the
-    * left of the sweep direction), -1 traverse right→left, 0 not in
-    * result. */
-  private def resultDir(e: Ev, op: Int): Int = {
-    if (e.typ == NonContributing) return 0
-    // own membership transitions across the edge: left side = ownLeft
-    val ownL = e.ownLeft
-    val ownR = !e.ownLeft
-    // other membership per side
-    val (othL, othR) = e.typ match {
-      case Normal =>
-        val in = !e.otherInOut // constant across a non-coincident edge
-        (in, in)
-      case SameTransition => (e.ownLeft, !e.ownLeft)
-      case DifferentTransition => (!e.ownLeft, e.ownLeft)
-      case _ => return 0
-    }
-    val inL = combine(op, e.subject, ownL, othL)
-    val inR = combine(op, e.subject, ownR, othR)
-    if (inL == inR) 0 else if (inL) 1 else -1
-  }
-
-  // =====================================================================
   // ring extraction: planar face traversal, clockwise-first rule
   // =====================================================================
 
@@ -557,7 +701,8 @@ object Overlay {
     best
   }
 
-  private def buildFromEdges(lefts: ArrayBuffer[Ev], op: Int, srid: Int): Geom = {
+  private def buildFromEdges(lefts: ArrayBuffer[Ev], dirOf: Ev => Int,
+                             srid: Int): Geom = {
     // collect directed result edges, grouped by origin vertex
     val out = new java.util.HashMap[(Long, Long), ArrayBuffer[DEdge]]()
     val all = new ArrayBuffer[DEdge]()
@@ -572,7 +717,7 @@ object Overlay {
     var i = 0
     while (i < lefts.length) {
       val e = lefts(i)
-      resultDir(e, op) match {
+      dirOf(e) match {
         case 1 => add(e.x, e.y, e.other.x, e.other.y)
         case -1 => add(e.other.x, e.other.y, e.x, e.y)
         case _ => ()

@@ -642,32 +642,23 @@ object GeoOps {
     GeoStruct.encode(Geom.collect(canonicalGeomSort(decodeGeomArray(arr)).toSeq))
 
   /** Deterministic ST_Union aggregate finisher (dissolve): operands sort
-    * into the canonical order, then merge as a BALANCED binary tree of
-    * pairwise [[graft.core.Overlay.union]] calls — cascaded union, so a
-    * k-geometry group costs O(k) small merges up a log-depth tree rather
-    * than a left fold's k progressively-larger sweeps. The tree shape is
-    * a pure function of the sorted operand list, so the result VALUE is
-    * invariant to partitioning, task order and retries (the q131 oracle
-    * re-derives it in closed form). EMPTY operands drop out (union
-    * identity); an all-empty or all-null group yields POLYGON EMPTY.
-    * Operands must be polygonal — the overlay core's domain. */
+    * into the canonical order, then union in ONE n-ary sweep
+    * ([[graft.core.Overlay.unionAll]] — every input edge is processed
+    * once, instead of a cascade's log-k rounds of intermediate
+    * materialize-and-resweep). The sweep is a pure function of the
+    * sorted operand list, so the result VALUE is invariant to
+    * partitioning, task order and retries (the q131 oracle re-derives
+    * it in closed form). EMPTY operands drop out (union identity); an
+    * all-empty or all-null group yields POLYGON EMPTY. Operands must be
+    * polygonal — the overlay core's domain. */
   def unionGeoms(arr: ArrayData): InternalRow = {
     val all = decodeGeomArray(arr)
-    val nonEmpty = all.filter(!_.isEmpty)
-    if (nonEmpty.isEmpty) {
+    if (all.forall(_.isEmpty)) {
       val srid = if (all.isEmpty) 0 else all(0).srid
       return GeoStruct.encode(Geom(GeomTypes.Polygon, Dims.XY,
         Geom.emptyDoubles, Array(0), Geom.emptyInts, null, srid))
     }
-    var layer: Seq[Geom] = canonicalGeomSort(nonEmpty).toSeq
-    if (layer.length == 1)
-      return GeoStruct.encode(Overlay.normalizeCopy(layer.head))
-    while (layer.length > 1)
-      layer = layer.grouped(2).map {
-        case scala.collection.Seq(a, b) => Overlay.union(a, b)
-        case scala.collection.Seq(a) => a
-      }.toSeq
-    GeoStruct.encode(layer.head)
+    GeoStruct.encode(Overlay.unionAll(canonicalGeomSort(all).toSeq))
   }
 
   /** Hex bucket of a geometry's FIRST stored vertex — the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Geohash
-import graft.operators.{Ann, Dedup, Knn, Sampling, SpatialJoins, TileRender}
+import graft.operators.{Ann, Cluster, Dedup, Knn, Sampling, SpatialJoins, TextRank, TileRender}
 import graft.pipeline.Pipeline
 import graft.sources.ImagesTable
 import graft.sql.Geo
@@ -1596,6 +1596,43 @@ object SparkEntry {
           "img_nonzero(png) AS lit_pixels",
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
+    },
+    "q133_bm25" -> { (s, d) =>
+      prep(s, d)
+      // corpus term weighting: top-5 BM25-scored terms per document with
+      // the exact rational idf (N+1)/(df+1) — Spark's log is StrictMath,
+      // DuckDB's ln is libm, so the log idf can diverge in the last ulp
+      // while the rational form replicates bit-exactly. Every score is a
+      // fixed IEEE tree over exact integer counts; constants appear as
+      // decimal literals on both sides.
+      TextRank.bm25TopTerms(s.table("documents"), "text", "doc_id", k = 5,
+          logIdf = false)
+        .orderBy("doc_id", "rank")
+    },
+    "q132_dbscan" -> { (s, d) =>
+      prep(s, d)
+      // density clustering (DBSCAN, PostGIS ST_ClusterDBSCAN semantics
+      // with value-deterministic labels): a fixed 400-point cloud whose
+      // positions derive from each point's md5-sample RANK (1..400), so
+      // the cloud geometry — and therefore the core/border/noise mix
+      // (167/204/29, 51 clusters) — is identical at every sf while the
+      // ids still come from the data. The oracle replays the literal
+      // definition: O(400²) neighborhoods, min-core-id labels via a
+      // recursive-CTE reachability closure, ambiguous borders to the
+      // minimum adjacent label. Engine-side the same answer comes from
+      // the grid-cell candidate join + label propagation at scale.
+      val sample = s.sql(
+        """WITH ids AS (
+          |  SELECT DISTINCT l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+          |samp AS (
+          |  SELECT id FROM ids ORDER BY md5(CAST(id AS STRING)), id LIMIT 400)
+          |SELECT id,
+          |  CAST((r * 7919) % 60000 AS DOUBLE) / 1000.0 AS lon,
+          |  CAST((r * 104729) % 30000 AS DOUBLE) / 1000.0 AS lat
+          |FROM (SELECT id, row_number() OVER
+          |    (ORDER BY md5(CAST(id AS STRING)), id) AS r FROM samp)""".stripMargin)
+      Cluster.dbscan(sample, "id", "lon", "lat", eps = 2.0, minPts = 5)
+        .orderBy("id")
     },
     "q131_union_agg" -> { (s, d) =>
       prep(s, d)
@@ -3603,6 +3640,76 @@ object SparkEntry {
     // right→left, close at the min corner); one island → POLYGON, more →
     // MULTIPOLYGON sorted by island start; area = cell count (exact),
     // npoints = Σ(2w+3), parts = island count
+    // BM25 (rational idf): same split-on-space tokenization, same integer
+    // tf/df/dl/N counts, same IEEE score tree — constants written as
+    // decimal literals, computed ones ((k1+1)) replicated as the same sum
+    "q133_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY doc_id),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT sum(dl) FROM dl) AS total_dl),
+        |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+        |sc AS (SELECT t.doc_id, t.term, t.tf,
+        |    (CAST(st.n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE))
+        |    * (CAST(t.tf AS DOUBLE)
+        |       * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |       * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE)
+        |            / (CAST(st.total_dl AS DOUBLE)
+        |               / CAST(st.n_docs AS DOUBLE))))) AS score
+        |  FROM t JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score FROM (
+        |  SELECT sc.*, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // DBSCAN: literal-definition replay over the rank-derived 400-point
+    // cloud — O(400²) neighbor pairs with the engine's exact squared-
+    // distance expression, cores by |ball| >= minPts (count+self),
+    // min-core-id component labels via recursive reachability closure,
+    // borders to the minimum adjacent cluster, the rest noise
+    "q132_dbscan" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT DISTINCT l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+        |samp AS (
+        |  SELECT id FROM ids ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 400),
+        |s AS (
+        |  SELECT id,
+        |    CAST((r * 7919) % 60000 AS DOUBLE) / 1000.0 AS lon,
+        |    CAST((r * 104729) % 30000 AS DOUBLE) / 1000.0 AS lat
+        |  FROM (SELECT id, row_number() OVER
+        |      (ORDER BY md5(CAST(id AS VARCHAR)), id) AS r FROM samp)),
+        |pairs AS (
+        |  SELECT a.id AS ida, b.id AS idb FROM s a JOIN s b
+        |  ON a.id <> b.id
+        |  AND (a.lon - b.lon) * (a.lon - b.lon)
+        |    + (a.lat - b.lat) * (a.lat - b.lat)
+        |    <= CAST(2.0 AS DOUBLE) * CAST(2.0 AS DOUBLE)),
+        |cores AS (
+        |  SELECT ida AS id FROM pairs GROUP BY ida HAVING count(*) + 1 >= 5),
+        |ce AS (SELECT p.ida, p.idb FROM pairs p
+        |  JOIN cores ca ON ca.id = p.ida JOIN cores cb ON cb.id = p.idb),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM cores
+        |  UNION
+        |  SELECT ce.idb, r.lab FROM reach r JOIN ce ON ce.ida = r.id),
+        |lab AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |border AS (
+        |  SELECT p.ida AS id, min(l.cluster) AS cluster FROM pairs p
+        |  JOIN lab l ON l.id = p.idb
+        |  WHERE p.ida NOT IN (SELECT id FROM cores) GROUP BY p.ida)
+        |SELECT s.id,
+        |  CASE WHEN lab.id IS NOT NULL THEN 'core'
+        |       WHEN border.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(lab.cluster, border.cluster) AS cluster
+        |FROM s LEFT JOIN lab ON lab.id = s.id
+        |LEFT JOIN border ON border.id = s.id
+        |ORDER BY s.id""".stripMargin,
     "q131_union_agg" ->
       """WITH f AS (SELECT CAST(o_custkey % 40 AS INT) AS k,
         |    CAST((o_orderkey % 96) // 8 AS INT) AS i FROM orders),

@@ -1597,6 +1597,22 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q134_pagerank" -> { (s, d) =>
+      prep(s, d)
+      // link-graph authority: fixed-point PageRank (damping 17/20, floor
+      // at every division, long-sum accumulation) over a skewed synthetic
+      // web — a third of the edges funnel into 12 hub nodes, so the rank
+      // mass concentrates the way real link graphs do. Integer arithmetic
+      // end-to-end: the oracle unrolls the same three iterations with
+      // DuckDB floor division and matches bit-for-bit.
+      val edges = s.sql(
+        """SELECT o_custkey % 150 AS src,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 12
+          |       ELSE o_orderkey % 150 END AS dst
+          |FROM orders""".stripMargin)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
       // corpus term weighting: top-5 BM25-scored terms per document with
@@ -3640,6 +3656,39 @@ object SparkEntry {
     // right→left, close at the min corner); one island → POLYGON, more →
     // MULTIPOLYGON sorted by island start; area = cell count (exact),
     // npoints = Σ(2w+3), parts = island count
+    // fixed-point PageRank: same distinct edge set, same integer share
+    // chain ((r*17)//20)//outdeg (DuckDB // == Spark DIV on positives),
+    // same base 150000000 = scale*3/20, three unrolled iterations
+    "q134_pagerank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey % 150 AS src,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 12
+        |         ELSE o_orderkey % 150 END AS dst
+        |  FROM orders),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n),
+        |s0 AS (SELECT e.dst AS node,
+        |    sum(((r0.rank * 17) // 20) // od.outdeg) AS m
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.node = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |    CAST(150000000 + coalesce(s0.m, 0) AS BIGINT) AS rank
+        |  FROM n LEFT JOIN s0 USING (node)),
+        |s1 AS (SELECT e.dst AS node,
+        |    sum(((r1.rank * 17) // 20) // od.outdeg) AS m
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |    CAST(150000000 + coalesce(s1.m, 0) AS BIGINT) AS rank
+        |  FROM n LEFT JOIN s1 USING (node)),
+        |s2 AS (SELECT e.dst AS node,
+        |    sum(((r2.rank * 17) // 20) // od.outdeg) AS m
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.node = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |    CAST(150000000 + coalesce(s2.m, 0) AS BIGINT) AS rank
+        |  FROM n LEFT JOIN s2 USING (node))
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph signals for corpus curation. Web-scale pipelines weight
+  * documents by their position in the link graph (domain/page authority);
+  * this is the standard damped PageRank, made schedule-deterministic.
+  *
+  * Determinism: ranks are FIXED-POINT longs (units of 1/`scale`), damping
+  * is the exact rational 17/20 (= 0.85), and every per-iteration value is
+  * integer arithmetic — `(r * 17) / 20 / outdeg` shares, long-sum
+  * accumulation (commutative, overflow-safe: total mass <= N·scale) — so
+  * the result is bit-identical under any partitioning, retry or merge
+  * order, and a DuckDB oracle can unroll the same iterations (q134).
+  * Floating-point PageRank would make both properties impossible (float
+  * sums don't commute).
+  *
+  * Semantics: r0(v) = scale for every node; each iteration
+  * r'(v) = (scale·3)/20 + Σ_{u→v} ((r(u)·17)/20)/outdeg(u), with floor at
+  * every division. Dangling nodes (no out-edges) contribute nothing —
+  * the common "lost mass" variant, documented rather than redistributed
+  * (redistribution needs a global scalar per iteration; easy to add, but
+  * the lost-mass form is what the oracle replays). Edges are deduplicated;
+  * self-loops participate like any edge.
+  *
+  * 100-TB shape: per iteration ONE shuffle keyed by dst (the contribution
+  * aggregation, partial map-side) plus an equi-join of edges to the rank
+  * table on src — both standard hash exchanges on compact (long, long)
+  * rows; no collect, no driver-side state. Iterations are a fixed small
+  * count (signals converge in a handful of damped rounds); each round's
+  * rank table is persisted and the previous one unpersisted, so lineage
+  * stays O(1). */
+object Graph {
+
+  /** @param edges  link table; one row per (src, dst) pair (dupes dropped)
+    * @param iters  fixed iteration count (>= 0 — 0 returns r0 = scale)
+    * @param scale  fixed-point denominator
+    * @return ("node", "rank") — rank in units of 1/scale */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(scale >= 20, "scale must be >= 20")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * 3L / 20L
+
+    var r = nodes.withColumn("rank", lit(scale))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until iters) {
+      // share(u) = ((r·17) div 20) div outdeg — integral DIV, not `/`
+      // (Spark's `/` on longs is double division; DIV truncates, which on
+      // these all-positive values equals the floor the oracle replays)
+      val share = r.join(outdeg, "node")
+        .select(col("node").as("src"),
+          expr("((rank * 17L) DIV 20L) DIV outdeg").as("share"))
+      val contribs = e.join(share, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("in_mass"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the parent
+      r.unpersist()
+      r = next
+    }
+    r
+  }
+}

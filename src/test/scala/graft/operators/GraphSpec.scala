@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point PageRank vs an independent scalar reference. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = graft.sql.SparkTestSession.spark
+  import spark.implicits._
+
+  /** Literal replay of the documented semantics in plain Scala. */
+  private def referencePr(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val base = scale * 3L / 20L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until iters) {
+      val contribs = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) * 17L / 20L / outdeg(s) }.sum }
+      r = nodes.map(n => n -> (base + contribs.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int, parts: Int = 5,
+                  scale: Long = 1000000000L): Map[Long, Long] =
+    Graph.pageRank(
+        spark.createDataset(edges).toDF("src", "dst").repartition(parts),
+        "src", "dst", iters, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // a small web: 0 is a hub everyone links to; 3 links out only; 4 dangles
+  private val web = Seq(
+    (1L, 0L), (2L, 0L), (3L, 0L), (1L, 2L), (2L, 1L),
+    (3L, 4L), (0L, 1L), (1L, 0L) /* dupe must drop */)
+
+  test("matches the scalar reference bit-for-bit at several depths") {
+    for (iters <- Seq(0, 1, 2, 3, 5)) {
+      assert(run(web, iters) === referencePr(web, iters, 1000000000L),
+        s"iters=$iters")
+    }
+  }
+
+  test("hub outranks leaves; dangling node keeps only its in-mass") {
+    val got = run(web, 3)
+    assert(got(0L) > got(4L) && got(0L) > got(2L))
+    val ref = referencePr(web, 3, 1000000000L)
+    assert(got(4L) === ref(4L))
+  }
+
+  test("partition invariance: 1 vs 13 partitions identical") {
+    assert(run(web, 3, parts = 1) === run(web, 3, parts = 13))
+  }
+
+  test("a ring conserves mass exactly (no dangling, outdeg 1)") {
+    // every node passes floor(r·17/20) along; ranks stay uniform
+    val ring = (0L until 6L).map(i => i -> ((i + 1) % 6))
+    val got = run(ring, 4)
+    assert(got.values.toSet.size === 1)
+    assert(got === referencePr(ring, 4, 1000000000L))
+  }
+}

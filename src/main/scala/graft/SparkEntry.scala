@@ -49,6 +49,20 @@ object SparkEntry {
       |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
       |FROM lineitem""".stripMargin
 
+  /** Deterministic ping stream for the trajectory operators (q135–q137):
+    * PtsCte's lon/lat arithmetic verbatim, plus an entity key (~997
+    * tracks), the ship timestamp, and a tiebreak (l_orderkey*8 +
+    * l_linenumber — NOT unique: the synthetic lineitem carries duplicate
+    * (orderkey, linenumber) rows with different coordinates, which is
+    * exactly the dirty-lake case the operators' (ts, tie, x, y) total
+    * order exists for). Shared verbatim with the DuckDB oracles. */
+  private val TrackPingsCte =
+    """SELECT l_orderkey % 997 AS entity, l_shipdate AS ts,
+      |  l_orderkey * 8 + l_linenumber AS tie,
+      |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon,
+      |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
+      |FROM lineitem""".stripMargin
+
   /** Deterministic zone boxes over nation: a 5×5 grid of 25 DISJOINT
     * axis-aligned lon/lat boxes (grid slot = (key%5, key/5), each box
     * inset in its slot), well inside the Web-Mercator domain. The text is
@@ -1612,6 +1626,50 @@ object SparkEntry {
           |FROM orders""".stripMargin)
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
         .orderBy("node")
+    },
+    "q135_tracks" -> { (s, d) =>
+      prep(s, d)
+      // trajectory assembly: one LINESTRING per entity in (ts, tie) order;
+      // track length is st_length's left-to-right sqrt fold over the
+      // sorted vertices, which the oracle replays with an ordered
+      // list_reduce — length, endpoints and counts all bit-exact
+      val pings = s.sql(TrackPingsCte)
+      graft.operators.Trajectory
+        .buildTracks(pings, "entity", "ts", "tie", "lon", "lat")
+        .selectExpr("entity", "n_pings", "t0", "t1", "track_len",
+          "st_x(st_pointn(track, 1)) AS x0",
+          "st_y(st_pointn(track, 1)) AS y0",
+          "st_x(st_pointn(track, CAST(n_pings AS INT))) AS xn",
+          "st_y(st_pointn(track, CAST(n_pings AS INT))) AS yn",
+          "st_npoints(track) AS n_vertices")
+        .orderBy("entity")
+    },
+    "q136_kinematics" -> { (s, d) =>
+      prep(s, d)
+      // per-ping kinematics: step distance / elapsed seconds / speed from
+      // the previous ping of the same entity (time order), NULL speed on
+      // first pings and duplicate timestamps (no 0/0 NaN), plus the
+      // GPS-jitter flag at a fixed threshold — every double is a single
+      // fixed expression over lag pairs, replicated verbatim in DuckDB
+      val pings = s.sql(TrackPingsCte)
+      graft.operators.Trajectory
+        .withKinematics(pings, "entity", "ts", "tie", "lon", "lat")
+        .selectExpr("entity", "tie", "step_dist", "step_s", "speed",
+          "speed IS NOT NULL AND speed > CAST(0.00005 AS DOUBLE) AS is_jump")
+        .orderBy("entity", "tie")
+    },
+    "q137_od_matrix" -> { (s, d) =>
+      prep(s, d)
+      // origin->destination flows at zoom 6: each entity's first/last ping
+      // (lexicographic min/max of (ts, tie, x, y) structs — no window over
+      // the ping table) maps to a Web-Mercator tile; the oracle re-derives
+      // first/last with rank windows over the SAME four-key total order
+      // and the tile from q22's ln/tan formula (bit-parity established
+      // there)
+      val pings = s.sql(TrackPingsCte)
+      graft.operators.Trajectory
+        .odMatrix(pings, "entity", "ts", "tie", "lon", "lat", z = 6)
+        .orderBy("o_tx", "o_ty", "d_tx", "d_ty")
     },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
@@ -3689,6 +3747,68 @@ object SparkEntry {
         |    CAST(150000000 + coalesce(s2.m, 0) AS BIGINT) AS rank
         |  FROM n LEFT JOIN s2 USING (node))
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    // trajectory assembly: per-entity time-ordered vertex lists; length =
+    // the same left-to-right fold of sqrt(dx*dx + dy*dy) st_length runs
+    // (seeded [0.0] so single-ping tracks fold to 0.0)
+    "q135_tracks" ->
+      s"""WITH pings AS (${TrackPingsCte.replace("\n", " ")}),
+        |tr AS (SELECT entity, count(*) AS n_pings, min(ts) AS t0,
+        |    max(ts) AS t1,
+        |    list(lon ORDER BY ts, tie, lon, lat) AS xs,
+        |    list(lat ORDER BY ts, tie, lon, lat) AS ys
+        |  FROM pings GROUP BY entity)
+        |SELECT entity, n_pings, t0, t1,
+        |  list_reduce([CAST(0 AS DOUBLE)] ||
+        |    list_transform(generate_series(2, CAST(n_pings AS INTEGER)),
+        |      i -> sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) +
+        |                (ys[i] - ys[i-1]) * (ys[i] - ys[i-1]))),
+        |    (a, b) -> a + b) AS track_len,
+        |  xs[1] AS x0, ys[1] AS y0,
+        |  xs[CAST(n_pings AS INTEGER)] AS xn,
+        |  ys[CAST(n_pings AS INTEGER)] AS yn,
+        |  CAST(n_pings AS INTEGER) AS n_vertices
+        |FROM tr ORDER BY entity""".stripMargin,
+    // kinematics: identical lag pairs, identical expression trees —
+    // step_s computed first, speed as step_dist / step_s (two divisions
+    // total, both replicated), NULL-guarded on dt <= 0
+    "q136_kinematics" ->
+      s"""WITH pings AS (${TrackPingsCte.replace("\n", " ")}),
+        |lagged AS (SELECT entity, tie, lon, lat, epoch_us(ts) AS us,
+        |    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+        |    lag(epoch_us(ts)) OVER w AS pus
+        |  FROM pings WINDOW w AS (PARTITION BY entity ORDER BY ts, tie, lon, lat)),
+        |k AS (SELECT entity, tie,
+        |    sqrt((lon - plon) * (lon - plon) +
+        |         (lat - plat) * (lat - plat)) AS step_dist,
+        |    CAST(us - pus AS DOUBLE) / 1000000.0 AS step_s,
+        |    us - pus AS dt_us
+        |  FROM lagged)
+        |SELECT entity, tie, step_dist, step_s,
+        |  CASE WHEN dt_us > 0 THEN step_dist / step_s END AS speed,
+        |  coalesce(CASE WHEN dt_us > 0 THEN step_dist / step_s END
+        |    > CAST(0.00005 AS DOUBLE), FALSE) AS is_jump
+        |FROM k ORDER BY entity, tie""".stripMargin,
+    // OD matrix: first/last ping via rank windows (Spark uses min/max of
+    // (ts, tie, x, y) structs — tie is unique so both resolve the same
+    // row), tiles from q22's Web-Mercator formula at 2^6 = 64
+    "q137_od_matrix" ->
+      s"""WITH pings AS (${TrackPingsCte.replace("\n", " ")}),
+        |sel AS (SELECT entity, lon, lat,
+        |    row_number() OVER (PARTITION BY entity ORDER BY ts, tie, lon, lat) AS ra,
+        |    row_number() OVER (PARTITION BY entity ORDER BY ts DESC, tie DESC, lon DESC, lat DESC) AS rd,
+        |    count(*) OVER (PARTITION BY entity) AS np
+        |  FROM pings),
+        |o AS (SELECT entity, lon AS ox, lat AS oy, np FROM sel WHERE ra = 1),
+        |d AS (SELECT entity, lon AS ex, lat AS ey FROM sel WHERE rd = 1),
+        |od AS (SELECT o.entity, ox, oy, ex, ey, np
+        |  FROM o JOIN d ON o.entity = d.entity)
+        |SELECT
+        |  CAST(floor((ox + 180.0) / 360.0 * 64) AS INTEGER) AS o_tx,
+        |  CAST(floor((1.0 - ln(tan(radians(oy)) + 1.0 / cos(radians(oy))) / pi()) / 2.0 * 64) AS INTEGER) AS o_ty,
+        |  CAST(floor((ex + 180.0) / 360.0 * 64) AS INTEGER) AS d_tx,
+        |  CAST(floor((1.0 - ln(tan(radians(ey)) + 1.0 / cos(radians(ey))) / pi()) / 2.0 * 64) AS INTEGER) AS d_ty,
+        |  count(*) AS n_entities, CAST(sum(np) AS BIGINT) AS n_pings
+        |FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

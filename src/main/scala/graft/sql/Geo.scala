@@ -144,6 +144,8 @@ object Geo {
       if (a.length == 6) geo(G, "makeLine3", a, Seq.fill(6)(DoubleType))
       else geo(G, "makeLine2", a, Seq.fill(4)(DoubleType))
     },
+    "st_linefromxy" -> (a => geo(G, "lineFromXY", a,
+      Seq(ArrayType(DoubleType, containsNull = true)))),
     // linear referencing + vertex accessors (PostGIS semantics)
     "st_lineinterpolate" -> (a => geo(G, "lineInterpolatePoint", a,
       Seq(G, DoubleType))),

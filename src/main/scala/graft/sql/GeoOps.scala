@@ -206,6 +206,29 @@ object GeoOps {
     GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY,
       Array(x1, y1, x2, y2, x3, y3)))
 
+  /** LINESTRING from an interleaved `[x0, y0, x1, y1, ...]` array — the
+    * arbitrary-length constructor behind trajectory assembly
+    * ([[graft.operators.Trajectory.buildTracks]] feeds it the flattened
+    * time-sorted ping coordinates). Vertices keep input order verbatim
+    * (PostGIS `ST_MakeLine(geom ORDER BY ...)` semantics); a single pair
+    * yields a 1-vertex LINESTRING (length 0), an empty array LINESTRING
+    * EMPTY. Null ordinates are rejected: a silent skip would silently
+    * shift every later vertex. */
+  def lineFromXY(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    require(n % 2 == 0, s"st_linefromxy takes interleaved xy pairs; got $n doubles")
+    if (n == 0)
+      return GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY, Geom.emptyDoubles))
+    val coords = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i), s"st_linefromxy: null ordinate at $i")
+      coords(i) = a.getDouble(i)
+      i += 1
+    }
+    GeoStruct.encode(Geom(GeomTypes.LineString, Dims.XY, coords))
+  }
+
   /** Linear referencing (PostGIS ST_LineInterpolatePoint): the point at
     * `frac` of the line's total length. Every arithmetic step is
     * order-fixed — segment lengths `sqrt(dx·dx + dy·dy)` summed left to

@@ -1671,6 +1671,61 @@ object SparkEntry {
         .odMatrix(pings, "entity", "ts", "tie", "lon", "lat", z = 6)
         .orderBy("o_tx", "o_ty", "d_tx", "d_ty")
     },
+    "q138_convolve" -> { (s, d) =>
+      prep(s, d)
+      // distributed raster stencil (Gaussian blur) over a RENDERED tile
+      // store, audited through real pixels: render z4 density tiles, then
+      // convolve with [1,2,1]⊗[1,2,1] DIV 16 — each lit pixel scatters 9
+      // weighted contributions onto WORLD pixels, so output pixels on tile
+      // boundaries reassemble neighbor tiles' data (the halo exchange) and
+      // blur bleeds into previously-absent tiles. Integer arithmetic
+      // end-to-end (clamped decode → multiply → sum → floor-div): the
+      // oracle replays pixel counts, the 9-tap scatter and the division in
+      // closed form, tile by tile.
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      val rendered = TileRender.renderTiles(pts, "lon", "lat", zoom = 4,
+        size = 256)
+      TileRender.convolve(rendered, TileRender.GaussianKernel, 16L,
+          size = 256)
+        .selectExpr("x AS tx", "y AS ty",
+          "img_nonzero(png) AS lit_pixels",
+          "img_channel_sum(png, 0) AS gray_sum")
+        .orderBy("tx", "ty")
+    },
+    "q139_triangles" -> { (s, d) =>
+      prep(s, d)
+      // per-node triangle counts over q134's skewed synthetic web (hubs
+      // make the degree-ordered orientation actually matter): undirected
+      // simple graph, each triangle found exactly once at its lowest-
+      // (degree, id) corner, counts distributed back to all three corners.
+      // Exact integer output; the oracle re-derives the same triangle set
+      // with the id-ordered three-way self-join (orientation-independent).
+      val edges = s.sql(
+        """SELECT o_custkey % 150 AS src,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 12
+          |       ELSE o_orderkey % 150 END AS dst
+          |FROM orders""".stripMargin)
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy("node")
+    },
+    "q140_hausdorff" -> { (s, d) =>
+      prep(s, d)
+      // trajectory similarity: discrete symmetric Hausdorff distance
+      // between consecutive entities' assembled tracks (vertex-sampled,
+      // squared-space max/min with one final sqrt — bit-replicable because
+      // sqrt is monotone and correctly rounded in both engines). The
+      // oracle recomputes both directed legs from the raw ping sets (the
+      // measure is vertex-ORDER-independent, so no sorting enters).
+      val pings = s.sql(TrackPingsCte).where("entity < 41")
+      val tracks = graft.operators.Trajectory
+        .buildTracks(pings, "entity", "ts", "tie", "lon", "lat")
+        .select(col("entity"), col("track"))
+      val b = tracks.select((col("entity") - 1).as("entity"),
+        col("track").as("track_b"))
+      tracks.join(b, "entity")
+        .selectExpr("entity", "st_hausdorff(track, track_b) AS hd")
+        .orderBy("entity")
+    },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
       // corpus term weighting: top-5 BM25-scored terms per document with
@@ -3809,6 +3864,85 @@ object SparkEntry {
         |  CAST(floor((1.0 - ln(tan(radians(ey)) + 1.0 / cos(radians(ey))) / pi()) / 2.0 * 64) AS INTEGER) AS d_ty,
         |  count(*) AS n_entities, CAST(sum(np) AS BIGINT) AS n_pings
         |FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Gaussian-blur stencil: q97's pixel counts (clamped at 255 exactly
+    // like the rendered PNG the engine decodes), scattered through the
+    // separable 9-tap [1,2,1]⊗[1,2,1] kernel on WORLD pixels (so tile
+    // boundaries and bleed-into-absent-tiles follow from the grouping,
+    // same as the engine's halo exchange), floor-divided by 16
+    "q138_convolve" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |fr AS (SELECT
+        |  (lon + 180.0) / 360.0 * 16 AS fx,
+        |  (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+        |     / pi()) / 2.0 * 16 AS fy
+        |  FROM pts),
+        |px AS (SELECT
+        |  CAST(floor(fx) AS INTEGER) AS tx, CAST(floor(fy) AS INTEGER) AS ty,
+        |  CAST(floor((fx - floor(fx)) * 256) AS INTEGER) AS ppx,
+        |  CAST(floor((fy - floor(fy)) * 256) AS INTEGER) AS ppy
+        |  FROM fr),
+        |cnt AS (SELECT tx, ty, ppx, ppy, count(*) AS n
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |base AS (SELECT CAST(tx AS BIGINT) * 256 + ppx AS wx,
+        |    CAST(ty AS BIGINT) * 256 + ppy AS wy,
+        |    CAST(least(n, 255) AS BIGINT) AS v
+        |  FROM cnt),
+        |sc AS (SELECT wx + ox.d AS wx, wy + oy.d AS wy, v * ox.w * oy.w AS c
+        |  FROM base,
+        |    (VALUES (-1, 1), (0, 2), (1, 1)) AS ox(d, w),
+        |    (VALUES (-1, 1), (0, 2), (1, 1)) AS oy(d, w)),
+        |conv AS (SELECT wx, wy, sum(c) // 16 AS v FROM sc
+        |  WHERE wx BETWEEN 0 AND 4095 AND wy BETWEEN 0 AND 4095
+        |  GROUP BY wx, wy)
+        |SELECT CAST(wx // 256 AS INTEGER) AS tx,
+        |  CAST(wy // 256 AS INTEGER) AS ty,
+        |  CAST(coalesce(count(*) FILTER (WHERE v > 0), 0) AS BIGINT)
+        |    AS lit_pixels,
+        |  CAST(sum(v) AS BIGINT) AS gray_sum
+        |FROM conv GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    // triangle counts: the id-ordered (a < b < c) three-way self-join
+    // finds the same triangle set as the engine's degree-ordered
+    // orientation (triangles are orientation-independent); per-node count
+    // = corner multiplicity, zero-filled over all nodes
+    "q139_triangles" ->
+      """WITH raw AS (SELECT o_custkey % 150 AS src,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 12
+        |         ELSE o_orderkey % 150 END AS dst
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |n AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |c AS (SELECT node, count(*) AS cnt FROM (
+        |    SELECT u AS node FROM t
+        |    UNION ALL SELECT v FROM t
+        |    UNION ALL SELECT w FROM t)
+        |  GROUP BY node)
+        |SELECT n.node, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles
+        |FROM n LEFT JOIN c USING (node) ORDER BY node""".stripMargin,
+    // discrete Hausdorff: both directed legs from the raw ping sets —
+    // min of the same (dx*dx + dy*dy) tree per vertex, max per entity,
+    // sqrt(greatest(...)) at the end (sqrt is monotone, so squared-space
+    // min/max + one sqrt == per-pair sqrt + min/max bit-for-bit)
+    "q140_hausdorff" ->
+      s"""WITH p0 AS (${TrackPingsCte.replace("\n", " ")}),
+        |v AS (SELECT entity, lon AS x, lat AS y FROM p0 WHERE entity < 41),
+        |m1 AS (SELECT va.entity, va.x, va.y,
+        |    min((va.x - vb.x) * (va.x - vb.x) +
+        |        (va.y - vb.y) * (va.y - vb.y)) AS m
+        |  FROM v va JOIN v vb ON vb.entity = va.entity + 1
+        |  GROUP BY va.entity, va.x, va.y),
+        |h1 AS (SELECT entity, max(m) AS d2 FROM m1 GROUP BY entity),
+        |m2 AS (SELECT vb.entity - 1 AS entity, vb.x, vb.y,
+        |    min((vb.x - va.x) * (vb.x - va.x) +
+        |        (vb.y - va.y) * (vb.y - va.y)) AS m
+        |  FROM v vb JOIN v va ON va.entity = vb.entity - 1
+        |  GROUP BY vb.entity, vb.x, vb.y),
+        |h2 AS (SELECT entity, max(m) AS d2 FROM m2 GROUP BY entity)
+        |SELECT h1.entity, sqrt(greatest(h1.d2, h2.d2)) AS hd
+        |FROM h1 JOIN h2 USING (entity) ORDER BY entity""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

@@ -327,6 +327,62 @@ object Measure {
     math.sqrt(best)
   }
 
+  /** Discrete (vertex-sampled) symmetric Hausdorff distance — the standard
+    * trajectory/shape similarity measure: max over vertices of one geometry
+    * of the min Euclidean distance to the other's vertices, symmetrized
+    * with `max`. Vertex-based like PostGIS's discrete variant (densify
+    * with `st_segmentize` first when segment interiors matter). Computed
+    * in squared space with one final sqrt — bit-identical to per-pair
+    * sqrt + min/max because sqrt is monotone and exact, which is what lets
+    * a SQL oracle replay it verbatim (q139). NaN for EMPTY inputs.
+    * O(|a|·|b|) vertex pairs — a similarity JOIN should cull candidates
+    * with the cell/tile cover first; this kernel is the exact refine. */
+  def hausdorff(a: Geom, b: Geom): Double = {
+    val va = allVertices(a)
+    val vb = allVertices(b)
+    if (va.length == 0 || vb.length == 0) return Double.NaN
+    math.sqrt(math.max(directedH2(va, vb), directedH2(vb, va)))
+  }
+
+  /** max over a-vertices of min squared distance to b-vertices. */
+  private def directedH2(va: Array[Double], vb: Array[Double]): Double = {
+    var worst = 0.0
+    var i = 0
+    while (i < va.length) {
+      val ax = va(i); val ay = va(i + 1)
+      var best = Double.PositiveInfinity
+      var j = 0
+      while (j < vb.length) {
+        val dx = ax - vb(j); val dy = ay - vb(j + 1)
+        val d2 = dx * dx + dy * dy
+        if (d2 < best) best = d2
+        j += 2
+      }
+      if (best > worst) worst = best
+      i += 1
+      i += 1
+    }
+    worst
+  }
+
+  /** All (x, y) vertices of a geometry, collections flattened. */
+  private def allVertices(g: Geom): Array[Double] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofDouble
+    def walk(p: Geom): Unit = {
+      if (p.geomType == GeomTypes.Collection) {
+        if (p.parts != null) p.parts.foreach(walk)
+      } else {
+        val s = p.stride
+        var i = 0
+        while (i < p.numCoords) {
+          out += p.coords(i * s); out += p.coords(i * s + 1); i += 1
+        }
+      }
+    }
+    walk(g)
+    out.result()
+  }
+
   private def vertexMean(g: Geom): (Double, Double) = {
     val s = g.stride
     val n = g.numCoords

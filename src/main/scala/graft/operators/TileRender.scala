@@ -222,6 +222,69 @@ object TileRender {
       .agg(sum(col("v")).as("px_sum"), count(lit(1)).as("px_count"))
   }
 
+  /** Integer-kernel convolution (correlation orientation: out(x,y) =
+    * Σ k[r][c]·in(x+c-cx, y+r-cy), then floor-divide by `divisor`) over a
+    * RENDERED tile store (tile_id, png) — raster algebra's stencil step:
+    * Gaussian blur ([[GaussianKernel]]/16) for heatmap smoothing, edge
+    * detection, dilation-ish spreads. Zero padding at the world boundary;
+    * results clamp to [0, 255] on render. Output values are exact integer
+    * arithmetic end-to-end (decode → multiply → sum → floor-div), so a
+    * closed-form SQL oracle can replay them (q138).
+    *
+    * 100-TB shape — the distributed-stencil HALO EXCHANGE, with no
+    * neighbor-tile join at all: each lit pixel SCATTERS its ≤ k² weighted
+    * contributions onto WORLD pixel coordinates, and the single
+    * (z, world-pixel) aggregation (map-side partial combine first)
+    * reassembles every output pixel — including one that straddles a tile
+    * boundary and needs three neighbor tiles' pixels — exactly like the
+    * point renderer's own shuffle. Shuffle volume is bounded by
+    * k² × lit pixels (k² ≤ 25), per-tile state stays ≤ size² longs, and
+    * tiles that were absent but receive bleed-over from a lit neighbor
+    * appear in the output (absent = all-zero, the render convention).
+    * Multi-zoom stores convolve per level (z rides the key). */
+  def convolve(tiles: DataFrame, kernel: Seq[Seq[Long]], divisor: Long,
+               size: Int = 256): DataFrame = {
+    require(size > 0 && size <= 4096, s"tile size out of (0,4096]: $size")
+    require(divisor > 0, s"divisor must be positive: $divisor")
+    val k = kernel.length
+    require(k > 0 && k % 2 == 1 && k <= 5 && kernel.forall(_.length == k),
+      s"kernel must be square with odd side <= 5: ${k}x?")
+    Geo.register(tiles.sparkSession)
+    val c = k / 2
+    // scatter form of the correlation: input pixel p contributes
+    // k[r][col]·v to out(p.x - (col-c), p.y - (r-c))
+    val taps = for {
+      r <- 0 until k; cc <- 0 until k if kernel(r)(cc) != 0L
+    } yield struct(lit(c - cc).as("dx"), lit(c - r).as("dy"),
+      lit(kernel(r)(cc)).as("w"))
+    val px = tiles.select(
+        call_function("st_tilez", col("tile_id")).as("z"),
+        (call_function("st_tilex", col("tile_id")).cast("long") * size)
+          .as("tx0"),
+        (call_function("st_tiley", col("tile_id")).cast("long") * size)
+          .as("ty0"),
+        explode(call_function("tile_pixel_values", col("png"))).as("pv"))
+      .select(col("z"),
+        (col("tx0") + shiftrightunsigned(col("pv"), 32) % size).as("wx"),
+        (col("ty0") + expr(s"shiftrightunsigned(pv, 32) DIV $size")).as("wy"),
+        col("pv").bitwiseAND(lit(0xffffffffL)).as("v"))
+    val world = expr(s"shiftleft(CAST(1 AS BIGINT), z) * $size")
+    val counts = px
+      .select(col("z"), explode(array(taps: _*)).as("t"), col("wx"),
+        col("wy"), col("v"))
+      .select(col("z"), (col("wx") + col("t.dx")).as("wx"),
+        (col("wy") + col("t.dy")).as("wy"), (col("v") * col("t.w")).as("c"))
+      .where(col("wx") >= 0L && col("wy") >= 0L &&
+        col("wx") < world && col("wy") < world)
+      .groupBy("z", "wx", "wy")
+      .agg(expr(s"sum(c) DIV ${divisor}L").as("n"))
+    renderCells(cellsFromWorldPixels(counts, col("z"), size), size)
+  }
+
+  /** The separable binomial 3×3 kernel [1,2,1]⊗[1,2,1]; divide by 16. */
+  val GaussianKernel: Seq[Seq[Long]] =
+    Seq(Seq(1L, 2L, 1L), Seq(2L, 4L, 2L), Seq(1L, 2L, 1L))
+
   /** Per-tile decoded-pixel MSE between two rendered tile stores
     * (tile_id, png) — render regression checking: the north rule's
     * decoded-pixel invariant applied store-to-store (two pipeline runs,

@@ -265,6 +265,9 @@ object Geo {
     "st_length" -> (a => geo(DoubleType, "lengthOf", a, Seq(G))),
     "st_centroid" -> (a => geo(G, "centroid", a, Seq(G))),
     "st_distance" -> (a => geo(DoubleType, "distance", a, Seq(G, G))),
+    // discrete symmetric Hausdorff (vertex-sampled; densify first via
+    // st_segmentize when segment interiors matter) — trajectory similarity
+    "st_hausdorff" -> (a => geo(DoubleType, "hausdorffDistance", a, Seq(G, G))),
     "st_intersects" -> (a => geo(BooleanType, "intersects", a, Seq(G, G))),
     // boolean overlay (Martínez–Rueda sweep, canonical output; q129/q130)
     "st_intersection" -> (a => geo(G, "intersectionGeom", a, Seq(G, G))),

@@ -808,6 +808,10 @@ object GeoOps {
   def intersects(a: InternalRow, b: InternalRow): Boolean =
     Measure.intersects(GeoStruct.decode(a), GeoStruct.decode(b))
 
+  /** Discrete symmetric Hausdorff distance (vertex-sampled). */
+  def hausdorffDistance(a: InternalRow, b: InternalRow): Double =
+    Measure.hausdorff(GeoStruct.decode(a), GeoStruct.decode(b))
+
   // --- boolean overlay (see `core/Overlay` — Martínez–Rueda sweep with
   // interior-on-left face reconnection; canonical output, q129/q130) ---
 

@@ -247,6 +247,45 @@ class CoreGeomSpec extends AnyFunSuite {
     assert(!ix(rectA, "POINT EMPTY"))
   }
 
+  test("st_hausdorff: discrete vertex-sampled symmetric Hausdorff") {
+    def h(a: String, b: String) = Measure.hausdorff(Wkt.parse(a), Wkt.parse(b))
+    // identical geometry -> 0 (every vertex has a zero-distance partner)
+    assert(h("LINESTRING (0 0, 3 4, 10 0)", "LINESTRING (0 0, 3 4, 10 0)") == 0.0)
+    // classic asymmetric case: directed h(A,B) differs from h(B,A); the
+    // symmetric measure takes the max. A = {(0,0)}, B = {(3,4), (6,8)}:
+    // h(A,B) = 5, h(B,A) = 10 -> 10
+    assert(h("POINT (0 0)", "MULTIPOINT (3 4, 6 8)") == 10.0)
+    assert(h("MULTIPOINT (3 4, 6 8)", "POINT (0 0)") == 10.0) // symmetric
+    // vertex-sampled: segment interiors do NOT participate — the midpoint
+    // vertex of B is 1 away from A's nearest VERTEX (not 0 from its edge)
+    assert(h("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 1 1, 2 0)") ==
+      math.sqrt(2.0))
+    // collections flatten
+    assert(h("GEOMETRYCOLLECTION (POINT (0 0), POINT (6 8))",
+      "MULTIPOINT (0 0, 6 8)") == 0.0)
+    // EMPTY -> NaN (either side, incl. collection of EMPTY parts)
+    assert(h("POINT EMPTY", "POINT (1 1)").isNaN)
+    assert(h("POINT (1 1)", "GEOMETRYCOLLECTION (POINT EMPTY)").isNaN)
+    // brute-force parity on seeded random multipoints (squared-space
+    // max/min + one sqrt == per-pair sqrt + max/min, bit-for-bit)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val pa = Seq.fill(rnd.nextInt(12) + 1)(
+        (rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+      val pb = Seq.fill(rnd.nextInt(12) + 1)(
+        (rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+      def wkt(ps: Seq[(Double, Double)]) =
+        ps.map { case (x, y) => s"$x $y" }.mkString("MULTIPOINT (", ", ", ")")
+      def directed(u: Seq[(Double, Double)], v: Seq[(Double, Double)]) =
+        u.map { case (ux, uy) =>
+          v.map { case (vx, vy) =>
+            math.sqrt((ux - vx) * (ux - vx) + (uy - vy) * (uy - vy)) }.min
+        }.max
+      val want = math.max(directed(pa, pb), directed(pb, pa))
+      assert(h(wkt(pa), wkt(pb)) == want)
+    }
+  }
+
   test("convex hull properties over seeded random point sets") {
     def cross(ox: Double, oy: Double, ax: Double, ay: Double,
               bx: Double, by: Double): Double =

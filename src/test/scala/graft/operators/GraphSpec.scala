@@ -60,4 +60,52 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size === 1)
     assert(got === referencePr(ring, 4, 1000000000L))
   }
+
+  // ------------------------------------------------------------ triangles
+
+  /** Literal per-node triangle counts: enumerate all id-ordered vertex
+    * triples of the undirected simple graph. */
+  private def referenceTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = (und.map(_._1) ++ und.map(_._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if und((a, b)) && und((a, c)) && und((b, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)], parts: Int = 5): Map[Long, Long] =
+    Graph.triangleCounts(
+        spark.createDataset(edges).toDF("src", "dst").repartition(parts),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle counts match brute force on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(220)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+    assert(runTri(edges) === referenceTriangles(edges))
+  }
+
+  test("triangles: reversed/duplicate edges and self-loops drop; " +
+    "hub wedge explosion avoided by orientation") {
+    // K4 on {0..3} given as a dirty mix of directions/dupes/loops, plus a
+    // hub (9) with many spokes and no closing edges (zero triangles)
+    val k4 = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (0L, 3L), (1L, 2L),
+      (2L, 3L), (3L, 1L), (2L, 2L))
+    val spokes = (10L to 30L).map(i => (i, 9L))
+    val got = runTri(k4 ++ spokes)
+    // each K4 vertex sits in C(3,2) = 3 triangles
+    assert(Seq(0L, 1L, 2L, 3L).forall(got(_) == 3L))
+    assert(got(9L) === 0L && got(10L) === 0L)
+    assert(got === referenceTriangles(k4 ++ spokes))
+  }
+
+  test("triangle counts are partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    assert(runTri(edges, parts = 1) === runTri(edges, parts = 13))
+  }
 }

@@ -74,6 +74,72 @@ class TileRenderSpec extends AnyFunSuite {
     assert(MediaOps.imgNonzero(out((Tiles.x(t2), Tiles.y(t2)))) == 1L)
   }
 
+  // ------------------------------------------------------------ convolve
+
+  /** One-tile store with the given packed (pixel -> value) cells. */
+  private def store(z: Int, tx: Int, ty: Int, size: Int,
+                    cells: Seq[(Int, Long)]) = {
+    val png = MediaOps.tileRender(size,
+      graft.sql.GeoStruct.longArray(
+        cells.map { case (p, v) => (p.toLong << 32) | v }.toArray))
+    Seq((Tiles.pack(z, tx, ty), png)).toDF("tile_id", "png")
+  }
+
+  private def pixels(png: Array[Byte]): Map[(Int, Int), Int] = {
+    val img = decode(png)
+    (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth
+          if (img.getRGB(x, y) & 0xff) != 0)
+      yield (x, y) -> (img.getRGB(x, y) & 0xff)).toMap
+  }
+
+  test("convolve: identity kernel reproduces the store byte-for-byte") {
+    val in = store(2, 1, 2, 64, Seq(0 -> 7L, 65 -> 255L, 64 * 64 - 1 -> 1L))
+    val id = Seq(Seq(0L, 0L, 0L), Seq(0L, 1L, 0L), Seq(0L, 0L, 0L))
+    val out = TileRender.convolve(in, id, 1L, size = 64).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[Int]("z") == 2 && row.getAs[Int]("x") == 1 &&
+      row.getAs[Int]("y") == 2)
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("png"),
+      in.collect().head.getAs[Array[Byte]]("png")))
+  }
+
+  test("convolve: gaussian blur exchanges halo across tile boundaries") {
+    // one pixel of value 16 at the top-left CORNER of tile (1,1): the blur
+    // must light pixels in the three neighbor tiles (0,0), (1,0), (0,1)
+    // that were absent from the input store — the halo exchange, plus
+    // bleed-into-absent-tiles, in one case
+    val in = store(2, 1, 1, 64, Seq(0 -> 16L))
+    val out = TileRender.convolve(in, TileRender.GaussianKernel, 16L,
+        size = 64)
+      .collect()
+      .map(r => (r.getAs[Int]("x"), r.getAs[Int]("y")) ->
+        pixels(r.getAs[Array[Byte]]("png"))).toMap
+    assert(out.keySet == Set((0, 0), (1, 0), (0, 1), (1, 1)))
+    // contribution at offset (dx, dy) = w(dx)·w(dy), w = [1, 2, 1]
+    assert(out((0, 0)) == Map((63, 63) -> 1))
+    assert(out((1, 0)) == Map((0, 63) -> 2, (1, 63) -> 1))
+    assert(out((0, 1)) == Map((63, 0) -> 2, (63, 1) -> 1))
+    assert(out((1, 1)) == Map((0, 0) -> 4, (1, 0) -> 2, (0, 1) -> 2,
+      (1, 1) -> 1))
+    // kernel sum 16, divisor 16: total mass conserved away from edges
+    assert(out.values.flatMap(_.values).sum == 16)
+  }
+
+  test("convolve: zero padding at the world edge drops out-of-range taps") {
+    // value 16 at world pixel (0, 0): the 7 taps with a negative world
+    // coordinate vanish (4 + 4 - 1 overlap), leaving mass 16 - 7 = 9
+    val in = store(2, 0, 0, 64, Seq(0 -> 16L))
+    val out = TileRender.convolve(in, TileRender.GaussianKernel, 16L,
+        size = 64)
+      .collect()
+      .map(r => (r.getAs[Int]("x"), r.getAs[Int]("y")) ->
+        pixels(r.getAs[Array[Byte]]("png"))).toMap
+    assert(out.keySet == Set((0, 0)))
+    assert(out((0, 0)) == Map((0, 0) -> 4, (1, 0) -> 2, (0, 1) -> 2,
+      (1, 1) -> 1))
+  }
+
   test("renderTiles plan: kernels codegen'd, partial agg before shuffle") {
     val pts = Seq((1.0, 2.0), (3.0, 4.0)).toDF("lon", "lat")
     val plan = TileRender.renderTiles(pts, "lon", "lat", 4)

@@ -1692,6 +1692,24 @@ object SparkEntry {
           "img_channel_sum(png, 0) AS gray_sum")
         .orderBy("tx", "ty")
     },
+    "q141_ann_pq" -> { (s, d) =>
+      prep(s, d)
+      // product quantization, train→encode→serve oracled end-to-end: two
+      // 32-d subspaces each trained with the fixed-point k-means (k=4,
+      // 2 iterations, md5 seeds — the q113 machinery over slices), corpus
+      // encoded to 2 codes, queries precompute exact subspace-L2² ADC
+      // tables, candidates rank by two table lookups (ordered sum), exact
+      // cosine rerank on the top 12. The oracle replays every stage —
+      // codebooks, codes, tables, ADC sums, both rank windows — in SQL.
+      val corpus = s.table("embeddings")
+      val queries = s.table("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.pqTopK(corpus, queries, "embedding", "vec_id", "qid", "qvec",
+          k = 3, m = 2, kSub = 4, iters = 2, rerank = 4)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    },
     "q139_triangles" -> { (s, d) =>
       prep(s, d)
       // per-node triangle counts over q134's skewed synthetic web (hubs
@@ -2457,12 +2475,67 @@ object SparkEntry {
 
   // --- DuckDB k-means L2² replica: the engine's argminL2 fold, verbatim —
   // terms (e[i]-c[i])² in index order, left-folded from 0.0, all double
-  private def kmDist(e: String, c: String): String =
+  private def kmDist(e: String, c: String, dim: Int = 64): String =
     s"""list_reduce([CAST(0 AS DOUBLE)] ||
        |      [ (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
        |        * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
-       |        FOR i IN generate_series(1, 64)],
+       |        FOR i IN generate_series(1, $dim)],
        |      (a, x) -> a + x)""".stripMargin
+
+  /** Per-subspace k-means → encode → ADC-table CTE chain for the PQ oracle
+    * (q141): the q113 Lloyd's replica over the slice `embedding[lo:hi]`
+    * (k=4, 2 iterations, same md5 seed rows), then `code$p` (nearest final
+    * centroid per corpus vector, ties to the lowest index — argminL2's
+    * strict-less rule) and `tab$p` (each query's exact subspace L2² to
+    * every centroid — vec_l2sq and the assignment share one fold). */
+  private def pqKmCtes(p: String, lo: Int, hi: Int): String = {
+    val dim = hi - lo + 1
+    def d(e: String, c: String) = kmDist(e, c, dim)
+    s"""hp$p AS (SELECT vec_id, hh, embedding[$lo:$hi] AS sv FROM hs),
+       |c0$p AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS c,
+       |    sv AS cen
+       |  FROM hp$p ORDER BY hh, vec_id LIMIT 4),
+       |d1$p AS (SELECT e.vec_id, e.sv, c.c, ${d("e.sv", "c.cen")} AS dist
+       |  FROM hp$p e, c0$p c),
+       |a1$p AS (SELECT vec_id, sv, c FROM
+       |    (SELECT vec_id, sv, c,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |     FROM d1$p) WHERE rn = 1),
+       |s1$p AS (SELECT c, i,
+       |    sum(CAST(floor(CAST(sv[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM a1$p, (SELECT unnest(generate_series(1, $dim)) AS i)
+       |  GROUP BY c, i),
+       |c1$p AS (SELECT c0$p.c, COALESCE(u.cen, c0$p.cen) AS cen
+       |  FROM c0$p LEFT JOIN (
+       |    SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |        / 1048576.0 AS FLOAT) ORDER BY i) AS cen
+       |    FROM s1$p GROUP BY c) u USING (c)),
+       |d2$p AS (SELECT e.vec_id, e.sv, c.c, ${d("e.sv", "c.cen")} AS dist
+       |  FROM hp$p e, c1$p c),
+       |a2$p AS (SELECT vec_id, sv, c FROM
+       |    (SELECT vec_id, sv, c,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |     FROM d2$p) WHERE rn = 1),
+       |s2$p AS (SELECT c, i,
+       |    sum(CAST(floor(CAST(sv[i] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM a2$p, (SELECT unnest(generate_series(1, $dim)) AS i)
+       |  GROUP BY c, i),
+       |c2$p AS (SELECT c1$p.c, COALESCE(u.cen, c1$p.cen) AS cen
+       |  FROM c1$p LEFT JOIN (
+       |    SELECT c, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |        / 1048576.0 AS FLOAT) ORDER BY i) AS cen
+       |    FROM s2$p GROUP BY c) u USING (c)),
+       |dc$p AS (SELECT e.vec_id, c.c, ${d("e.sv", "c.cen")} AS dist
+       |  FROM hp$p e, c2$p c),
+       |code$p AS (SELECT vec_id, c AS code FROM
+       |    (SELECT vec_id, c,
+       |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |     FROM dc$p) WHERE rn = 1),
+       |tab$p AS (SELECT q.vec_id AS qid, c.c, ${d("q.sv", "c.cen")} AS d2
+       |  FROM hp$p q, c2$p c WHERE q.vec_id < 10)""".stripMargin
+  }
 
   /** Deterministic 3-point lines over nation for the linear-referencing
     * query (q120) — varied angles and an up-then-down bend so both
@@ -3900,6 +3973,37 @@ object SparkEntry {
         |    AS lit_pixels,
         |  CAST(sum(v) AS BIGINT) AS gray_sum
         |FROM conv GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    // PQ/ADC: subspace k-means replicas (slices [1:32], [33:64]) feed
+    // code and table CTEs; adist = taba + tabb in subspace order (the
+    // engine folds from 0.0, and 0.0 + x == x bitwise for x >= 0);
+    // candidate window (adist ASC, id), exact-cosine rerank as in q43
+    "q141_ann_pq" ->
+      s"""WITH hs AS (SELECT vec_id, embedding,
+        |    md5(CAST(vec_id AS VARCHAR)) AS hh FROM embeddings),
+        |${pqKmCtes("a", 1, 32)},
+        |${pqKmCtes("b", 33, 64)},
+        |ad AS (SELECT ta.qid, ca.vec_id, ta.d2 + tb.d2 AS adist
+        |  FROM codea ca JOIN codeb cb USING (vec_id)
+        |  JOIN taba ta ON ta.c = ca.code
+        |  JOIN tabb tb ON tb.c = cb.code AND tb.qid = ta.qid
+        |  WHERE ca.vec_id <> ta.qid),
+        |cand AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS ar
+        |  FROM ad) WHERE ar <= 12),
+        |rr AS (SELECT cand.qid, cand.vec_id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(e.embedding) AS x, unnest(q.embedding) AS y) z)
+        |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |        (SELECT unnest(e.embedding) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |        (SELECT unnest(q.embedding) AS y) z))) AS cos
+        |  FROM cand JOIN hs e ON e.vec_id = cand.vec_id
+        |            JOIN hs q ON q.vec_id = cand.qid)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM rr) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // triangle counts: the id-ordered (a < b < c) three-way self-join
     // finds the same triangle set as the engine's degree-ordered
     // orientation (triangles are orientation-independent); per-node count

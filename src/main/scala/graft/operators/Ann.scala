@@ -242,6 +242,80 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Product-quantization (PQ/ADC) approximate top-k — the compression
+    * family next to [[sq8TopK]] (scalar) and [[projectedTopK]] (JL): the
+    * vector splits into `m` subspaces, each trained to a `kSub`-centroid
+    * codebook with the deterministic fixed-point [[trainKmeans]], and the
+    * corpus stores only `m` small codes per vector. Serving is asymmetric
+    * distance computation: each query precomputes an m×kSub table of exact
+    * subspace L2² distances, and a candidate's approximate distance is `m`
+    * table lookups — no float math against corpus vectors at all.
+    *
+    * 100-TB shape: the codebooks are model state (m·kSub·subDim floats,
+    * broadcast as literals into codegen'd `vec_argmin_l2` projections) —
+    * training shuffles only k·dim partial-agg rows per iteration, encoding
+    * is pure map-side, and the candidate scan reads m ints per corpus row
+    * (64-d float32 → 2 codes is a 32× bandwidth cut, the reason PQ is the
+    * standard billion-vector index layout). The ADC table rides the
+    * broadcast query row; the scan's per-query top-(k·rerank) window
+    * prunes map-side (`WindowGroupLimit`), and only candidates fetch float
+    * vectors for the exact rerank — the [[sq8TopK]] two-phase discipline.
+    *
+    * Everything is schedule-deterministic and exact-replicable: fixed-point
+    * k-means, ordered-fold L2² (`vec_l2sq` = the assignment fold), ADC sum
+    * in subspace order, ties to the lowest id (q141 replays the whole
+    * train→encode→serve chain in SQL, bit-for-bit).
+    * Output: qid, rank, id, cos (exact cosines). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, qidCol: String, qvecCol: String, k: Int,
+             m: Int = 2, kSub: Int = 8, iters: Int = 2,
+             rerank: Int = 4): DataFrame = {
+    Geo.register(corpus.sparkSession)
+    val probe = corpus.filter(col(vecCol).isNotNull)
+      .select(col(vecCol)).limit(1).collect()
+    require(probe.nonEmpty, "pqTopK needs a non-empty corpus")
+    val dim = probe.head.getSeq[Float](0).length
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // train one codebook per subspace (same md5-seed rows in every
+    // subspace — the seeds are rows, the slices differ)
+    val books: IndexedSeq[Array[Float]] = (0 until m).map { j =>
+      trainKmeans(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as("__sv")),
+        "__sv", idCol, kSub, iters)._1
+    }
+    // encode: m codegen'd argmin projections, zero shuffle
+    val codeCols = (0 until m).map(j => call_function("vec_argmin_l2",
+      slice(col(vecCol), j * sub + 1, sub), lit(books(j))))
+    val codes = corpus.select(col(idCol), array(codeCols: _*).as("__codes"))
+    // per-query ADC table: exact L2² from the query's subvector to every
+    // centroid, laid out j-major (index = j·kSub + c)
+    val tabCols = for (j <- 0 until m; c <- 0 until kSub) yield
+      call_function("vec_l2sq", slice(col(qvecCol), j * sub + 1, sub),
+        lit(books(j).slice(c * sub, (c + 1) * sub)))
+    val qt = queries.select(col(qidCol), col(qvecCol),
+      array(tabCols: _*).as("__tab"))
+    val wa = Window.partitionBy(col(qidCol))
+      .orderBy(col("adist").asc, col(idCol))
+    val cand = codes.crossJoin(broadcast(qt))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("adist", expr(
+        s"""aggregate(transform(sequence(0, ${m - 1}),
+           |  j -> element_at(__tab, j * $kSub + element_at(__codes, j + 1) + 1)),
+           |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("__arank", row_number().over(wa))
+      .filter(col("__arank") <= k * rerank)
+      .select(col(qidCol), col(qvecCol), col(idCol))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol))
+    corpus.select(col(idCol), col(vecCol)).join(broadcast(cand), idCol)
+      .withColumn("cos", call_function("vec_cosine", col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (optionally 1-bit multiprobe), exact cosine rerank within bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,

@@ -134,6 +134,42 @@ class IvfBucketSpec extends AnyFunSuite {
     assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall")
   }
 
+  test("PQ ANN: recall vs brute force; partition-invariant; pruned windows") {
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((GeoOps.splitmix64(i * 16L + j) % 1000L) / 500.0 - 1.0).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Ann.bruteForceTopK(df, queries, "embedding", "vec_id",
+        "qid", "qvec", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def run(parts: Int) = Ann.pqTopK(df.repartition(parts), queries,
+        "embedding", "vec_id", "qid", "qvec", k = 10, m = 4, kSub = 8,
+        iters = 2, rerank = 6)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val pq = run(5)
+    val bySet = pq.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      bySet.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble /
+        exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.6, s"PQ mean recall $meanRecall")
+    // schedule determinism: fixed-point training + ordered ADC sums make
+    // the whole result (codes, candidates, ranks) partitioning-invariant
+    assert(run(1) === pq)
+    // the ADC candidate window and the rerank window both prune map-side
+    val plan = Ann.pqTopK(df.repartition(4), queries, "embedding", "vec_id",
+        "qid", "qvec", k = 5, m = 2, kSub = 4, iters = 1, rerank = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial top-k pushdown in the PQ windows:\n$plan")
+  }
+
   test("k-means: recovers planted blobs; bit-identical under any partitioning") {
     // three well-separated blobs in 8-d: blob centers at 0, 10, 20 per dim
     // with small deterministic jitter — Lloyd's must put each blob in its

@@ -63,6 +63,24 @@ object SparkEntry {
       |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
       |FROM lineitem""".stripMargin
 
+  /** Compact ping stream for the Hausdorff similarity JOIN (q142): entity
+    * PAIRS (2k, 2k+1) share an anchor slot on a 40×13 grid (9.0° × 6.5°
+    * pitch), and every ping jitters within [0, 2)° of its anchor — so a
+    * within-anchor pair's Hausdorff distance is at most 2√2 ≈ 2.83 (< the
+    * query's 3.0) while cross-anchor envelopes keep a gap ≥ 4.5 (> 3.0
+    * after expansion): the expected hit set is exactly the anchor pairs,
+    * but both engines still COMPUTE every surviving distance exactly.
+    * Shared verbatim with the DuckDB oracle (fractional literals through
+    * CAST AS DOUBLE — environment fact 1). */
+  private val CompactPingsCte =
+    """SELECT l_orderkey % 997 AS entity, l_shipdate AS ts,
+      |  l_orderkey * 8 + l_linenumber AS tie,
+      |  CAST(((l_orderkey % 997) - (l_orderkey % 997) % 2) / 2 % 40 AS DOUBLE) * CAST(9.0 AS DOUBLE) - CAST(178.0 AS DOUBLE)
+      |    + CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 2000 AS DOUBLE) / 1000.0 AS lon,
+      |  CAST((((l_orderkey % 997) - (l_orderkey % 997) % 2) / 2 - ((l_orderkey % 997) - (l_orderkey % 997) % 2) / 2 % 40) / 40 AS DOUBLE) * CAST(6.5 AS DOUBLE) - CAST(80.0 AS DOUBLE)
+      |    + CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 2000 AS DOUBLE) / 1000.0 AS lat
+      |FROM lineitem""".stripMargin
+
   /** Deterministic zone boxes over nation: a 5×5 grid of 25 DISJOINT
     * axis-aligned lon/lat boxes (grid slot = (key%5, key/5), each box
     * inset in its slot), well inside the Web-Mercator domain. The text is
@@ -1743,6 +1761,33 @@ object SparkEntry {
       tracks.join(b, "entity")
         .selectExpr("entity", "st_hausdorff(track, track_b) AS hd")
         .orderBy("entity")
+    },
+    "q142_hausdorff_join" -> { (s, d) =>
+      prep(s, d)
+      // trajectory similarity JOIN: discover ALL track pairs within
+      // Hausdorff 3.0 via the expanded-envelope tile-cover candidate join
+      // (SpatialJoins.hausdorffJoin — candidates equi-join on shared
+      // cover tiles, min-shared-tile exactly-once claim, exact
+      // st_hausdorff refine). The compact-ping synthesis pins the true
+      // hit set to the within-anchor pairs (2k, 2k+1) while cross-anchor
+      // candidates still reach the exact refine (zoom-6 tiles are 5.625°
+      // wide vs the 4° expanded-envelope gap), so the kernel — not the
+      // cull — decides every output row. The oracle rediscovers the same
+      // pairs from raw ping sets: expanded-envelope candidate prefilter
+      // (sound: h<=d forces env(A)⊆env(B)+d both ways), then both
+      // directed legs exactly as q140.
+      val pings = s.sql(CompactPingsCte).where("entity < 80")
+      val tracks = graft.operators.Trajectory
+        .buildTracks(pings, "entity", "ts", "tie", "lon", "lat")
+        .select(col("entity"), col("track"))
+      val right = tracks.select(col("entity").as("entity_b"),
+        col("track").as("track_b"))
+      SpatialJoins.hausdorffJoin(tracks, right, "track", "track_b",
+          maxDist = 3.0, zoom = 6)
+        .where(col("entity") < col("entity_b"))
+        .select(col("entity").as("entity_a"), col("entity_b"),
+          col("hausdorff"))
+        .orderBy("entity_a", "entity_b")
     },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
@@ -4047,6 +4092,41 @@ object SparkEntry {
         |h2 AS (SELECT entity, max(m) AS d2 FROM m2 GROUP BY entity)
         |SELECT h1.entity, sqrt(greatest(h1.d2, h2.d2)) AS hd
         |FROM h1 JOIN h2 USING (entity) ORDER BY entity""".stripMargin,
+    // Hausdorff similarity JOIN: rediscover the hit pairs from raw ping
+    // sets — envelope candidates expanded by the radius (sound: h<=d
+    // forces env(A) ⊆ env(B)+d in BOTH directions, so candidate boxes
+    // must overlap after expansion), then both directed legs exactly as
+    // the q140 replica (squared-space min/max, one final monotone sqrt)
+    "q142_hausdorff_join" ->
+      s"""WITH p0 AS (${CompactPingsCte.replace("\n", " ")}),
+        |v AS (SELECT entity, lon AS x, lat AS y FROM p0 WHERE entity < 80),
+        |e AS (SELECT entity, min(x) AS x0, min(y) AS y0,
+        |    max(x) AS x1, max(y) AS y1 FROM v GROUP BY entity),
+        |cand AS (SELECT a.entity AS ea, b.entity AS eb
+        |  FROM e a JOIN e b ON a.entity < b.entity
+        |  AND a.x1 + CAST(3.0 AS DOUBLE) >= b.x0
+        |  AND b.x1 + CAST(3.0 AS DOUBLE) >= a.x0
+        |  AND a.y1 + CAST(3.0 AS DOUBLE) >= b.y0
+        |  AND b.y1 + CAST(3.0 AS DOUBLE) >= a.y0),
+        |m1 AS (SELECT c.ea, c.eb, va.x, va.y,
+        |    min((va.x - vb.x) * (va.x - vb.x) +
+        |        (va.y - vb.y) * (va.y - vb.y)) AS m
+        |  FROM cand c JOIN v va ON va.entity = c.ea
+        |  JOIN v vb ON vb.entity = c.eb
+        |  GROUP BY c.ea, c.eb, va.x, va.y),
+        |h1 AS (SELECT ea, eb, max(m) AS d2 FROM m1 GROUP BY ea, eb),
+        |m2 AS (SELECT c.ea, c.eb, vb.x, vb.y,
+        |    min((vb.x - va.x) * (vb.x - va.x) +
+        |        (vb.y - va.y) * (vb.y - va.y)) AS m
+        |  FROM cand c JOIN v vb ON vb.entity = c.eb
+        |  JOIN v va ON va.entity = c.ea
+        |  GROUP BY c.ea, c.eb, vb.x, vb.y),
+        |h2 AS (SELECT ea, eb, max(m) AS d2 FROM m2 GROUP BY ea, eb)
+        |SELECT ea AS entity_a, eb AS entity_b,
+        |  sqrt(greatest(h1.d2, h2.d2)) AS hausdorff
+        |FROM h1 JOIN h2 USING (ea, eb)
+        |WHERE sqrt(greatest(h1.d2, h2.d2)) <= CAST(3.0 AS DOUBLE)
+        |ORDER BY entity_a, entity_b""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

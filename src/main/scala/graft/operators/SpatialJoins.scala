@@ -105,6 +105,53 @@ object SpatialJoins {
       .drop("__lcover", "__jtile", "__rcover", "__rtile")
   }
 
+  /** Trajectory/shape SIMILARITY join: all (left, right) pairs whose
+    * discrete symmetric Hausdorff distance is <= `maxDist`, with the
+    * distance in the output column `hausdorff`. The workload behind
+    * near-duplicate track detection and shape retrieval at corpus scale.
+    *
+    * Candidate culling is sound because h(A,B) <= d forces env(B) ⊆
+    * env(A)+d (every B vertex sits within d of SOME A vertex), so the
+    * d-expanded left envelope box and the right envelope box intersect —
+    * and two intersecting boxes always share a tile of their covers. The
+    * plan is the [[intersectsJoin]] shape: expanded-envelope tile covers
+    * explode both sides, a hash equi-join on the tile key collects
+    * candidates, the min-shared-cover-tile claim keeps each pair exactly
+    * once (no distinct pass), and the exact `st_hausdorff` kernel refines.
+    * EMPTY geometries pair with nothing (NaN distance) and are dropped up
+    * front. Pick `zoom` so tiles are at least maxDist-sized — coarser
+    * wastes refine work, finer only grows the cover arrays. */
+  def hausdorffJoin(left: DataFrame, right: DataFrame, leftGeomCol: String,
+                    rightGeomCol: String, maxDist: Double, zoom: Int = 6,
+                    broadcastRight: Boolean = true): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    Geo.register(left.sparkSession)
+    def coverExpanded(g: Column, d: Double): Column = {
+      val env = call_function("st_envelope", g)
+      call_function("st_tilecover",
+        call_function("st_boxgeom", call_function("st_makebox",
+          env("xmin") - d, env("ymin") - d,
+          env("xmax") + d, env("ymax") + d)),
+        lit(zoom))
+    }
+    val l = left
+      .where(!call_function("st_isempty", col(leftGeomCol)))
+      .withColumn("__lcover", coverExpanded(col(leftGeomCol), maxDist))
+      .withColumn("__jtile", explode(col("__lcover")))
+    val r0 = right
+      .where(!call_function("st_isempty", col(rightGeomCol)))
+      .withColumn("__rcover", coverExpanded(col(rightGeomCol), 0.0))
+      .withColumn("__rtile", explode(col("__rcover")))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    l.join(r, col("__jtile") === col("__rtile") &&
+        col("__jtile") === array_min(array_intersect(
+          col("__lcover"), col("__rcover"))))
+      .withColumn("hausdorff",
+        call_function("st_hausdorff", col(leftGeomCol), col(rightGeomCol)))
+      .filter(col("hausdorff") <= lit(maxDist))
+      .drop("__lcover", "__jtile", "__rcover", "__rtile")
+  }
+
   /** Raster z/x/y tile assignment: one row per point with its tile id and
     * (z,x,y) decomposition — the raster<->vector join key. */
   def assignTiles(points: DataFrame, lonCol: String, latCol: String,

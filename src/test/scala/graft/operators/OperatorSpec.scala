@@ -49,6 +49,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(self.toSet == Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
   }
 
+  test("hausdorffJoin: pair set + distances match the crossJoin refine, exactly once") {
+    Geo.register(spark)
+    // 120 five-vertex tracks anchored on a 3°-pitch grid with jitter up
+    // to 4° — neighbors overlap enough that the 5.0 radius admits real
+    // cross pairs while pruning most of the 120² space
+    val tracks = (0 until 120).map { i =>
+      val h0 = GeoOps.splitmix64(1000L + i)
+      val ax = java.lang.Long.remainderUnsigned(h0, 60L).toDouble * 3.0 - 90.0
+      val ay = java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(h0, 60L), 40L).toDouble * 3.0 - 60.0
+      val pts = (0 until 5).map { j =>
+        val h = GeoOps.splitmix64(i * 31L + j)
+        val dx = java.lang.Long.remainderUnsigned(h, 4000L) / 1000.0
+        val dy = java.lang.Long.remainderUnsigned(
+          java.lang.Long.divideUnsigned(h, 4000L), 4000L) / 1000.0
+        s"${ax + dx} ${ay + dy}"
+      }.mkString(", ")
+      (i.toLong, s"LINESTRING ($pts)")
+    } :+ (999L, "LINESTRING EMPTY")
+    val df = tracks.toDF("id", "wkt").selectExpr("id", "st_geomfromwkt(wkt) AS g")
+    val right = df.selectExpr("id AS id2", "g AS g2")
+    val got = SpatialJoins.hausdorffJoin(df, right, "g", "g2",
+        maxDist = 5.0, zoom = 5)
+      .select("id", "id2", "hausdorff").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got.map(t => (t._1, t._2)).distinct.size == got.size,
+      "duplicate pairs emitted")
+    val expected = df.crossJoin(right)
+      .withColumn("hd", call_function("st_hausdorff", col("g"), col("g2")))
+      .filter(col("hd") <= 5.0) // EMPTY -> NaN -> false, matching the join
+      .select("id", "id2", "hd").as[(Long, Long, Double)].collect().toSet
+    assert(got.toSet == expected)
+    assert(expected.exists(t => t._1 != t._2), "need cross pairs in range")
+    assert(expected.size < tracks.size.toLong * tracks.size,
+      "radius must prune most pairs")
+    assert(!expected.exists(t => t._1 == 999L || t._2 == 999L))
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

@@ -1789,6 +1789,39 @@ object SparkEntry {
           col("hausdorff"))
         .orderBy("entity_a", "entity_b")
     },
+    "q143_edit_neardups" -> { (s, d) =>
+      prep(s, d)
+      // fuzzy short-string dedup: ALL caption pairs within Levenshtein 1
+      // via the SymSpell deletion-neighborhood join (complete for
+      // distance <= 1; exact levenshtein refine decides every pair —
+      // both engines implement the standard unit-cost DP, so the integer
+      // distances compare exactly). The corpus is a 1,500-name md5-rank
+      // sample of part names plus 300 planted twins (exact copy /
+      // one-char deletion / one-char substitution, round-robin by rank),
+      // so the hit set is non-vacuous at every sf; the oracle is the
+      // definitional brute force over the same 1,800 rows with a sound
+      // |length diff| <= 1 prefilter. maxBand = 0 exercises the exact
+      // min-shared-key exactly-once path (no distinct in the plan).
+      val rows = s.sql(
+        """WITH ranked AS (
+          |  SELECT p_partkey AS id, p_name AS name, row_number() OVER
+          |    (ORDER BY md5(CAST(p_partkey AS STRING)), p_partkey) AS r
+          |  FROM part),
+          |base AS (SELECT id, name FROM ranked WHERE r <= 1500),
+          |pert AS (SELECT id + 100000000 AS id,
+          |    CASE WHEN r % 3 = 0 THEN name
+          |         WHEN r % 3 = 1 THEN
+          |           substr(name, 1, CAST(id % length(name) AS INT))
+          |           || substr(name, CAST(id % length(name) AS INT) + 2)
+          |         ELSE substr(name, 1, CAST(id % length(name) AS INT))
+          |           || 'x' || substr(name, CAST(id % length(name) AS INT) + 2)
+          |    END AS name
+          |  FROM ranked WHERE r <= 300)
+          |SELECT * FROM base UNION ALL SELECT * FROM pert""".stripMargin)
+      Dedup.editNearDups(rows, "name", "id", maxBand = 0)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
       // corpus term weighting: top-5 BM25-scored terms per document with
@@ -4127,6 +4160,32 @@ object SparkEntry {
         |FROM h1 JOIN h2 USING (ea, eb)
         |WHERE sqrt(greatest(h1.d2, h2.d2)) <= CAST(3.0 AS DOUBLE)
         |ORDER BY entity_a, entity_b""".stripMargin,
+    // edit-distance near-dups: definitional brute force over the same
+    // 1,800-row sample — every a<b pair within |length diff| <= 1 (sound
+    // prefilter: one edit changes length by at most 1) scored by the
+    // standard unit-cost levenshtein DP, kept at distance <= 1
+    "q143_edit_neardups" ->
+      """WITH ranked AS (
+        |  SELECT p_partkey AS id, p_name AS name, row_number() OVER
+        |    (ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey) AS r
+        |  FROM part),
+        |base AS (SELECT id, name FROM ranked WHERE r <= 1500),
+        |pert AS (SELECT id + 100000000 AS id,
+        |    CASE WHEN r % 3 = 0 THEN name
+        |         WHEN r % 3 = 1 THEN
+        |           substr(name, 1, CAST(id % length(name) AS INT))
+        |           || substr(name, CAST(id % length(name) AS INT) + 2)
+        |         ELSE substr(name, 1, CAST(id % length(name) AS INT))
+        |           || 'x' || substr(name, CAST(id % length(name) AS INT) + 2)
+        |    END AS name
+        |  FROM ranked WHERE r <= 300),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM allr a JOIN allr b ON a.id < b.id
+        |  AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

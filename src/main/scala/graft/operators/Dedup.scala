@@ -136,6 +136,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Edit-distance-1 near-dup pairs over a SHORT-string column (captions,
+    * titles, queries): all (id_a, id_b) with Levenshtein(a, b) <= 1 and
+    * the exact distance. The fuzzy-caption dedup pass of an image-text
+    * training pipeline — catches one-keystroke variants that exact dedup
+    * misses and MinHash can't see (shingle sets of short strings are too
+    * coarse).
+    *
+    * Candidates come from the SymSpell deletion-neighborhood scheme:
+    * D(s) = {s} ∪ {s minus one character}. lev(a, b) <= 1 ⟹ D(a) ∩ D(b)
+    * is non-empty (equal: share s; one insert/delete: deleting the extra
+    * character lands in both; one substitution: deleting the substituted
+    * position from each side lands in both), so the equi-join on deletion
+    * keys is COMPLETE; it over-generates (e.g. "ab"/"ba" share keys at
+    * distance 2), so the exact `levenshtein` refine decides every pair.
+    *
+    * Scale shape: a row emits len+1 keys of ~len bytes — O(len²) bytes of
+    * candidate shuffle per row, the right trade for short strings (for
+    * documents use [[minhashNearDups]]/[[simhashNearDups]]). With
+    * `maxBand <= 0` (exact mode) key arrays ride the join and the
+    * MIN-shared-key claim keeps each pair exactly once with no distinct
+    * pass. With `maxBand > 0`, keys shared by more than `maxBand` rows
+    * are dropped before the self-join (mega-key bound — 10^6 copies of a
+    * stock caption would otherwise emit 10^12 candidates from one key;
+    * exact dedup already covers verbatim mass duplicates) and pairs
+    * dedupe via `distinct` since the min shared key may have been capped
+    * away. */
+  def editNearDups(df: DataFrame, textCol: String, idCol: String,
+                   maxBand: Int = 64): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(col("text").isNotNull)
+    val keyed = docs.withColumn("__keys", array_union(
+      array(col("text")),
+      expr("transform(sequence(1, greatest(length(text), 1)), i -> " +
+        "concat(substring(text, 1, i - 1), " +
+        "substring(text, i + 1, length(text))))")))
+    val pairs =
+      if (maxBand > 0) {
+        val banded = capBands(
+          keyed.select(col("id"), explode(col("__keys")).as("__k")),
+          "__k", maxBand)
+        banded.as("a").join(banded.as("b"),
+            col("a.__k") === col("b.__k") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+      } else {
+        val banded = keyed.select(col("id"), col("__keys"),
+          explode(col("__keys")).as("__k"))
+        banded.as("a").join(banded.as("b"),
+            col("a.__k") === col("b.__k") && col("a.id") < col("b.id") &&
+              col("a.__k") === array_min(array_intersect(
+                col("a.__keys"), col("b.__keys"))))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      }
+    pairs
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Boilerplate-line removal (the CCNet/Dolma corpus-cleaning pass): drop
     * every line that occurs in >= `minDocFreq` distinct documents, keeping
     * the remaining lines in their original order.

@@ -87,6 +87,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(!expected.exists(t => t._1 == 999L || t._2 == 999L))
   }
 
+  test("editNearDups: complete + exact vs brute-force levenshtein, both modes") {
+    // fixed traps: exact dup, deletion, substitution, the "ab"/"ba"
+    // anagram (shares deletion keys at distance 2 — refine must kill it),
+    // empty vs one-char, and an unrelated caption
+    val fixed = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "hello worl"),
+      (4L, "hxllo world"), (5L, "ab"), (6L, "ba"), (7L, ""), (8L, "a"),
+      (9L, "completely different caption"))
+    // randomized completeness: 150 random strings, each with a planted
+    // single-edit twin (delete / substitute / insert round-robin)
+    val alpha = "abcdefgh"
+    val rand = fixed.size.until(fixed.size + 150).flatMap { i =>
+      val h = GeoOps.splitmix64(77L + i)
+      val len = 3 + (java.lang.Long.remainderUnsigned(h, 10L)).toInt
+      val s = (0 until len).map { j =>
+        alpha((GeoOps.splitmix64(h + j) & 7L).toInt)
+      }.mkString
+      val pos = (java.lang.Long.remainderUnsigned(h >>> 8, len.toLong)).toInt
+      val twin = (h >>> 16) % 3 match {
+        case 0 => s.substring(0, pos) + s.substring(pos + 1)          // delete
+        case 1 => s.substring(0, pos) + "z" + s.substring(pos + 1)    // subst
+        case _ => s.substring(0, pos) + "z" + s.substring(pos)        // insert
+      }
+      Seq((i * 2L + 100, s), (i * 2L + 101, twin))
+    }
+    val rows = (fixed ++ rand).toDF("id", "text")
+    val brute = rows.as("a").crossJoin(
+        rows.selectExpr("id AS id2", "text AS text2").as("b"))
+      .filter(col("id") < col("id2") &&
+        levenshtein(col("text"), col("text2")) <= 1)
+      .select(col("id"), col("id2"),
+        levenshtein(col("text"), col("text2")).as("d"))
+      .as[(Long, Long, Int)].collect().toSet
+    for (mb <- Seq(0, 1000)) {
+      val got = Dedup.editNearDups(rows, "text", "id", maxBand = mb)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got.map(t => (t._1, t._2)).distinct.size == got.size,
+        s"duplicate pairs at maxBand=$mb")
+      assert(got.toSet == brute, s"mismatch at maxBand=$mb")
+    }
+    assert(brute.contains((1L, 2L, 0)) && brute.contains((7L, 8L, 1)))
+    assert(!brute.exists(t => t._1 == 5L && t._2 == 6L), "anagram leaked")
+    assert(rand.nonEmpty && brute.size >= 150)
+
+    // capped mode: 70 verbatim copies make EVERY key 70-wide — all drop
+    // at maxBand=64 (verbatim mass dups belong to exact dedup), while
+    // uncapped mode reports all 70*69/2 pairs
+    val mass = (0 until 70).map(i => (i.toLong, "same caption")).toDF("id", "text")
+    assert(Dedup.editNearDups(mass, "text", "id", maxBand = 64).count() == 0)
+    assert(Dedup.editNearDups(mass, "text", "id", maxBand = 0).count() == 70L * 69 / 2)
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

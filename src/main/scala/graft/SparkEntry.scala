@@ -1822,6 +1822,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")
     },
+    "q144_quadkey" -> { (s, d) =>
+      prep(s, d)
+      // Bing-maps quadkey interop: z=8 tile assignment keyed by quadkey
+      // (one base-4 digit per level, most significant first, digit =
+      // 2·y_bit + x_bit). The round-trip is asserted IN-QUERY — a row
+      // where st_quadkeytile(st_quadkey(tile)) != tile would drop and
+      // break the count hash. The oracle re-derives tx/ty with the q22
+      // tile formula and assembles the 8 digits by bit arithmetic.
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      SpatialJoins.assignTiles(pts, "lon", "lat", zoom = 8)
+        .selectExpr("st_quadkey(tile_id) AS qk", "tile_id")
+        .where("st_quadkeytile(qk) = tile_id")
+        .groupBy("qk").agg(count(lit(1)).as("n"))
+        .orderBy("qk")
+    },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
       // corpus term weighting: top-5 BM25-scored terms per document with
@@ -4186,6 +4201,19 @@ object SparkEntry {
         |  AND abs(length(a.name) - length(b.name)) <= 1
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // quadkey: q22's tile formula for tx/ty, then the 8 base-4 digits by
+    // bit arithmetic (digit i = 2·y_bit + x_bit, most significant first)
+    "q144_quadkey" ->
+      s"""WITH pts AS (${PtsCte.replace("\n", " ")}),
+        |t AS (SELECT
+        |  CAST(floor((lon + 180.0) / 360.0 * 256) AS INTEGER) AS tx,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 256) AS INTEGER) AS ty
+        |FROM pts)
+        |SELECT concat(${(7 to 0 by -1).map(sh =>
+            s"substr('0123', ((ty >> $sh) & 1) * 2 + ((tx >> $sh) & 1) + 1, 1)")
+            .mkString(", ")}) AS qk,
+        |  count(*) AS n
+        |FROM t GROUP BY qk ORDER BY qk""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

@@ -28,6 +28,38 @@ object Tiles {
   def pack(z: Int, x: Int, y: Int): Long =
     (z.toLong << 58) | (x.toLong << 29) | y.toLong
 
+  /** Bing-maps quadkey of a tile id: one base-4 digit per zoom level,
+    * most significant first, digit = 2·y_bit + x_bit. The zoom-0 world
+    * tile has the empty quadkey (Bing's scheme starts at level 1). A
+    * quadkey is its own tile lineage — every prefix is an ancestor —
+    * which is what makes it the common interop key for tile stores. */
+  def quadkey(id: Long): String = {
+    val zz = z(id); val xx = x(id); val yy = y(id)
+    val out = new Array[Char](zz)
+    var i = 0
+    while (i < zz) {
+      val shift = zz - 1 - i
+      out(i) = ('0' + (((yy >> shift) & 1) << 1 | ((xx >> shift) & 1))).toChar
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Inverse of [[quadkey]]: the packed tile id at zoom = key length.
+    * Rejects characters outside '0'..'3' and keys longer than 29 levels. */
+  def quadkeyTile(qk: String): Long = {
+    require(qk.length <= 29, s"quadkey longer than 29 levels: ${qk.length}")
+    var xx = 0; var yy = 0; var i = 0
+    while (i < qk.length) {
+      val d = qk.charAt(i) - '0'
+      require(d >= 0 && d <= 3, s"invalid quadkey digit '${qk.charAt(i)}'")
+      xx = (xx << 1) | (d & 1)
+      yy = (yy << 1) | (d >> 1)
+      i += 1
+    }
+    pack(qk.length, xx, yy)
+  }
+
   def z(id: Long): Int = (id >>> 58).toInt
   def x(id: Long): Int = ((id >>> 29) & 0x1fffffffL).toInt
   def y(id: Long): Int = (id & 0x1fffffffL).toInt

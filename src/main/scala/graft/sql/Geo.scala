@@ -324,6 +324,9 @@ object Geo {
     "st_tilex" -> (a => geo(IntegerType, "tileX", a, Seq(LongType))),
     "st_tiley" -> (a => geo(IntegerType, "tileY", a, Seq(LongType))),
     "st_tileparent" -> (a => geo(LongType, "tileParent", a, Seq(LongType, IntegerType))),
+    // Bing-maps quadkey codec (q144)
+    "st_quadkey" -> (a => geo(StringType, "tileQuadkey", a, Seq(LongType))),
+    "st_quadkeytile" -> (a => geo(LongType, "quadkeyTile", a, Seq(StringType))),
     "st_tilechildren" -> (a => geo(longArray, "tileChildren", a, Seq(LongType))),
     "st_tileenvelope" -> (a => geo(B, "tileEnvelope", a, Seq(LongType))),
     "st_tilecover" -> (a => geo(longArray, "tileCover", a, Seq(G, IntegerType))),

@@ -913,6 +913,12 @@ object GeoOps {
   def tileX(id: Long): Int = Tiles.x(id)
   def tileY(id: Long): Int = Tiles.y(id)
   def tileParent(id: Long, z: Int): Long = Tiles.parentAt(id, z)
+
+  /** Bing-maps quadkey codec (see [[graft.core.Tiles.quadkey]]; q144). */
+  def tileQuadkey(id: Long): UTF8String =
+    UTF8String.fromString(Tiles.quadkey(id))
+
+  def quadkeyTile(qk: UTF8String): Long = Tiles.quadkeyTile(qk.toString)
   def tileChildren(id: Long): ArrayData = GeoStruct.longArray(Tiles.children(id))
 
   def tileEnvelope(id: Long): InternalRow = {

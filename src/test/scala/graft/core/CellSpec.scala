@@ -201,6 +201,30 @@ class CellSpec extends AnyFunSuite {
     assert(tCover < tEnv / 4, s"cover $tCover vs envelope $tEnv")
   }
 
+  test("quadkey codec: Bing fixture, round-trip, prefix = ancestor") {
+    // the documented Bing example: level 3, tile (x=3, y=5) -> "213"
+    assert(Tiles.quadkey(Tiles.pack(3, 3, 5)) == "213")
+    assert(Tiles.quadkeyTile("213") == Tiles.pack(3, 3, 5))
+    assert(Tiles.quadkey(Tiles.pack(0, 0, 0)) == "")
+    assert(Tiles.quadkeyTile("") == Tiles.pack(0, 0, 0))
+    var h = 99L
+    for (_ <- 0 until 2000) {
+      h = graft.sql.GeoOps.splitmix64(h)
+      val z = (java.lang.Long.remainderUnsigned(h, 29L) + 1).toInt
+      val x = java.lang.Long.remainderUnsigned(h >>> 8, 1L << z).toInt
+      val y = java.lang.Long.remainderUnsigned(h >>> 37, 1L << z).toInt
+      val id = Tiles.pack(z, x, y)
+      val qk = Tiles.quadkey(id)
+      assert(qk.length == z && Tiles.quadkeyTile(qk) == id)
+      // every proper prefix is the ancestor tile at that zoom
+      if (z > 1)
+        assert(Tiles.quadkeyTile(qk.substring(0, z - 1)) ==
+          Tiles.parentAt(id, z - 1))
+    }
+    intercept[IllegalArgumentException](Tiles.quadkeyTile("0124"))
+    intercept[IllegalArgumentException](Tiles.quadkeyTile("0" * 30))
+  }
+
   test("tile parentAt equals direct assignment at every coarser zoom") {
     // the pyramid-derivation property the flagship relies on: one mercator
     // projection at the finest zoom, bit-shift ancestors for the rest

@@ -1837,6 +1837,27 @@ object SparkEntry {
         .groupBy("qk").agg(count(lit(1)).as("n"))
         .orderBy("qk")
     },
+    "q145_remove_repeated" -> { (s, d) =>
+      prep(s, d)
+      // trajectory cleanup: every ping DOUBLED (union with itself), so
+      // every track carries consecutive duplicate vertices in its
+      // (ts, tie, x, y) total order; st_removerepeatedpoints collapses
+      // runs (value equality on every ordinate) and length is invariant
+      // (zero-length segments add exactly 0.0 to the fold) — asserted
+      // IN-QUERY by the equality filter, so a bit drift would drop rows
+      // and break the hash. The oracle recomputes run heads with a lag
+      // window over the same order and replays the length fold on them.
+      val pings0 = s.sql(TrackPingsCte).where("entity < 120")
+      val pings = pings0.unionAll(pings0)
+      graft.operators.Trajectory
+        .buildTracks(pings, "entity", "ts", "tie", "lon", "lat")
+        .selectExpr("entity", "st_npoints(track) AS np_before",
+          "st_npoints(st_removerepeatedpoints(track)) AS np_after",
+          "st_length(st_removerepeatedpoints(track)) AS len",
+          "st_length(track) AS len_dup")
+        .where("len_dup = len").drop("len_dup")
+        .orderBy("entity")
+    },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
       // corpus term weighting: top-5 BM25-scored terms per document with
@@ -4214,6 +4235,31 @@ object SparkEntry {
             .mkString(", ")}) AS qk,
         |  count(*) AS n
         |FROM t GROUP BY qk ORDER BY qk""".stripMargin,
+    // remove-repeated-points: run heads of the (ts, tie, lon, lat)-ordered
+    // ping sequence via a lag window (doubling each ping cannot change the
+    // run structure), then the q135 ordered length fold over the heads
+    "q145_remove_repeated" ->
+      s"""WITH p0 AS (${TrackPingsCte.replace("\n", " ")}),
+        |p AS (SELECT * FROM p0 WHERE entity < 120),
+        |ord AS (SELECT entity, ts, tie, lon, lat,
+        |    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+        |  FROM p WINDOW w AS (PARTITION BY entity ORDER BY ts, tie, lon, lat)),
+        |heads AS (SELECT entity, ts, tie, lon, lat FROM ord
+        |  WHERE plon IS NULL OR plon <> lon OR plat <> lat),
+        |h AS (SELECT entity, count(*) AS nh,
+        |    list(lon ORDER BY ts, tie, lon, lat) AS xs,
+        |    list(lat ORDER BY ts, tie, lon, lat) AS ys
+        |  FROM heads GROUP BY entity),
+        |nb AS (SELECT entity, count(*) AS n FROM p GROUP BY entity)
+        |SELECT h.entity, CAST(2 * nb.n AS INTEGER) AS np_before,
+        |  CAST(nh AS INTEGER) AS np_after,
+        |  list_reduce([CAST(0 AS DOUBLE)] ||
+        |    list_transform(generate_series(2, CAST(nh AS INTEGER)),
+        |      i -> sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) +
+        |                (ys[i] - ys[i-1]) * (ys[i] - ys[i-1]))),
+        |    (a, b) -> a + b) AS len
+        |FROM h JOIN nb ON nb.entity = h.entity
+        |ORDER BY h.entity""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

@@ -306,6 +306,79 @@ object Geom {
     * linestrings flip end-to-end, polygon rings reverse winding in place,
     * multipoints flip part order, collections recurse. Coordinates are
     * moved verbatim (bit-exact). */
+  /** Collapse runs of identical consecutive points — PostGIS
+    * `ST_RemoveRepeatedPoints` at tolerance 0, compared on EVERY ordinate
+    * (value equality: -0.0 == 0.0 collapses, NaN never collapses so
+    * NaN-filled casts pass through). The trajectory / dirty-ring cleanup
+    * pass: duplicate pings and double-digitized vertices drop, measures
+    * are unchanged (a zero-length segment contributes exactly 0.0 to
+    * st_length). Rings stay closed: the closing vertex can only collapse
+    * into a trailing run whose first element is kept, and the leading
+    * vertex always survives; an all-identical ring collapses to a single
+    * point (pathological input is NOT silently repaired, matching the
+    * engine's policy elsewhere). Points pass through; collections
+    * recurse. */
+  def removeRepeated(g: Geom): Geom = {
+    if (g.geomType == GeomTypes.Point) return g
+    if (g.geomType == GeomTypes.Collection)
+      return new Geom(g.geomType, g.dims, g.srid, g.coords, g.o0, g.o1,
+        if (g.parts == null) null else g.parts.map(removeRepeated))
+    if (g.coords.isEmpty) return g
+    val s = g.stride
+    val n = g.numCoords
+    val keep = new Array[Boolean](n)
+    def mark(from: Int, to: Int): Unit = {
+      var last = -1
+      var i = from
+      while (i < to) {
+        var same = last >= 0
+        var d = 0
+        while (same && d < s) {
+          same = g.coords(i * s + d) == g.coords(last * s + d)
+          d += 1
+        }
+        if (!same) { keep(i) = true; last = i }
+        i += 1
+      }
+    }
+    g.geomType match {
+      case GeomTypes.LineString | GeomTypes.MultiPoint => mark(0, n)
+      case GeomTypes.Polygon | GeomTypes.MultiLineString =>
+        var r = 0
+        while (r < g.o0.length - 1) { mark(g.o0(r), g.o0(r + 1)); r += 1 }
+      case GeomTypes.MultiPolygon =>
+        var r = 0
+        while (r < g.o1.length - 1) { mark(g.o1(r), g.o1(r + 1)); r += 1 }
+      case _ => return g
+    }
+    val newIdx = new Array[Int](n + 1)
+    var kept = 0
+    var i = 0
+    while (i < n) { newIdx(i) = kept; if (keep(i)) kept += 1; i += 1 }
+    newIdx(n) = kept
+    if (kept == n) return g
+    val out = new Array[Double](kept * s)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (keep(i)) {
+        var d = 0
+        while (d < s) { out(w * s + d) = g.coords(i * s + d); d += 1 }
+        w += 1
+      }
+      i += 1
+    }
+    g.geomType match {
+      case GeomTypes.MultiPolygon =>
+        // o0 indexes rings (counts unchanged); o1 holds coord offsets
+        new Geom(g.geomType, g.dims, g.srid, out, g.o0, g.o1.map(newIdx), null)
+      case GeomTypes.Polygon | GeomTypes.MultiLineString =>
+        new Geom(g.geomType, g.dims, g.srid, out, g.o0.map(newIdx), g.o1, null)
+      case _ =>
+        new Geom(g.geomType, g.dims, g.srid, out, g.o0, g.o1, null)
+    }
+  }
+
   def reverse(g: Geom): Geom = {
     if (g.geomType == GeomTypes.Collection)
       return new Geom(g.geomType, g.dims, g.srid, g.coords, g.o0, g.o1,

@@ -164,6 +164,7 @@ object Geo {
     "st_isclosed" -> (a => geo(BooleanType, "isClosed", a, Seq(G),
       nullable = true)),
     "st_reverse" -> (a => geo(G, "reverseGeom", a, Seq(G))),
+    "st_removerepeatedpoints" -> (a => geo(G, "removeRepeatedPoints", a, Seq(G))),
     // linear-referencing inverses + proximity accessors (q124)
     "st_linelocatepoint" -> (a => geo(DoubleType, "lineLocatePoint", a,
       Seq(G, G), nullable = true)),

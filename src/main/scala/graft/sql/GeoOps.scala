@@ -316,6 +316,11 @@ object GeoOps {
   def reverseGeom(g: InternalRow): InternalRow =
     GeoStruct.encode(Geom.reverse(GeoStruct.decode(g)))
 
+  /** PostGIS ST_RemoveRepeatedPoints at tolerance 0 (see
+    * `Geom.removeRepeated`; q145). */
+  def removeRepeatedPoints(g: InternalRow): InternalRow =
+    GeoStruct.encode(Geom.removeRepeated(GeoStruct.decode(g)))
+
   /** Closest point on `geom` to (px, py) over vertices/segments in
     * storage order, strict-< first-wins. Per segment the projection is
     * `t = clamp(((px-xa)·dx + (py-ya)·dy) / (dx·dx + dy·dy), 0, 1)` and

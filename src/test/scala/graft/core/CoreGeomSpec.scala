@@ -130,6 +130,38 @@ class CoreGeomSpec extends AnyFunSuite {
     assert(Wkt.write(down) == "POINT M (1 2 4)")
   }
 
+  test("removeRepeated collapses runs, preserves closure/offsets/dims") {
+    def rr(wkt: String): String = Wkt.write(Geom.removeRepeated(Wkt.parse(wkt)))
+    assert(rr("LINESTRING (0 0, 0 0, 1 1, 1 1, 1 1, 2 2)") ==
+      "LINESTRING (0 0, 1 1, 2 2)")
+    // endpoint repeat collapses into the run (PostGIS tolerance-0 parity)
+    assert(rr("LINESTRING (0 0, 1 1, 1 1)") == "LINESTRING (0 0, 1 1)")
+    assert(rr("MULTIPOINT (1 1, 1 1, 2 2)") == "MULTIPOINT (1 1, 2 2)")
+    // ring stays closed; hole offsets remap
+    assert(rr("POLYGON ((0 0, 4 0, 4 0, 4 4, 0 4, 0 0, 0 0), (1 1, 1 1, 2 1, 2 2, 1 1))") ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 1))")
+    // multipolygon: ring-count offsets unchanged, coord offsets remap
+    assert(rr("MULTIPOLYGON (((0 0, 1 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 6 6, 5 5)))") ==
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    // Z differs -> NOT repeated (every ordinate participates)
+    assert(rr("LINESTRING Z (0 0 1, 0 0 2, 1 1 3)") ==
+      "LINESTRING Z (0 0 1, 0 0 2, 1 1 3)")
+    // collection recurses; points and empties pass through
+    assert(rr("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 0 0, 3 3))") ==
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 3))")
+    assert(rr("LINESTRING EMPTY") == "LINESTRING EMPTY")
+    assert(rr("POINT (7 7)") == "POINT (7 7)")
+    // pathological all-identical ring collapses to one vertex (documented)
+    assert(rr("POLYGON ((2 2, 2 2, 2 2, 2 2))") == "POLYGON ((2 2))")
+    // NaN never equals NaN: NaN-filled vertices survive
+    val nan = Geom(GeomTypes.LineString, Dims.XY,
+      Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN, 1.0, 1.0))
+    assert(Geom.removeRepeated(nan).numCoords == 3)
+    // no-op input returns the same instance (no copy)
+    val clean = Wkt.parse("LINESTRING (0 0, 1 1, 2 2)")
+    assert(Geom.removeRepeated(clean) eq clean)
+  }
+
   test("type promotion casts") {
     val p = Wkt.parse("POINT (1 2)")
     assert(Wkt.write(Geom.castType(p, GeomTypes.MultiPoint)) == "MULTIPOINT (1 2)")

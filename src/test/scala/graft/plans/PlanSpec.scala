@@ -35,6 +35,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - plan.split("BroadcastExchange").length + 1 <= 2, plan)
   }
 
+  test("hausdorffJoin broadcasts the right side; no nested loop either mode") {
+    Geo.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, "LINESTRING (0 0, 1 1)"), (2L, "LINESTRING (30 30, 31 31)"))
+      .toDF("id", "w").selectExpr("id", "st_geomfromwkt(w) AS g")
+    val r = l.selectExpr("id AS id2", "g AS g2")
+    val bPlan = SpatialJoins.hausdorffJoin(l, r, "g", "g2", maxDist = 2.0)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    assert(!bPlan.contains("BroadcastNestedLoopJoin") &&
+      !bPlan.contains("CartesianProduct"), bPlan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sPlan = SpatialJoins.hausdorffJoin(l, r, "g", "g2", maxDist = 2.0,
+          broadcastRight = false)
+        .queryExecution.executedPlan.toString
+      assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"), sPlan)
+      assert(!sPlan.contains("BroadcastNestedLoopJoin") &&
+        !sPlan.contains("CartesianProduct"), sPlan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("editNearDups: hash equi-join on deletion keys, never a nested loop") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (i.toLong, s"caption $i")).toDF("id", "text")
+    for (mb <- Seq(0, 64)) {
+      val plan = graft.operators.Dedup.editNearDups(rows, "text", "id", maxBand = mb)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"maxBand=$mb:\n$plan")
+    }
+  }
+
   test("large polygon sets take the sort-merge path on the cell key") {
     Geo.register(spark)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

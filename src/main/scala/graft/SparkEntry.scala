@@ -1858,6 +1858,36 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q146_url_normalize" -> { (s, d) =>
+      prep(s, d)
+      // URL canonicalization (crawl dedup key): dirty URLs constructed in
+      // SQL with mixed-case schemes/hosts, userinfo, default and custom
+      // ports, trailing slashes, fragments and a non-URL decoy; the
+      // kernels lowercase scheme+host, strip fragments/default ports/one
+      // trailing slash, preserve userinfo/path/query verbatim, and null
+      // out non-URLs. The oracle is GROUND TRUTH, not a replica: the
+      // synthesis knows every expected output in closed form.
+      val urls = s.sql(
+        """SELECT o_orderkey AS id,
+          |  CASE WHEN o_orderkey % 11 = 0 THEN 'not a url ' || CAST(o_orderkey AS STRING)
+          |  ELSE
+          |    CASE WHEN o_orderkey % 3 = 0 THEN 'HTTP'
+          |         WHEN o_orderkey % 3 = 1 THEN 'https' ELSE 'HtTpS' END
+          |    || '://'
+          |    || CASE WHEN o_orderkey % 5 = 0 THEN 'User:Pw@' ELSE '' END
+          |    || 'ExAmple-' || CAST(o_orderkey % 97 AS STRING) || '.CoM'
+          |    || CASE WHEN o_orderkey % 4 = 0 THEN ':80'
+          |            WHEN o_orderkey % 4 = 1 THEN ':8080'
+          |            WHEN o_orderkey % 4 = 2 THEN ':443' ELSE '' END
+          |    || '/Path/' || CAST(o_orderkey % 13 AS STRING)
+          |    || CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END
+          |    || CASE WHEN o_orderkey % 7 = 0 THEN '#Frag' ELSE '' END
+          |  END AS url
+          |FROM orders""".stripMargin)
+      urls.selectExpr("id", "url_normalize(url) AS nurl",
+          "url_host(url) AS host")
+        .orderBy("id")
+    },
     "q133_bm25" -> { (s, d) =>
       prep(s, d)
       // corpus term weighting: top-5 BM25-scored terms per document with
@@ -4260,6 +4290,28 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // URL canonicalization: ground-truth expected values built in closed
+    // form from the same key arithmetic — lowercased scheme/host, default
+    // port dropped (http:80 / https:443 only), custom ports and userinfo
+    // kept, fragment + trailing slash gone, non-URLs NULL
+    "q146_url_normalize" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |  ELSE
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'http' ELSE 'https' END
+        |    || '://'
+        |    || CASE WHEN o_orderkey % 5 = 0 THEN 'User:Pw@' ELSE '' END
+        |    || 'example-' || CAST(o_orderkey % 97 AS VARCHAR) || '.com'
+        |    || CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0 THEN ':80'
+        |            WHEN o_orderkey % 4 = 1 THEN ':8080'
+        |            WHEN o_orderkey % 4 = 2 AND o_orderkey % 3 = 0 THEN ':443'
+        |            ELSE '' END
+        |    || '/Path/' || CAST(o_orderkey % 13 AS VARCHAR)
+        |  END AS nurl,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE 'example-' || CAST(o_orderkey % 97 AS VARCHAR) || '.com'
+        |  END AS host
+        |FROM orders ORDER BY id""".stripMargin,
     // BM25 (rational idf): same split-on-space tokenization, same integer
     // tf/df/dl/N counts, same IEEE score tree — constants written as
     // decimal literals, computed ones ((k1+1)) replicated as the same sum

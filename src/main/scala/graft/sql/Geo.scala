@@ -37,8 +37,8 @@ object Geo {
     inv(GeoOps.getClass, dt, method, args, types, nullable)
 
   private def txt(dt: DataType, method: String, args: Seq[Expression],
-                  types: Seq[DataType]): Expression =
-    inv(TextOps.getClass, dt, method, args, types)
+                  types: Seq[DataType], nullable: Boolean = false): Expression =
+    inv(TextOps.getClass, dt, method, args, types, nullable)
 
   private def vec(dt: DataType, method: String, args: Seq[Expression],
                   types: Seq[DataType]): Expression =
@@ -375,6 +375,11 @@ object Geo {
     "repetition_ratio" -> (a => txt(DoubleType, "repetitionRatio", a,
       Seq(StringType, IntegerType))),
     "scrub_urls" -> (a => txt(StringType, "scrubUrls", a, Seq(StringType))),
+    // URL canonicalization (q146; null = not a URL)
+    "url_host" -> (a => txt(StringType, "urlHost", a, Seq(StringType),
+      nullable = true)),
+    "url_normalize" -> (a => txt(StringType, "urlNormalize", a, Seq(StringType),
+      nullable = true)),
     "scrub_emails" -> (a => txt(StringType, "scrubEmails", a, Seq(StringType))),
     "doc_fingerprint" -> (a => txt(LongType, "fingerprint", a,
       Seq(StringType, IntegerType, IntegerType))),

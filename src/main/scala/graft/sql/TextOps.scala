@@ -271,6 +271,60 @@ object TextOps {
   def scrubEmails(s: UTF8String): UTF8String =
     UTF8String.fromString(EmailRe.matcher(s.toString).replaceAll("<EMAIL>"))
 
+  /** Host of a URL, lowercased: the authority after `scheme://`, userinfo
+    * (through the LAST '@' in the authority) and port stripped. Null when
+    * there is no `://` or the host is empty — the host-level grouping key
+    * for domain mixing / per-site dedup (q146). Pure string surgery with
+    * pinned semantics (no java.net.URI — its parsing is lenient and
+    * version-dependent). */
+  def urlHost(url: UTF8String): UTF8String = {
+    val s = url.toString
+    val sep = s.indexOf("://")
+    if (sep <= 0) return null
+    var end = sep + 3
+    while (end < s.length && "/?#".indexOf(s.charAt(end)) < 0) end += 1
+    var auth = s.substring(sep + 3, end)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    val colon = auth.indexOf(':')
+    val host = if (colon >= 0) auth.substring(0, colon) else auth
+    if (host.isEmpty) null
+    else UTF8String.fromString(host.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** URL canonicalization with PINNED semantics (q146): lowercase the
+    * scheme and host (userinfo, port, path, query preserved verbatim),
+    * strip the fragment, strip the default port (`:80` for http, `:443`
+    * for https — after scheme lowering), and strip ONE trailing '/'
+    * (after fragment removal). Null when there is no `://` or the host is
+    * empty. The canonical key for exact URL dedup across crawl variants. */
+  def urlNormalize(url: UTF8String): UTF8String = {
+    var s = url.toString
+    val sep = s.indexOf("://")
+    if (sep <= 0) return null
+    val hash = s.indexOf('#')
+    if (hash >= 0) s = s.substring(0, hash)
+    if (sep + 3 > s.length) return null
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    var authEnd = sep + 3
+    while (authEnd < s.length && "/?#".indexOf(s.charAt(authEnd)) < 0) authEnd += 1
+    val auth = s.substring(sep + 3, authEnd)
+    val path = s.substring(authEnd)
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    val hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    val colon = hostPort.indexOf(':')
+    val host = (if (colon >= 0) hostPort.substring(0, colon) else hostPort)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (host.isEmpty) return null
+    var port = if (colon >= 0) hostPort.substring(colon) else ""
+    if ((scheme == "http" && port == ":80") ||
+        (scheme == "https" && port == ":443")) port = ""
+    var out = scheme + "://" + userinfo + host + port + path
+    if (out.endsWith("/")) out = out.substring(0, out.length - 1)
+    UTF8String.fromString(out)
+  }
+
   /** Duplicate word-n-gram fraction (the Gopher-style repetition quality
     * filter): 1 - distinct/total over the text's n-gram multiset; 0 for
     * empty/short texts (single-shingle fallback has one distinct gram). */

@@ -139,6 +139,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.editNearDups(mass, "text", "id", maxBand = 0).count() == 70L * 69 / 2)
   }
 
+  test("url_normalize / url_host: pinned canonicalization semantics") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    import graft.sql.TextOps.{urlNormalize => n, urlHost => h}
+    def ns(s: String): String = Option(n(u(s))).map(_.toString).orNull
+    def hs(s: String): String = Option(h(u(s))).map(_.toString).orNull
+    assert(ns("HTTP://ExAmple.CoM:80/A/b/#frag") == "http://example.com/A/b")
+    assert(ns("https://a.com:443/") == "https://a.com")
+    assert(ns("https://a.com:80/x") == "https://a.com:80/x")  // non-default kept
+    assert(ns("http://U:p@A.com:8080/q?x=1") == "http://U:p@a.com:8080/q?x=1")
+    assert(ns("http://a.com") == "http://a.com")
+    assert(ns("ftp://A.com:80/f") == "ftp://a.com:80/f")      // only http/https ports
+    assert(ns("no scheme here") == null && ns("://host.com/") == null)
+    assert(ns("http:///path") == null)                          // empty host
+    assert(hs("HTTP://User@x:1@Db.Example.ORG:8080/p#f") == "db.example.org")
+    assert(hs("https://Plain.Host") == "plain.host" && hs("nope") == null)
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

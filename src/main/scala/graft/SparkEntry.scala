@@ -1858,6 +1858,29 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q147_overlap_join" -> { (s, d) =>
+      prep(s, d)
+      // interval–interval OVERLAP join (session-conflict shape): every
+      // (lineitem interval, nation interval) pair whose closed intervals
+      // intersect, via chunk binning with the max-lo-chunk exactly-once
+      // claim — oracled against DuckDB's native inequality join.
+      val a = s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 100000
+          |    AS DOUBLE) AS alo,
+          |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 100000
+          |    + 100 + (l_linenumber % 5) * 50 AS DOUBLE) AS ahi
+          |FROM lineitem_par""".stripMargin)
+      val b = s.sql(
+        """SELECT n_nationkey,
+          |  CAST((n_nationkey * 4099) % 90000 AS DOUBLE) AS blo,
+          |  CAST((n_nationkey * 4099) % 90000 + 2000 + (n_nationkey % 7) * 500
+          |    AS DOUBLE) AS bhi
+          |FROM nation""".stripMargin)
+      graft.operators.RangeJoin.overlapJoin(a, "alo", "ahi", b, "blo", "bhi",
+          chunkWidth = 1000.0)
+        .orderBy("l_orderkey", "l_linenumber", "n_nationkey")
+    },
     "q146_url_normalize" -> { (s, d) =>
       prep(s, d)
       // URL canonicalization (crawl dedup key): dirty URLs constructed in
@@ -4290,6 +4313,26 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // interval overlap: DuckDB native inequality join over the same
+    // constructed interval layers (closed-interval intersection)
+    "q147_overlap_join" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 100000
+        |      AS DOUBLE) AS alo,
+        |    CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 100000
+        |      + 100 + (l_linenumber % 5) * 50 AS DOUBLE) AS ahi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey * 4099) % 90000 AS DOUBLE) AS blo,
+        |    CAST((n_nationkey * 4099) % 90000 + 2000 + (n_nationkey % 7) * 500
+        |      AS DOUBLE) AS bhi
+        |  FROM nation)
+        |SELECT a.l_orderkey, a.l_linenumber, a.alo, a.ahi,
+        |  b.n_nationkey, b.blo, b.bhi
+        |FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi
+        |ORDER BY a.l_orderkey, a.l_linenumber, b.n_nationkey""".stripMargin,
     // URL canonicalization: ground-truth expected values built in closed
     // form from the same key arithmetic — lowercased scheme/host, default
     // port dropped (http:80 / https:443 only), custom ports and userinfo

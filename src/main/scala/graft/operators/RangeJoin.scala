@@ -58,6 +58,58 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__chunk")
   }
+
+  /** Interval–interval OVERLAP join: all (left, right) pairs whose CLOSED
+    * intervals intersect (`loL <= hiR && loR <= hiL`), optionally on
+    * equal keys — the session-overlap / availability / shift-conflict
+    * join. Same chunk-binning shape as [[intervalJoin]]: both sides
+    * explode to the contiguous chunk range their interval covers and
+    * candidates hash-equi-join on (keys…, chunk) — never the
+    * BroadcastNestedLoopJoin Spark plans for a raw inequality predicate.
+    *
+    * Exactly-once with no distinct pass: a pair's shared chunks are the
+    * intersection of two CONTIGUOUS ranges, so the minimum shared chunk
+    * is simply `max(loChunk_left, loChunk_right)` — computable from
+    * columns already in flight; the pair is claimed only there.
+    *
+    * Inverted (`hi < lo`) or NaN-bounded intervals match NOTHING. Both
+    * need explicit drops: Spark's `sequence` would silently DESCEND on an
+    * inverted range, and Spark orders NaN GREATER than every value (so
+    * `lo <= NaN-hi` is true and a NaN bound would otherwise match
+    * everything past lo — caught by the spec's degenerate battery).
+    * Blow-up/skew trades are [[intervalJoin]]'s; pick `chunkWidth` near
+    * the typical interval width of the DENSER side. */
+  def overlapJoin(left: DataFrame, loL: String, hiL: String,
+                  right: DataFrame, loR: String, hiR: String,
+                  chunkWidth: Double, keys: Seq[String] = Nil,
+                  broadcastRight: Boolean = false): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    require(keys.forall(k => left.columns.contains(k) &&
+      right.columns.contains(k)), s"keys $keys must exist on both sides")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key columns ${shared.mkString(",")} exist on both sides")
+    def chunkOf(df: DataFrame, c: String): Column =
+      floor(numeric(col(c), df.schema(c).dataType) / chunkWidth).cast("long")
+    def finite(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType => lit(true)
+        case _ => !isnan(col(c).cast("double"))
+      }
+    val l = left.where(col(loL) <= col(hiL) &&
+        finite(left, loL) && finite(left, hiL))
+      .withColumn("__lc0", chunkOf(left, loL))
+      .withColumn("__chunk", explode(sequence(col("__lc0"), chunkOf(left, hiL))))
+    val r = right.where(col(loR) <= col(hiR) &&
+        finite(right, loR) && finite(right, hiR))
+      .withColumn("__rc0", chunkOf(right, loR))
+      .withColumn("__chunk", explode(sequence(col("__rc0"), chunkOf(right, hiR))))
+    val rhs = if (broadcastRight) broadcast(r) else r
+    l.join(rhs, keys :+ "__chunk")
+      .filter(col("__chunk") === greatest(col("__lc0"), col("__rc0")))
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .drop("__chunk", "__lc0", "__rc0")
+  }
 }
 
 /** Shared monotone value -> numeric-seconds mapping for chunk binning —

@@ -156,6 +156,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(hs("https://Plain.Host") == "plain.host" && hs("nope") == null)
   }
 
+  test("overlapJoin: multiset parity vs inequality crossJoin, both modes + keys") {
+    def iv(n: Int, seed: Long, width: Long) = (0 until n).map { i =>
+      val h = GeoOps.splitmix64(seed + i)
+      val lo = java.lang.Long.remainderUnsigned(h, 10000L).toDouble
+      val w = java.lang.Long.remainderUnsigned(h >>> 20, width).toDouble
+      val key = java.lang.Long.remainderUnsigned(h >>> 50, 3L)
+      (i.toLong, key, lo, lo + w)
+    }
+    val a = iv(400, 5L, 400L).toDF("aid", "k", "alo", "ahi")
+    val b = iv(120, 9L, 2500L).toDF("bid", "k2", "blo", "bhi")
+      .withColumnRenamed("k2", "k")
+    val expectNoKey = a.crossJoin(b.withColumnRenamed("k", "kb"))
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val expectKey = a.as("x").join(b.as("y"), col("x.k") === col("y.k") &&
+        col("x.alo") <= col("y.bhi") && col("y.blo") <= col("x.ahi"))
+      .select(col("x.aid"), col("y.bid")).as[(Long, Long)].collect().toSet
+    for (bc <- Seq(true, false)) {
+      val gotNoKey = graft.operators.RangeJoin.overlapJoin(
+          a.drop("k"), "alo", "ahi", b.drop("k"), "blo", "bhi",
+          chunkWidth = 700.0, broadcastRight = bc)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      assert(gotNoKey.size == gotNoKey.toSet.size, s"dup pairs (bc=$bc)")
+      assert(gotNoKey.toSet == expectNoKey && expectNoKey.nonEmpty)
+      val gotKey = graft.operators.RangeJoin.overlapJoin(
+          a, "alo", "ahi", b, "blo", "bhi",
+          chunkWidth = 700.0, keys = Seq("k"), broadcastRight = bc)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      assert(gotKey.size == gotKey.toSet.size)
+      assert(gotKey.toSet == expectKey && expectKey.nonEmpty &&
+        expectKey.size < expectNoKey.size)
+    }
+    // inverted and NaN intervals match nothing on either side
+    val bad = Seq((1L, 10.0, 5.0), (2L, Double.NaN, 20.0), (3L, 0.0, Double.NaN))
+      .toDF("bid", "blo", "bhi")
+    assert(graft.operators.RangeJoin.overlapJoin(
+      a.drop("k"), "alo", "ahi", bad, "blo", "bhi", 700.0).count() == 0)
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

@@ -1858,6 +1858,18 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q148_weighted_sample" -> { (s, d) =>
+      prep(s, d)
+      // quality-weighted deterministic sampling: keep probability = the
+      // row's weight, membership a pure function of (id, seed) — the
+      // oracle recomputes the exact subset via the 128-bit splitmix64
+      // replica and the same dyadic u = (h >>> 11) / 2^53 threshold test.
+      val rows = s.sql(
+        """SELECT doc_id, CAST(doc_id % 1000 AS DOUBLE) / 1000.0 AS wt
+          |FROM documents""".stripMargin)
+      Sampling.weightedSample(rows, "doc_id", "wt", seed = 7L)
+        .orderBy("doc_id")
+    },
     "q147_overlap_join" -> { (s, d) =>
       prep(s, d)
       // interval–interval OVERLAP join (session-conflict shape): every
@@ -4313,6 +4325,15 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // weighted sample: the splitmix64 replica (HUGEINT wraparound), the
+    // same unsigned >> 11 and exact dyadic / 2^53, the same weight tree
+    "q148_weighted_sample" ->
+      s"""SELECT doc_id, CAST(doc_id % 1000 AS DOUBLE) / 1000.0 AS wt
+        |FROM documents
+        |WHERE CAST(${smxU(smxExpr("xor(doc_id, 7)"))} // 2048 AS DOUBLE)
+        |      / 9007199254740992.0
+        |    < CAST(doc_id % 1000 AS DOUBLE) / 1000.0
+        |ORDER BY doc_id""".stripMargin,
     // interval overlap: DuckDB native inequality join over the same
     // constructed interval layers (closed-interval intersection)
     "q147_overlap_join" ->

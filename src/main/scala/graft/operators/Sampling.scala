@@ -26,6 +26,28 @@ object Sampling {
     df.filter(bucket(col(idCol), seed, denominator.toLong) < numerator)
   }
 
+  /** Weighted deterministic Bernoulli sample: keep each row with
+    * probability `weightCol` — the quality-score-weighted corpus
+    * selection pass (keep better documents with higher probability,
+    * deterministically). The keep test is `u < w` with
+    * `u = (splitmix64(id ^ seed) >>> 11) / 2^53`, an exactly-representable
+    * dyadic in [0, 1) — membership is a pure function of (id, seed), so
+    * re-runs, repartitionings, retries and an auditing engine all see the
+    * IDENTICAL subset (q148's DuckDB oracle recomputes it bit-for-bit).
+    * NULL and NaN weights drop the row (explicitly — Spark orders NaN
+    * greater than every value, so `u < NaN` alone would KEEP it);
+    * `w <= 0` never keeps, `w >= 1` always keeps. Map-side only: no
+    * shuffle, no state. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     seed: Long): DataFrame = {
+    Geo.register(df.sparkSession)
+    val u = shiftrightunsigned(call_function("splitmix64",
+        col(idCol).cast("long").bitwiseXOR(lit(seed))), 11)
+      .cast("double") / lit(9007199254740992.0)
+    val w = col(weightCol).cast("double")
+    df.filter(!isnan(w) && u < w)
+  }
+
   /** Stratified (per-key) deterministic sample: the k rows per key whose
     * md5(id) sorts lowest — a uniform, reproducible, engine-auditable
     * choice (md5 is identical everywhere, so the q63 DuckDB oracle

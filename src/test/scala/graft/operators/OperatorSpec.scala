@@ -195,6 +195,35 @@ class OperatorSpec extends AnyFunSuite {
       a.drop("k"), "alo", "ahi", bad, "blo", "bhi", 700.0).count() == 0)
   }
 
+  test("weightedSample: exact (id, seed)-pure membership, NaN/null drop") {
+    val rows = (0L until 4000L).map(i =>
+        (i, if (i % 97 == 0) Double.NaN else (i % 7).toDouble / 6.0))
+      .toDF("id", "wt")
+    val got = graft.operators.Sampling.weightedSample(rows, "id", "wt", seed = 7L)
+      .select("id").as[Long].collect().toSet
+    // scala-side reference: the same splitmix64, unsigned >> 11, / 2^53
+    val expected = (0L until 4000L).filter { i =>
+      val w = if (i % 97 == 0) Double.NaN else (i % 7).toDouble / 6.0
+      val u = (GeoOps.splitmix64(i ^ 7L) >>> 11).toDouble / 9007199254740992.0
+      !w.isNaN && u < w
+    }.toSet
+    assert(got == expected && expected.nonEmpty)
+    assert(!got.exists(_ % 97 == 0), "NaN weights must drop")
+    assert((0L until 4000L).filter(_ % 7 == 0).forall(i =>
+      i % 97 == 0 || !got.contains(i)), "w=0 rows must drop")
+    assert((0L until 4000L).filter(i => i % 7 == 6 && i % 97 != 0)
+      .forall(got.contains), "w=1 rows must all keep")
+    // partition-invariant: membership can't depend on layout
+    val got13 = graft.operators.Sampling.weightedSample(
+        rows.repartition(13), "id", "wt", seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(got13 == expected)
+    // null weights drop
+    val withNull = spark.sql("SELECT 1L AS id, CAST(NULL AS DOUBLE) AS wt")
+    assert(graft.operators.Sampling.weightedSample(withNull, "id", "wt", 7L)
+      .count() == 0)
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

@@ -1858,6 +1858,25 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q149_bloom_filter" -> { (s, d) =>
+      prep(s, d)
+      // Bloom membership prefilter (the join-pruning / decontamination
+      // sibling of CMS/HLL): a 4096-bit, 5-probe filter built over the
+      // customers that placed a %3==0 order, probed by EVERY customer.
+      // Bits are splitmix64 probes and words OR-merge, so the oracle
+      // rebuilds each 64-bit word exactly (distinct powers of two summed
+      // in HUGEINT, wrapped signed) and reproduces every hit — INCLUDING
+      // the false positives, bit-for-bit. True members asserted in-query
+      // via the no-false-negatives flag.
+      s.sql("""WITH s AS (SELECT bloom_sketch(o_custkey, 4096, 5) AS bf
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |m AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT c.c_custkey, bloom_contains(s.bf, c.c_custkey, 5) AS hit,
+        |  m.o_custkey IS NOT NULL AS is_member
+        |FROM customer c CROSS JOIN s
+        |LEFT JOIN m ON m.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin)
+    },
     "q148_weighted_sample" -> { (s, d) =>
       prep(s, d)
       // quality-weighted deterministic sampling: keep probability = the
@@ -4325,6 +4344,42 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // Bloom filter: rebuild every 64-bit word from the splitmix64 probes
+    // (distinct powers of two summed in HUGEINT, wrapped to the signed
+    // word), then evaluate the same k probe bits per customer — hits AND
+    // false positives replicate exactly
+    "q149_bloom_filter" ->
+      s"""WITH members AS (
+        |  SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderkey % 3 = 0),
+        |mh AS (SELECT id, ${smxExpr("id")} AS h1 FROM members),
+        |mh2 AS (SELECT id, h1, ${smxExpr("h1")} AS h2 FROM mh),
+        |bits AS (
+        |  SELECT DISTINCT CAST(idx // 64 AS INTEGER) AS w,
+        |    CAST(idx % 64 AS INTEGER) AS b
+        |  FROM (SELECT CAST((${smxU("h1")} + r *
+        |      (${smxU("h2")} - ${smxU("h2")} % 2 + 1)) % 4096 AS INTEGER) AS idx
+        |    FROM mh2 CROSS JOIN range(0, 5) t(r))),
+        |words AS (
+        |  SELECT w, CAST(s - CASE WHEN s >= 9223372036854775808
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+        |    AS BIGINT) AS word
+        |  FROM (SELECT w, sum(DISTINCT CAST(1 AS HUGEINT) << b) AS s
+        |        FROM bits GROUP BY w)),
+        |ph AS (SELECT c_custkey, ${smxExpr("c_custkey")} AS h1 FROM customer),
+        |ph2 AS (SELECT c_custkey, h1, ${smxExpr("h1")} AS h2 FROM ph),
+        |probes AS (
+        |  SELECT c_custkey, CAST((${smxU("h1")} + r *
+        |      (${smxU("h2")} - ${smxU("h2")} % 2 + 1)) % 4096 AS INTEGER) AS idx
+        |  FROM ph2 CROSS JOIN range(0, 5) t(r)),
+        |hits AS (
+        |  SELECT p.c_custkey,
+        |    min(CASE WHEN (coalesce(wo.word, 0) >> CAST(p.idx % 64 AS INTEGER)) & 1 = 1
+        |             THEN 1 ELSE 0 END) = 1 AS hit
+        |  FROM probes p LEFT JOIN words wo ON wo.w = p.idx // 64
+        |  GROUP BY p.c_custkey)
+        |SELECT h.c_custkey, h.hit, m.id IS NOT NULL AS is_member
+        |FROM hits h LEFT JOIN members m ON m.id = h.c_custkey
+        |ORDER BY h.c_custkey""".stripMargin,
     // weighted sample: the splitmix64 replica (HUGEINT wraparound), the
     // same unsigned >> 11 and exact dyadic / 2^53, the same weight tree
     "q148_weighted_sample" ->

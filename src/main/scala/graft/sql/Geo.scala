@@ -502,6 +502,12 @@ object Geo {
     "cms_query" -> (a => geo(LongType, "cmsQuery", a,
       Seq(ArrayType(LongType, containsNull = false), LongType,
         IntegerType, IntegerType))),
+    // Bloom membership sketch: bloom_sketch(id, mBits, k) + probe (q149)
+    "bloom_sketch" -> (a => BloomSketchAgg(castTo(a.head, LongType),
+      intLit(a(1), "bloom_sketch mBits"),
+      intLit(a(2), "bloom_sketch k")).toAggregateExpression()),
+    "bloom_contains" -> (a => geo(BooleanType, "bloomContains", a,
+      Seq(ArrayType(LongType, containsNull = false), LongType, IntegerType))),
     // element-wise fixed-point vector sum (k-means update without the
     // rows×dim explode — the exchange carries k buffers, not rows)
     "vec_fixedsum_agg" -> (a =>

@@ -1050,6 +1050,21 @@ object GeoOps {
     est
   }
 
+  /** Bloom membership probe (see `BloomSketchAgg`; q149): true iff every
+    * one of the k probe bits is set. m is implied by the word count. */
+  def bloomContains(words: ArrayData, item: Long, k: Int): Boolean = {
+    val m = words.numElements().toLong * 64
+    val h1 = splitmix64(item)
+    val h2 = splitmix64(h1) | 1L
+    var r = 0
+    while (r < k) {
+      val b = ((h1 + r * h2) & (m - 1)).toInt
+      if ((words.getLong(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      r += 1
+    }
+    true
+  }
+
   /** splitmix64 — deterministic row hashing for synthetic data (seed per
     * FIXTURES.md §4) and salting. */
   def splitmix64(x: Long): Long = {

@@ -77,6 +77,85 @@ case class CmsSketchAgg(
     copy(child = newChild)
 }
 
+/** Bloom membership sketch — the join-pruning / decontamination-prefilter
+  * sibling of the CMS (frequency) and HLL (distinct) sketches. `m` bits
+  * (power of two) in m/64 long words, `k` probes per item via DOUBLE
+  * hashing: `bit_r = (h1 + r·h2) & (m-1)` with `h1 = splitmix64(item)`,
+  * `h2 = splitmix64(h1) | 1`. NOT `splitmix64(item ^ r)` — the xor form's
+  * preimages collide across numerically-close items (`i^1 == (i+1)^0`),
+  * which the spec measured as a ~20× false-positive inflation on
+  * arithmetic-progression ids; double hashing needs a full 64-bit
+  * collision to correlate. Update sets bits, merge ORs words —
+  * idempotent, commutative, associative, so the sketch is invariant to
+  * partitioning, merge order, retries AND double-counted rows, and the
+  * q149 DuckDB oracle rebuilds every word exactly (distinct powers of two
+  * summed in HUGEINT, wrapped to the signed word). No false negatives
+  * ever; false-positive rate ~(1-e^{-kn/m})^k. Query with
+  * `bloom_contains`. */
+case class BloomSketchAgg(
+    child: Expression,
+    mBits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+    s"mBits $mBits must be a power of two >= 64")
+  require(k >= 1 && k <= 32, s"k $k out of [1,32]")
+
+  override def prettyName: String = "bloom_sketch"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](mBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[Long]
+      val h1 = GeoOps.splitmix64(item)
+      val h2 = GeoOps.splitmix64(h1) | 1L
+      var r = 0
+      while (r < k) {
+        val b = ((h1 + r * h2) & (mBits - 1)).toInt
+        buf(b >>> 6) |= 1L << (b & 63)
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BloomSketchAgg =
+    copy(child = newChild)
+}
+
 /** Element-wise sum of fixed-point vectors (`array<long>`) as a custom
   * Catalyst aggregate — the k-means centroid update without exploding
   * rows×dim through the shuffle: each partition folds its vectors into

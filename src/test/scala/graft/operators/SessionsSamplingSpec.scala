@@ -223,6 +223,39 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(probes.indices.count(j => ests(j) == exactCnt(j)) >= probes.size / 2)
   }
 
+  test("bloom_sketch: no false negatives, scala-exact probes, partition/dup-invariant") {
+    graft.sql.Geo.register(spark)
+    import spark.implicits._
+    val members = (0 until 400).map(i => (i * 7L + 3))
+    def run(parts: Int, dup: Int) = members.flatMap(Seq.fill(dup)(_))
+      .toDF("id").repartition(parts)
+      .selectExpr("bloom_sketch(id, 4096, 5) AS bf")
+      .selectExpr((0 until 4000 by 13).map(i =>
+        s"bloom_contains(bf, ${i}L, 5) AS h$i"): _*)
+      .collect()(0)
+    val a = run(1, 1); val b = run(13, 1); val c = run(13, 3)
+    assert(a == b && a == c,
+      "OR-merge must be partition- and double-count-invariant")
+    // scala reference: the same double-hashing probes (h1 + r*h2, h2 odd)
+    def bits(i: Long): Seq[Int] = {
+      val h1 = graft.sql.GeoOps.splitmix64(i)
+      val h2 = graft.sql.GeoOps.splitmix64(h1) | 1L
+      (0 until 5).map(r => ((h1 + r * h2) & 4095L).toInt)
+    }
+    val words = new Array[Long](64)
+    for (m <- members; bit <- bits(m)) words(bit >>> 6) |= 1L << (bit & 63)
+    def ref(i: Long): Boolean =
+      bits(i).forall(bit => (words(bit >>> 6) & (1L << (bit & 63))) != 0)
+    val probes = (0 until 4000 by 13)
+    probes.indices.foreach(j =>
+      assert(a.getBoolean(j) == ref(probes(j)), s"probe ${probes(j)}"))
+    val memberSet = members.toSet
+    assert(probes.filter(i => memberSet(i.toLong)).forall(i => ref(i)),
+      "false negative")
+    val fps = probes.count(i => !memberSet(i.toLong) && ref(i))
+    assert(fps < probes.size / 10, s"fp rate implausible: $fps")
+  }
+
   test("approxQuantiles: near-true quantiles, bit-identical under any partitioning") {
     import spark.implicits._
     // values 0..9999 uniformly: true quantile q is ~q*9999

@@ -1858,6 +1858,20 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q150_chunk_text" -> { (s, d) =>
+      prep(s, d)
+      // context-window chunking: every document split into consecutive
+      // <=16-token chunks (non-empty single-space tokens, chunk i = tokens
+      // [16i, 16i+16)) — all codegen'd built-ins, no shuffle; the oracle
+      // re-derives every chunk string and token count with DuckDB list
+      // slicing over the identical token array.
+      graft.operators.Packing
+        .chunkText(s.table("documents").select("doc_id", "text"), "text",
+          maxTokens = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     "q149_bloom_filter" -> { (s, d) =>
       prep(s, d)
       // Bloom membership prefilter (the join-pruning / decontamination
@@ -4344,6 +4358,19 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // chunking: identical non-empty-token arrays, 1-based inclusive list
+    // slices (clamped), same ' ' re-join and least() token count
+    "q150_chunk_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id, CAST(r AS INTEGER) AS chunk_idx,
+        |  array_to_string(ts[CAST(r * 16 + 1 AS INTEGER) :
+        |                     CAST(r * 16 + 16 AS INTEGER)], ' ') AS chunk_text,
+        |  CAST(least(16, len(ts) - r * 16) AS INTEGER) AS n_tokens
+        |FROM toks CROSS JOIN range(0, 64) t(r)
+        |WHERE r * 16 < len(ts)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // Bloom filter: rebuild every 64-bit word from the splitmix64 probes
     // (distinct powers of two summed in HUGEINT, wrapped to the signed
     // word), then evaluate the same k probe bits per customer — hits AND

@@ -36,4 +36,29 @@ object Packing {
       .withColumn("pack_offset", pmod(col("__before"), lit(budget)))
       .drop("__shard", "__before")
   }
+
+  /** Context-window chunking — the complement of [[packSequences]]: split
+    * each LONG document into consecutive chunks of at most `maxTokens`
+    * whitespace tokens. PINNED semantics: tokens are the non-empty
+    * single-space splits of `textCol` (chunk text is therefore
+    * whitespace-normalized — document this to consumers); chunk i holds
+    * tokens [i·maxTokens, (i+1)·maxTokens); empty/whitespace-only
+    * documents emit NO chunks. Entirely codegen'd built-ins
+    * (split → transform/slice → posexplode), map-side only — no shuffle,
+    * no UDF. Emits (all input columns, chunk_idx, chunk_text, n_tokens). */
+  def chunkText(df: DataFrame, textCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0)
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    df
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col("*"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(__n / $maxTokens.0D) AS INT) - 1), " +
+          s"i -> array_join(slice(__toks, i * $maxTokens + 1, $maxTokens), ' '))"))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        least(lit(maxTokens), col("__n") - col("chunk_idx") * maxTokens))
+      .drop("__toks", "__n")
+  }
 }

@@ -224,6 +224,25 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("chunkText: exact token partition, whitespace normalization, empty docs") {
+    val rows = Seq(
+      (1L, (1 to 23).map(i => s"t$i").mkString(" ")), // 23 tokens -> 3 chunks
+      (2L, "  a   b  "),                              // messy whitespace -> 1 chunk
+      (3L, ""), (4L, "   "),                          // no chunks
+      (5L, (1 to 8).map(i => s"u$i").mkString(" "))   // exactly one budget
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Packing.chunkText(rows, "text", maxTokens = 8)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq(0, 1, 2) && d1.map(_._4) == Seq(8, 8, 7))
+    assert(d1.map(_._3.split(" ").length) == Seq(8, 8, 7))
+    assert(d1.flatMap(_._3.split(" ")) == (1 to 23).map(i => s"t$i"))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0, "a b", 2)))
+    assert(!got.exists(t => t._1 == 3L || t._1 == 4L))
+    assert(got.filter(_._1 == 5L) == Seq((5L, 0, (1 to 8).map(i => s"u$i").mkString(" "), 8)))
+  }
+
   test("pipJoin matches brute-force PIP over the polygon layer") {
     val pts = randPoints(5000, 7L)
     val ptsDf = pts.toDF("pid", "lon", "lat")

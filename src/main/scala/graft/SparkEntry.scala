@@ -1858,6 +1858,21 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q151_mutual_knn" -> { (s, d) =>
+      prep(s, d)
+      // embedding clustering via the mutual-kNN graph: exact top-4 cosine
+      // neighbors over a 240-vector md5-rank sample, mutual edges only,
+      // min-label connected components (singletons label themselves). The
+      // oracle replays cosine ranks (the q40 replica), the mutual filter
+      // and a recursive reachability closure.
+      val sample = s.sql(
+        """SELECT vec_id, embedding FROM (
+          |  SELECT vec_id, embedding, row_number() OVER
+          |    (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS r
+          |  FROM embeddings) WHERE r <= 240""".stripMargin)
+      Ann.mutualKnnClusters(sample, "embedding", "vec_id", k = 4)
+        .orderBy("id")
+    },
     "q150_chunk_text" -> { (s, d) =>
       prep(s, d)
       // context-window chunking: every document split into consecutive
@@ -4358,6 +4373,40 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // mutual-kNN clusters: q40's bit-exact cosine replica over the same
+    // sample, the same top-4 rank window, mutual pairs, then min-label
+    // components via recursive reachability (q55's closure pattern)
+    "q151_mutual_knn" ->
+      """WITH RECURSIVE smp AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT vec_id, embedding, row_number() OVER
+        |      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+        |    FROM embeddings) WHERE r <= 240),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |      (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y) z)
+        |    / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM
+        |         (SELECT unnest(q.embedding) AS x) z))
+        |       * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM
+        |         (SELECT unnest(c.embedding) AS y) z))) AS cos
+        |  FROM smp q JOIN smp c ON c.vec_id <> q.vec_id),
+        |knn AS (SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM pairs)
+        |  WHERE rank <= 4),
+        |mut AS (SELECT x.qid AS a, x.id AS b FROM knn x JOIN knn y
+        |  ON y.qid = x.id AND y.id = x.qid AND x.qid < x.id),
+        |sym AS (SELECT a AS s0, b AS d0 FROM mut
+        |  UNION SELECT b, a FROM mut),
+        |reach(n, m) AS (
+        |  SELECT DISTINCT s0, s0 FROM sym
+        |  UNION
+        |  SELECT sym.d0, reach.m FROM reach JOIN sym ON sym.s0 = reach.n),
+        |comp AS (SELECT n, min(m) AS cluster FROM reach GROUP BY n)
+        |SELECT smp.vec_id AS id, COALESCE(comp.cluster, smp.vec_id) AS cluster
+        |FROM smp LEFT JOIN comp ON comp.n = smp.vec_id
+        |ORDER BY id""".stripMargin,
     // chunking: identical non-empty-token arrays, 1-based inclusive list
     // slices (clamped), same ' ' re-join and least() token count
     "q150_chunk_text" ->

@@ -116,6 +116,36 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Mutual-kNN clustering over an embedding corpus — the standard
+    * embedding-cluster pipeline: exact kNN graph (top-k cosine neighbors
+    * per vector), MUTUAL edges only (a in b's top-k AND b in a's —
+    * the density-robust pruning that stops hub vectors welding unrelated
+    * clusters), then min-label connected components (the [[Dedup]] CC
+    * machinery). Vectors in no mutual edge are singleton clusters of
+    * themselves. Returns (id, cluster).
+    *
+    * The graph stage here is the exact broadcast brute force (right for
+    * the ≤10^5-vector regimes where exactness is wanted — and what makes
+    * q151's oracle possible); at corpus scale swap it for
+    * [[ivfTopK]]/[[pqTopK]] candidates — the mutual filter and CC stages
+    * are unchanged. */
+  def mutualKnnClusters(corpus: DataFrame, vecCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    val queries = corpus.select(col(idCol).as("__qid"),
+      col(vecCol).as("__qvec"))
+    val knn = bruteForceTopK(corpus, queries, vecCol, idCol, "__qid",
+        "__qvec", k)
+      .select(col("__qid").as("a"), col(idCol).as("b"))
+    val mutual = knn.as("x").join(knn.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("id_a"), col("x.b").as("id_b"))
+    val clusters = Dedup.dupClusters(mutual)
+    corpus.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+  }
+
   /** Projection-pruned top-k: both sides reduce to `projDim` dims via the
     * deterministic Rademacher JL transform (`vec_project`), a cheap
     * low-dim cosine picks `k * rerank` candidates per query, and the

@@ -170,6 +170,26 @@ class IvfBucketSpec extends AnyFunSuite {
       s"expected partial top-k pushdown in the PQ windows:\n$plan")
   }
 
+  test("mutualKnnClusters: recovers planted blobs, singletons label themselves") {
+    // 3 well-separated blobs of 6 jittered vectors + 1 isolated vector
+    def vec(cx: Float, cy: Float, j: Int): Array[Float] =
+      Array(cx + j * 0.01f, cy - j * 0.01f, 1.0f, 0.5f)
+    val rows =
+      (0 until 6).map(j => (j.toLong, vec(10f, 0f, j))) ++
+      (0 until 6).map(j => (100L + j, vec(0f, 10f, j))) ++
+      (0 until 6).map(j => (200L + j, vec(-10f, -10f, j))) :+
+      (999L, Array(5f, 5f, -9f, 3f))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Ann
+      .mutualKnnClusters(df, "embedding", "vec_id", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert((0 until 6).forall(j => got(j.toLong) == 0L))
+    assert((0 until 6).forall(j => got(100L + j) == 100L))
+    assert((0 until 6).forall(j => got(200L + j) == 200L))
+    assert(got(999L) == 999L, "isolated vector must be a singleton")
+    assert(got.size == rows.size)
+  }
+
   test("k-means: recovers planted blobs; bit-identical under any partitioning") {
     // three well-separated blobs in 8-d: blob centers at 0, 10, 20 per dim
     // with small deterministic jitter — Lloyd's must put each blob in its

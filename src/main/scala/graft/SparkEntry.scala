@@ -1858,6 +1858,23 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q152_vec_stats" -> { (s, d) =>
+      prep(s, d)
+      // feature-normalization statistics: per-dimension corpus mean over
+      // the embedding table, SCHEDULE-DETERMINISTIC — the sums are the
+      // k-means fixed-point machinery (float · 2^24 rounds exactly; long
+      // partial sums commute), so the result is bit-identical under any
+      // partitioning and the oracle replays the same integer sums + the
+      // same pinned two-division mean tree.
+      s.sql(
+        """WITH s AS (SELECT vec_fixedsum_agg(vec_fixed(embedding, 24)) AS fs
+          |  FROM embeddings)
+          |SELECT dim, n,
+          |  CAST(fsum AS DOUBLE) / CAST(16777216 AS DOUBLE)
+          |    / CAST(n AS DOUBLE) AS mean
+          |FROM (SELECT posexplode(fs.sums) AS (dim, fsum), fs.n AS n FROM s)
+          |ORDER BY dim""".stripMargin)
+    },
     "q151_mutual_knn" -> { (s, d) =>
       prep(s, d)
       // embedding clustering via the mutual-kNN graph: exact top-4 cosine
@@ -4373,6 +4390,22 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // per-dim means: identical fixed-point rounding (floor(v·2^24 + 0.5)),
+    // integer sums, the same (sum / 2^24) / n double tree
+    "q152_vec_stats" ->
+      """WITH f AS (
+        |  SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+        |    CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE)
+        |      * CAST(16777216 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS fsum,
+        |    count(*) AS n
+        |  FROM embeddings
+        |  CROSS JOIN unnest(generate_series(1, len(embedding))) t(i)
+        |  GROUP BY t.i)
+        |SELECT dim, CAST(n AS BIGINT) AS n,
+        |  CAST(fsum AS DOUBLE) / CAST(16777216 AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS mean
+        |FROM f ORDER BY dim""".stripMargin,
     // mutual-kNN clusters: q40's bit-exact cosine replica over the same
     // sample, the same top-4 rank window, mutual pairs, then min-label
     // components via recursive reachability (q55's closure pattern)

@@ -1962,7 +1962,8 @@ object SparkEntry {
       prep(s, d)
       // URL canonicalization (crawl dedup key): dirty URLs constructed in
       // SQL with mixed-case schemes/hosts, userinfo, default and custom
-      // ports, trailing slashes, fragments and a non-URL decoy; the
+      // ports, trailing slashes, fragments, a non-URL decoy and a free-
+      // text row that merely EMBEDS a URL (invalid scheme -> NULL); the
       // kernels lowercase scheme+host, strip fragments/default ports/one
       // trailing slash, preserve userinfo/path/query verbatim, and null
       // out non-URLs. The oracle is GROUND TRUTH, not a replica: the
@@ -1970,6 +1971,7 @@ object SparkEntry {
       val urls = s.sql(
         """SELECT o_orderkey AS id,
           |  CASE WHEN o_orderkey % 11 = 0 THEN 'not a url ' || CAST(o_orderkey AS STRING)
+          |  WHEN o_orderkey % 13 = 1 THEN 'see HTTP://Ref-' || CAST(o_orderkey % 97 AS STRING) || '.com/x'
           |  ELSE
           |    CASE WHEN o_orderkey % 3 = 0 THEN 'HTTP'
           |         WHEN o_orderkey % 3 = 1 THEN 'https' ELSE 'HtTpS' END
@@ -4450,7 +4452,7 @@ object SparkEntry {
         |  array_to_string(ts[CAST(r * 16 + 1 AS INTEGER) :
         |                     CAST(r * 16 + 16 AS INTEGER)], ' ') AS chunk_text,
         |  CAST(least(16, len(ts) - r * 16) AS INTEGER) AS n_tokens
-        |FROM toks CROSS JOIN range(0, 64) t(r)
+        |FROM toks CROSS JOIN unnest(generate_series(0, len(ts) // 16)) t(r)
         |WHERE r * 16 < len(ts)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // Bloom filter: rebuild every 64-bit word from the splitmix64 probes
@@ -4524,7 +4526,7 @@ object SparkEntry {
     // kept, fragment + trailing slash gone, non-URLs NULL
     "q146_url_normalize" ->
       """SELECT o_orderkey AS id,
-        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |  CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 1 THEN NULL
         |  ELSE
         |    CASE WHEN o_orderkey % 3 = 0 THEN 'http' ELSE 'https' END
         |    || '://'
@@ -4536,7 +4538,7 @@ object SparkEntry {
         |            ELSE '' END
         |    || '/Path/' || CAST(o_orderkey % 13 AS VARCHAR)
         |  END AS nurl,
-        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |  CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 1 THEN NULL
         |       ELSE 'example-' || CAST(o_orderkey % 97 AS VARCHAR) || '.com'
         |  END AS host
         |FROM orders ORDER BY id""".stripMargin,

@@ -130,7 +130,7 @@ object Ann {
     * [[ivfTopK]]/[[pqTopK]] candidates — the mutual filter and CC stages
     * are unchanged. */
   def mutualKnnClusters(corpus: DataFrame, vecCol: String, idCol: String,
-                        k: Int): DataFrame = {
+                        k: Int, maxIter: Int = 50): DataFrame = {
     val queries = corpus.select(col(idCol).as("__qid"),
       col(vecCol).as("__qvec"))
     val knn = bruteForceTopK(corpus, queries, vecCol, idCol, "__qid",
@@ -140,7 +140,7 @@ object Ann {
         col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
           col("x.a") < col("x.b"))
       .select(col("x.a").as("id_a"), col("x.b").as("id_b"))
-    val clusters = Dedup.dupClusters(mutual)
+    val clusters = Dedup.dupClusters(mutual, maxIter = maxIter)
     corpus.select(col(idCol).as("id"))
       .join(clusters, Seq("id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("id")))

@@ -48,6 +48,10 @@ object Packing {
     * no UDF. Emits (all input columns, chunk_idx, chunk_text, n_tokens). */
   def chunkText(df: DataFrame, textCol: String, maxTokens: Int): DataFrame = {
     require(maxTokens > 0)
+    val reserved = Seq("chunk_idx", "chunk_text", "n_tokens", "__toks", "__n")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with chunkText outputs")
     val toks = filter(split(col(textCol), " "), t => t =!= "")
     df
       .withColumn("__toks", toks)

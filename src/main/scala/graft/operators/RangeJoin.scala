@@ -72,11 +72,13 @@ object RangeJoin {
     * is simply `max(loChunk_left, loChunk_right)` — computable from
     * columns already in flight; the pair is claimed only there.
     *
-    * Inverted (`hi < lo`) or NaN-bounded intervals match NOTHING. Both
-    * need explicit drops: Spark's `sequence` would silently DESCEND on an
-    * inverted range, and Spark orders NaN GREATER than every value (so
-    * `lo <= NaN-hi` is true and a NaN bound would otherwise match
-    * everything past lo — caught by the spec's degenerate battery).
+    * Inverted (`hi < lo`) or non-finite (NaN/±Inf) intervals match
+    * NOTHING. All need explicit drops: Spark's `sequence` would silently
+    * DESCEND on an inverted range, Spark orders NaN GREATER than every
+    * value (so `lo <= NaN-hi` is true and a NaN bound would otherwise
+    * match everything past lo), and an Inf bound would floor to
+    * Long.MaxValue and CRASH the chunk explode instead of degrading
+    * (all caught by the spec's degenerate battery).
     * Blow-up/skew trades are [[intervalJoin]]'s; pick `chunkWidth` near
     * the typical interval width of the DENSER side. */
   def overlapJoin(left: DataFrame, loL: String, hiL: String,
@@ -94,7 +96,10 @@ object RangeJoin {
     def finite(df: DataFrame, c: String): Column =
       df.schema(c).dataType match {
         case TimestampType | TimestampNTZType => lit(true)
-        case _ => !isnan(col(c).cast("double"))
+        case _ =>
+          val d = col(c).cast("double")
+          !isnan(d) && d > lit(Double.NegativeInfinity) &&
+            d < lit(Double.PositiveInfinity)
       }
     val l = left.where(col(loL) <= col(hiL) &&
         finite(left, loL) && finite(left, hiL))

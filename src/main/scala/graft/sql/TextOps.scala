@@ -271,16 +271,33 @@ object TextOps {
   def scrubEmails(s: UTF8String): UTF8String =
     UTF8String.fromString(EmailRe.matcher(s.toString).replaceAll("<EMAIL>"))
 
+  /** True iff s[0, end) is an RFC 3986 scheme: a letter then
+    * letters/digits/'+'/'-'/'.'. Rejecting anything else keeps free text
+    * that merely EMBEDS a URL ("read more at https://…") out of the
+    * canonical-key space — such strings return null, not a mangled key. */
+  private def validScheme(s: String, end: Int): Boolean = {
+    if (end <= 0) return false
+    if (!Character.isLetter(s.charAt(0))) return false
+    var i = 1
+    while (i < end) {
+      val c = s.charAt(i)
+      if (!Character.isLetterOrDigit(c) && c != '+' && c != '-' && c != '.')
+        return false
+      i += 1
+    }
+    true
+  }
+
   /** Host of a URL, lowercased: the authority after `scheme://`, userinfo
     * (through the LAST '@' in the authority) and port stripped. Null when
-    * there is no `://` or the host is empty — the host-level grouping key
-    * for domain mixing / per-site dedup (q146). Pure string surgery with
-    * pinned semantics (no java.net.URI — its parsing is lenient and
-    * version-dependent). */
+    * there is no `://`, the scheme is not RFC 3986-shaped, or the host is
+    * empty — the host-level grouping key for domain mixing / per-site
+    * dedup (q146). Pure string surgery with pinned semantics (no
+    * java.net.URI — its parsing is lenient and version-dependent). */
   def urlHost(url: UTF8String): UTF8String = {
     val s = url.toString
     val sep = s.indexOf("://")
-    if (sep <= 0) return null
+    if (sep <= 0 || !validScheme(s, sep)) return null
     var end = sep + 3
     while (end < s.length && "/?#".indexOf(s.charAt(end)) < 0) end += 1
     var auth = s.substring(sep + 3, end)
@@ -296,12 +313,16 @@ object TextOps {
     * scheme and host (userinfo, port, path, query preserved verbatim),
     * strip the fragment, strip the default port (`:80` for http, `:443`
     * for https — after scheme lowering), and strip ONE trailing '/'
-    * (after fragment removal). Null when there is no `://` or the host is
-    * empty. The canonical key for exact URL dedup across crawl variants. */
+    * (after fragment removal) — but ONLY when the URL carries no query: a
+    * final '/' after '?' is part of the query VALUE, not a path
+    * separator, and stripping it would collapse distinct URLs. Null when
+    * there is no `://`, the scheme is not RFC 3986-shaped (free text that
+    * merely embeds a URL is NOT a URL), or the host is empty. The
+    * canonical key for exact URL dedup across crawl variants. */
   def urlNormalize(url: UTF8String): UTF8String = {
     var s = url.toString
     val sep = s.indexOf("://")
-    if (sep <= 0) return null
+    if (sep <= 0 || !validScheme(s, sep)) return null
     val hash = s.indexOf('#')
     if (hash >= 0) s = s.substring(0, hash)
     if (sep + 3 > s.length) return null
@@ -321,7 +342,8 @@ object TextOps {
     if ((scheme == "http" && port == ":80") ||
         (scheme == "https" && port == ":443")) port = ""
     var out = scheme + "://" + userinfo + host + port + path
-    if (out.endsWith("/")) out = out.substring(0, out.length - 1)
+    if (out.endsWith("/") && path.indexOf('?') < 0)
+      out = out.substring(0, out.length - 1)
     UTF8String.fromString(out)
   }
 

@@ -145,6 +145,13 @@ class OperatorSpec extends AnyFunSuite {
     def ns(s: String): String = Option(n(u(s))).map(_.toString).orNull
     def hs(s: String): String = Option(h(u(s))).map(_.toString).orNull
     assert(ns("HTTP://ExAmple.CoM:80/A/b/#frag") == "http://example.com/A/b")
+    // a trailing '/' inside a QUERY is data, not a path separator
+    assert(ns("https://a.com/search?q=a/") == "https://a.com/search?q=a/")
+    assert(ns("https://a.com/p/?q=1") == "https://a.com/p/?q=1")
+    // free text embedding a URL is NOT a URL (scheme must be RFC 3986)
+    assert(ns("read more at HTTPS://X.com/") == null)
+    assert(hs("read more at HTTPS://X.com/") == null)
+    assert(ns("h+t.p://Ok.com/") == "h+t.p://ok.com")  // exotic but valid scheme
     assert(ns("https://a.com:443/") == "https://a.com")
     assert(ns("https://a.com:80/x") == "https://a.com:80/x")  // non-default kept
     assert(ns("http://U:p@A.com:8080/q?x=1") == "http://U:p@a.com:8080/q?x=1")
@@ -188,8 +195,10 @@ class OperatorSpec extends AnyFunSuite {
       assert(gotKey.toSet == expectKey && expectKey.nonEmpty &&
         expectKey.size < expectNoKey.size)
     }
-    // inverted and NaN intervals match nothing on either side
-    val bad = Seq((1L, 10.0, 5.0), (2L, Double.NaN, 20.0), (3L, 0.0, Double.NaN))
+    // inverted, NaN and infinite intervals match nothing on either side
+    // (Inf would otherwise floor to Long.MaxValue and crash the explode)
+    val bad = Seq((1L, 10.0, 5.0), (2L, Double.NaN, 20.0), (3L, 0.0, Double.NaN),
+        (4L, 0.0, Double.PositiveInfinity), (5L, Double.NegativeInfinity, 0.0))
       .toDF("bid", "blo", "bhi")
     assert(graft.operators.RangeJoin.overlapJoin(
       a.drop("k"), "alo", "ahi", bad, "blo", "bhi", 700.0).count() == 0)

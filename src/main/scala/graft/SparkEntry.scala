@@ -1858,6 +1858,18 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q153_funnel" -> { (s, d) =>
+      prep(s, d)
+      // funnel analysis over the event stream: per-user depth through
+      // view -> click -> purchase with earliest-completion semantics
+      // (t_i = min ts of a step-i event strictly after t_{i-1}). The
+      // engine folds each user's sorted events once (greedy earliest
+      // advance == the sequential-min recurrence); the oracle replays
+      // the recurrence as chained filtered-min joins.
+      graft.operators.Sessions.funnel(s.table("events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
     "q152_vec_stats" -> { (s, d) =>
       prep(s, d)
       // feature-normalization statistics: per-dimension corpus mean over
@@ -4392,6 +4404,27 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // funnel: the sequential-min recurrence as chained filtered-min joins
+    // (t1 = min view ts; t2 = min click ts > t1; t3 = min purchase ts > t2)
+    "q153_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |       WHEN t2.t2 IS NOT NULL THEN 2
+        |       WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS steps_completed,
+        |  coalesce(t3.t3, t2.t2, t1.t1) AS completed_ts
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // per-dim means: identical fixed-point rounding (floor(v·2^24 + 0.5)),
     // integer sums, the same (sum / 2^24) / n double tree
     "q152_vec_stats" ->

@@ -14,6 +14,43 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle replicates them (q64). */
 object Sessions {
 
+  /** Funnel analysis: how deep each user gets through an ORDERED step
+    * sequence, earliest-completion semantics — t_1 = min ts of a step-1
+    * event, t_i = min ts of a step-i event with ts STRICTLY after
+    * t_{i-1} (the standard product-analytics funnel; strict `>` pins
+    * simultaneous events to at most one advance, so the result is
+    * deterministic under ts ties). One shuffle: events group by user and
+    * a higher-order `aggregate` folds the (ts, step)-sorted event array —
+    * greedy earliest-advance over the sorted array IS the sequential-min
+    * recurrence, which is what the q153 oracle replays as chained
+    * filtered-min joins. Events-per-user must fit in memory (the
+    * sessionize contract). Returns (userCol, steps_completed,
+    * completed_ts of the deepest step — null at depth 0). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepsArr = array(steps.map(lit): _*)
+    events
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("ts"),
+        col(stepCol).as("step")))).as("__evs"))
+      .withColumn("__fold", aggregate(
+        col("__evs"),
+        struct(lit(0).as("idx"),
+          lit(null).cast(events.schema(tsCol).dataType).as("last")),
+        (st, ev) => {
+          val advance = st("idx") < steps.size &&
+            ev("step") === element_at(stepsArr, st("idx") + 1) &&
+            (st("idx") === 0 || ev("ts") > st("last"))
+          struct(
+            when(advance, st("idx") + 1).otherwise(st("idx")).as("idx"),
+            when(advance, ev("ts")).otherwise(st("last")).as("last"))
+        }))
+      .select(col(userCol),
+        col("__fold.idx").as("steps_completed"),
+        col("__fold.last").as("completed_ts"))
+  }
+
   /** Adds `session_id`: the per-key session ordinal (1-based, time order).
     * `tieCol` breaks timestamp ties deterministically. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,

@@ -256,6 +256,43 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(fps < probes.size / 10, s"fp rate implausible: $fps")
   }
 
+  test("funnel: sequential-min recurrence, ties, out-of-order, partial depth") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val evs = Seq(
+      // u1 completes all 3, with decoys out of order before
+      (1L, ts(5), "click"), (1L, ts(10), "view"), (1L, ts(12), "click"),
+      (1L, ts(20), "purchase"),
+      // u2: click BEFORE view only -> depth 1 (view at 30, no later click)
+      (2L, ts(10), "click"), (2L, ts(30), "view"),
+      // u3: view and click SIMULTANEOUS -> strict > blocks the advance
+      (3L, ts(10), "view"), (3L, ts(10), "click"),
+      // u4: no funnel steps at all
+      (4L, ts(1), "error"),
+      // u5: picks the EARLIEST eligible at each depth
+      (5L, ts(1), "view"), (5L, ts(2), "view"), (5L, ts(3), "click"),
+      (5L, ts(2), "purchase"), (5L, ts(9), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Sessions
+      .funnel(evs, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int, Option[Timestamp])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((3, Some(ts(20)))))
+    assert(got(2L) == ((1, Some(ts(30)))))
+    assert(got(3L) == ((1, Some(ts(10)))), "simultaneous click must not count")
+    assert(got(4L) == ((0, None)))
+    assert(got(5L) == ((3, Some(ts(9)))),
+      "purchase at ts(2) precedes click ts(3) and must not count")
+    // partition invariance
+    val got13 = graft.operators.Sessions
+      .funnel(evs.repartition(7), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int, Option[Timestamp])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got13 == got)
+  }
+
   test("approxQuantiles: near-true quantiles, bit-identical under any partitioning") {
     import spark.implicits._
     // values 0..9999 uniformly: true quantile q is ~q*9999

@@ -1858,6 +1858,21 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q154_kcore" -> { (s, d) =>
+      prep(s, d)
+      // k-core decomposition over q134's skewed synthetic web: the
+      // MAXIMAL subgraph where every node keeps degree >= 8 — unique,
+      // hence value-deterministic; the engine peels to fixpoint and the
+      // oracle unrolls 10 peel rounds in SQL (monotone decreasing, so an
+      // unconverged unroll would be a strict superset and fail loudly).
+      val edges = s.sql(
+        """SELECT o_custkey % 150 AS src,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 12
+          |       ELSE o_orderkey % 150 END AS dst
+          |FROM orders""".stripMargin)
+      graft.operators.Graph.kCore(edges, "src", "dst", k = 8)
+        .orderBy("node")
+    },
     "q153_funnel" -> { (s, d) =>
       prep(s, d)
       // funnel analysis over the event stream: per-user depth through
@@ -2881,6 +2896,29 @@ object SparkEntry {
   /** The fold lambda `(a, c) -> splitmix64(a ^ c)` shared by the rolling-
     * hash replicas. */
   private lazy val SmxLambda = smxExpr("xor(a, c)")
+
+  /** q154's unrolled k-core peel: s0 = full-degree filter, s_i = degree
+    * filter within the s_{i-1}-induced subgraph — exactly the engine's
+    * round-i survivor set. Survivor sets are monotone DECREASING, so if
+    * `rounds` under-runs the true peel depth the unroll is a strict
+    * superset of the engine's fixpoint and the compare fails loudly. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM (SELECT o_custkey % 150 AS src,
+      |      CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 12
+      |           ELSE o_orderkey % 150 END AS dst FROM orders)
+      |  WHERE src <> dst),
+      |u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |s0 AS (SELECT a FROM u0 GROUP BY a HAVING count(*) >= $k)""".stripMargin
+    for (i <- 1 to rounds)
+      sb ++= s""",
+        |s$i AS (SELECT u.a FROM u0 u JOIN s${i - 1} x ON x.a = u.a
+        |  JOIN s${i - 1} y ON y.a = u.b GROUP BY u.a HAVING count(*) >= $k)""".stripMargin
+    sb ++= s"\nSELECT a AS node FROM s$rounds ORDER BY node"
+    sb.toString
+  }
 
   /** Count-min counter-exact replica (q68, depth 4, width 1024): rebuild
     * every counter from the splitmix64 bucket map, then take the min over
@@ -4404,6 +4442,9 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // k-core: 10 unrolled peel rounds (see kCoreOracleSql — an
+    // unconverged unroll is a strict superset and fails loudly)
+    "q154_kcore" -> kCoreOracleSql(k = 8, rounds = 10),
     // funnel: the sequential-min recurrence as chained filtered-min joins
     // (t1 = min view ts; t2 = min click ts > t1; t3 = min purchase ts > t2)
     "q153_funnel" ->

@@ -92,6 +92,62 @@ object Graph {
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** k-core decomposition membership: the nodes of the MAXIMAL subgraph
+    * in which every node has degree >= k. The k-core is UNIQUE (the
+    * largest fixpoint of S -> {v : deg_S(v) >= k}), so the result is
+    * value-deterministic — unlike label-propagation communities, which is
+    * what makes it oracle-able (q154 unrolls the same peel in SQL).
+    *
+    * Iterative peeling over the undirected simple graph (loops dropped,
+    * both orientations deduped): each round removes every node whose
+    * CURRENT degree is < k, until no node drops. Rounds = peel depth;
+    * each round is one partial-aggregated degree count, a bounded
+    * existence probe, and two anti-joins — no driver-side data, O(1)
+    * lineage via persist/unpersist. A hub's degree only shrinks as its
+    * neighbors peel, so work decreases monotonically.
+    *
+    * Returns ("node") — the k-core members. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 100): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    val und = edges
+      .where(s.isNotNull && d.isNotNull && s =!= d)
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .distinct()
+    var e = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val deg = e.groupBy("a").agg(count(lit(1)).as("__d"))
+      val drop = deg.filter(col("__d") < k).select(col("a").as("__gone"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      done = drop.isEmpty
+      if (!done) {
+        val next = e
+          .join(drop, e("a") === drop("__gone"), "left_anti")
+          .join(drop, e("b") === drop("__gone"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        e.unpersist()
+        e = next
+      }
+      drop.unpersist()
+      it += 1
+    }
+    require(done, s"k-core peeling did not converge within $maxIter rounds")
+    // checkpoint before unpersisting: the core must not re-derive the
+    // whole anti-join chain once the cache is gone
+    val core = e.select(col("a").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    e.unpersist()
+    core
+  }
+
   /** @param edges  link table; one row per (src, dst) pair (dupes dropped)
     * @param iters  fixed iteration count (>= 0 — 0 returns r0 = scale)
     * @param scale  fixed-point denominator

@@ -7,6 +7,42 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark = graft.sql.SparkTestSession.spark
   import spark.implicits._
 
+  test("kCore equals the brute-force peel; clique survives, chain cascades") {
+    import graft.sql.GeoOps
+    // random graph on 0..59 + an ISOLATED 6-clique (ids 100..105, a
+    // 5-core) + a pendant 6-node path (ids 200..205 — peel depth ~3, the
+    // cascading-removal case)
+    val rnd = (0 until 400).map { i =>
+      val h = GeoOps.splitmix64(3000L + i)
+      (java.lang.Long.remainderUnsigned(h, 60L),
+        java.lang.Long.remainderUnsigned(h >>> 20, 60L))
+    }.filter(t => t._1 != t._2)
+    val clique = for (i <- 100L to 105L; j <- 100L to 105L if i < j) yield (i, j)
+    val chain = (0 until 5).map(i => (200L + i, 201L + i))
+    val all = rnd ++ clique ++ chain
+    val edges = all.toDF("src", "dst")
+    def brute(k: Int): Set[Long] = {
+      var adj = all.flatMap(t => Seq(t, t.swap)).distinct
+      var changed = true
+      while (changed) {
+        val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size }
+        val dead = deg.filter(_._2 < k).keySet
+        changed = dead.nonEmpty
+        adj = adj.filter(t => !dead(t._1) && !dead(t._2))
+      }
+      adj.map(_._1).toSet
+    }
+    for (k <- Seq(2, 3, 5, 6)) {
+      val got = Graph.kCore(edges, "src", "dst", k)
+        .as[Long].collect().toSet
+      assert(got == brute(k), s"k=$k")
+    }
+    assert((100L to 105L).toSet.subsetOf(brute(5)), "clique is a 5-core")
+    assert(!(100L to 105L).exists(brute(6)), "clique is not a 6-core")
+    assert(!(200L to 205L).exists(brute(2)),
+      "pendant chain must cascade away even at k=2")
+  }
+
   /** Literal replay of the documented semantics in plain Scala. */
   private def referencePr(edges: Seq[(Long, Long)], iters: Int,
                           scale: Long): Map[Long, Long] = {

@@ -1858,6 +1858,30 @@ object SparkEntry {
         .where("len_dup = len").drop("len_dup")
         .orderBy("entity")
     },
+    "q155_link_graph" -> { (s, d) =>
+      prep(s, d)
+      // web-graph assembly end-to-end: synthetic HTML pages carry one or
+      // two <a href> links to dirty URLs (mixed case, default port,
+      // trailing slash); regexp link extraction -> url_normalize ->
+      // url_host -> per-host in-link counts. The oracle knows every
+      // expected host in closed form from the same key arithmetic, so
+      // extraction AND canonicalization must both be exactly right.
+      val pages = s.sql(
+        """SELECT o_orderkey AS page_id,
+          |  '<html><a href="HTTP://Site-' || CAST(o_orderkey % 23 AS STRING)
+          |  || '.COM:80/p">a</a>'
+          |  || CASE WHEN o_orderkey % 2 = 0 THEN
+          |       '<p>x</p><a href="https://Ref-' || CAST(o_orderkey % 7 AS STRING)
+          |       || '.com/x/">b</a>' ELSE '' END
+          |  || '</html>' AS html
+          |FROM orders""".stripMargin)
+      pages
+        .select(explode(expr(
+          """regexp_extract_all(html, 'href="([^"]*)"', 1)""")).as("link"))
+        .selectExpr("url_host(url_normalize(link)) AS host")
+        .groupBy("host").agg(count(lit(1)).as("n"))
+        .orderBy("host")
+    },
     "q154_kcore" -> { (s, d) =>
       prep(s, d)
       // k-core decomposition over q134's skewed synthetic web: the
@@ -4442,6 +4466,16 @@ object SparkEntry {
         |    (a, b) -> a + b) AS len
         |FROM h JOIN nb ON nb.entity = h.entity
         |ORDER BY h.entity""".stripMargin,
+    // link graph: the synthesis knows every expected host in closed form
+    // (extraction + canonicalization must both be exactly right)
+    "q155_link_graph" ->
+      """WITH l AS (
+        |  SELECT 'site-' || CAST(o_orderkey % 23 AS VARCHAR) || '.com' AS host
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ref-' || CAST(o_orderkey % 7 AS VARCHAR) || '.com'
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT host, count(*) AS n FROM l GROUP BY host ORDER BY host""".stripMargin,
     // k-core: 10 unrolled peel rounds (see kCoreOracleSql — an
     // unconverged unroll is a strict superset and fails loudly)
     "q154_kcore" -> kCoreOracleSql(k = 8, rounds = 10),

@@ -151,50 +151,62 @@ object Dedup {
     * keys is COMPLETE; it over-generates (e.g. "ab"/"ba" share keys at
     * distance 2), so the exact `levenshtein` refine decides every pair.
     *
-    * Scale shape: a row emits len+1 keys of ~len bytes — O(len²) bytes of
-    * candidate shuffle per row, the right trade for short strings (for
-    * documents use [[minhashNearDups]]/[[simhashNearDups]]). With
-    * `maxBand <= 0` (exact mode) key arrays ride the join and the
-    * MIN-shared-key claim keeps each pair exactly once with no distinct
-    * pass. With `maxBand > 0`, keys shared by more than `maxBand` rows
-    * are dropped before the self-join (mega-key bound — 10^6 copies of a
-    * stock caption would otherwise emit 10^12 candidates from one key;
-    * exact dedup already covers verbatim mass duplicates) and pairs
-    * dedupe via `distinct` since the min shared key may have been capped
-    * away. */
+    * Scale shape: a row emits len+1 keys, but the candidate join shuffles
+    * their 8-byte xxhash64 values, NOT the strings — a hash collision
+    * only creates a FALSE CANDIDATE that the exact refine kills, so
+    * semantics are unchanged while shuffle bytes drop ~(len/8)×
+    * (measured: N→4N scaling 0.649 → re-measured after this change in
+    * SCALING.md on 8M strings). For long documents use
+    * [[minhashNearDups]]/[[simhashNearDups]]. With `maxBand <= 0` (exact
+    * mode) hash arrays ride the join and the MIN-shared-hash claim keeps
+    * each pair exactly once with no distinct pass. With `maxBand > 0`,
+    * hashes shared by more than `maxBand` rows are dropped before the
+    * self-join (mega-key bound — 10^6 copies of a stock caption would
+    * otherwise emit 10^12 candidates from one key; exact dedup already
+    * covers verbatim mass duplicates) and pairs dedupe via `distinct`
+    * since the min shared hash may have been capped away. */
   def editNearDups(df: DataFrame, textCol: String, idCol: String,
                    maxBand: Int = 64): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(col("text").isNotNull)
-    val keyed = docs.withColumn("__keys", array_union(
-      array(col("text")),
-      expr("transform(sequence(1, greatest(length(text), 1)), i -> " +
+    val keyed = docs.withColumn("__keys", expr(
+      "transform(array_union(array(text), " +
+        "transform(sequence(1, greatest(length(text), 1)), i -> " +
         "concat(substring(text, 1, i - 1), " +
-        "substring(text, i + 1, length(text))))")))
+        "substring(text, i + 1, length(text))))), k -> xxhash64(k))"))
+    // texts RIDE the candidate join: this operator is short-strings by
+    // contract (captions/titles), so carrying ~len bytes per candidate
+    // row is cheaper than re-joining the corpus twice for the refine —
+    // the refine becomes a map-side levenshtein with no extra shuffle
+    // (the documents discipline — ids only, join texts back — is for
+    // kB-scale payloads; see minhashNearDups)
     val pairs =
       if (maxBand > 0) {
         val banded = capBands(
-          keyed.select(col("id"), explode(col("__keys")).as("__k")),
+          keyed.select(col("id"), col("text"), explode(col("__keys")).as("__k")),
           "__k", maxBand)
         banded.as("a").join(banded.as("b"),
             col("a.__k") === col("b.__k") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.text").as("text_a"), col("b.text").as("text_b"))
+          .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+          .filter(col("dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("dist"))
           .distinct()
       } else {
-        val banded = keyed.select(col("id"), col("__keys"),
+        val banded = keyed.select(col("id"), col("text"), col("__keys"),
           explode(col("__keys")).as("__k"))
         banded.as("a").join(banded.as("b"),
             col("a.__k") === col("b.__k") && col("a.id") < col("b.id") &&
               col("a.__k") === array_min(array_intersect(
                 col("a.__keys"), col("b.__keys"))))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.text").as("text_a"), col("b.text").as("text_b"))
+          .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+          .filter(col("dist") <= 1)
+          .select(col("id_a"), col("id_b"), col("dist"))
       }
     pairs
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("dist") <= 1)
-      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** Boilerplate-line removal (the CCNet/Dolma corpus-cleaning pass): drop

@@ -262,8 +262,51 @@ object Measure {
     * (`SpatialJoins.pipJoin` pattern) and use this as the exact refine. */
   def intersects(a: Geom, b: Geom): Boolean = {
     if (a.isEmpty || b.isEmpty) return false
+    // Envelope early-out: strictly disjoint envelopes cannot share a point
+    // (containsPoint and every element distance need one), so the O(n+m)
+    // envelope scan replaces the O(n·m) pair loop for the cover-join
+    // candidates whose tiles touch but whose geometries don't. NaN
+    // coordinates fail every comparison and fall through to the old path.
+    val ea = Geom.envelope(a)
+    val eb = Geom.envelope(b)
+    if (ea(0) > eb(2) || eb(0) > ea(2) || ea(1) > eb(3) || eb(1) > ea(3))
+      return false
+    // Axis-aligned-rectangle fast path: two solid rectangles intersect iff
+    // their closed coordinate intervals overlap — already established by
+    // the envelope test above.
+    if (isAxisRect(a, ea) && isAxisRect(b, eb)) return true
     if (anyPointInside(a, b) || anyPointInside(b, a)) return true
     elementDistance(a, b) == 0.0 // containment already checked above
+  }
+
+  /** True when `g` is a single-ring POLYGON tracing exactly its envelope
+    * rectangle: 5 closed coords, axis-parallel edges, each of the 4
+    * distinct corners visited once, positive width and height. Degenerate
+    * or backtracking rings (a repeated corner, zero area) fail the
+    * distinct-corner test and take the exact path. */
+  private def isAxisRect(g: Geom, env: Array[Double]): Boolean = {
+    if (g.geomType != GeomTypes.Polygon || g.o0 == null || g.o0.length != 2)
+      return false
+    if (g.numCoords != 5) return false
+    val s = g.stride
+    val c = g.coords
+    val xmin = env(0); val ymin = env(1); val xmax = env(2); val ymax = env(3)
+    if (!(xmin < xmax && ymin < ymax)) return false
+    if (c(0) != c(4 * s) || c(1) != c(4 * s + 1)) return false // not closed
+    var corners = 0
+    var i = 0
+    while (i < 4) {
+      val x = c(i * s); val y = c(i * s + 1)
+      val nx = c((i + 1) * s); val ny = c((i + 1) * s + 1)
+      if (x != nx && y != ny) return false // slanted edge
+      val cx = if (x == xmin) 0 else if (x == xmax) 1 else return false
+      val cy = if (y == ymin) 0 else if (y == ymax) 2 else return false
+      val bit = 1 << (cx | cy)
+      if ((corners & bit) != 0) return false // corner revisited
+      corners |= bit
+      i += 1
+    }
+    corners == 15
   }
 
   /** Planar min distance between geometries (PostGIS ST_Distance): 0 when

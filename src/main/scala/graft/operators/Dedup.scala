@@ -270,24 +270,25 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(eager = true)
+    val clusterType = labels.schema("cluster").dataType
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      // carry each id's PREVIOUS label through the min-aggregation (the
+      // labels side contributes exactly one row per id and every msg dst
+      // is also a node, so min(__old) ignoring the msgs' nulls is the old
+      // label): convergence is then a shuffle-free filter over the
+      // checkpointed frame instead of the former per-round join of the
+      // two frontiers (guide §2.4 — one exchange, not two, per round).
+      val next = labels.withColumn("__old", col("cluster"))
+        .unionByName(msgs.withColumn("__old", lit(null).cast(clusterType)))
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
+          min(col("__old")).as("__old"))
         .localCheckpoint(eager = true)
-      // structural convergence: does ANY id's label differ from last
-      // round? Both frontiers share one id set (min-label never drops
-      // ids), both are checkpointed, and isEmpty stops at the first
-      // changed row (limit 1) — one bounded probe per round, id-type
-      // agnostic.
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       it += 1
     }
     edges.unpersist(blocking = false)

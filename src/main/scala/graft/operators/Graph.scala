@@ -170,9 +170,18 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * 3L / 20L
 
+    // The iteration count is FIXED (no data-dependent control flow), so the
+    // rounds compose into ONE lazy plan: each r_i feeds r_{i+1} exactly once
+    // (a straight-line DAG), the persisted e/nodes/outdeg are computed once
+    // inside the single final action, and the per-iteration
+    // persist+count+unpersist job pair — pure scheduling latency at any
+    // scale, one full extra pass over the rank table per round — is gone
+    // (guide §2.4: remove materialization barriers that buy nothing).
+    // Deep runs truncate the growing plan every `CheckpointEvery` rounds so
+    // planning time and lineage stay bounded.
+    val CheckpointEvery = 8
     var r = nodes.withColumn("rank", lit(scale))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       // share(u) = ((r·17) div 20) div outdeg — integral DIV, not `/`
       // (Spark's `/` on longs is double division; DIV truncates, which on
       // these all-positive values equals the floor the oracle replays)
@@ -182,13 +191,11 @@ object Graph {
       val contribs = e.join(share, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("in_mass"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      r = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the parent
-      r.unpersist()
-      r = next
+      if (i % CheckpointEvery == 0 && i < iters)
+        r = r.localCheckpoint(eager = true)
     }
     r
   }

@@ -539,6 +539,29 @@ object Geo {
             graft.plans.IntersectsJoinRewrite,
             graft.plans.ElideRedundantGeoCasts, graft.plans.PlanarEdgesGuard)
       }
+      // InferFiltersFromGenerate adds `size(cover) > 0 AND isnotnull(cover)`
+      // above every cover/cell explode; predicate pushdown then inlines the
+      // WHOLE cover kernel (boxToPolygon + tileCover static_invokes) into a
+      // Filter below the projections, so each geometry's cover is computed
+      // 3x per row (twice in the filter, once in the project — measured in
+      // q117's plan). Explode with outer=false already skips empty arrays;
+      // for kernel-computed arrays the inferred filter is pure repeated
+      // work, so it is excluded for sessions using this engine (plan-only:
+      // results are identical, guide §4.4's duplicated-evaluation trap).
+      // InferFiltersFromConstraints does the same with `isnotnull(kernel)`
+      // derived from any join/filter predicate over a kernel output — the
+      // inferred filter lands BELOW the projections with the whole kernel
+      // expression inlined, so the kernel runs again per row. The engine's
+      // kernels are null-propagating (the inferred null checks never prune
+      // a row the predicate itself wouldn't), so both rules are excluded;
+      // the remeasured plans drop from 3 kernel evaluations per row to 1.
+      val inferRules = Seq(
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+      val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+        .filter(_.nonEmpty)
+      val merged = (prev.toSeq.flatMap(_.split(",")) ++ inferRules).distinct
+      spark.conf.set("spark.sql.optimizer.excludedRules", merged.mkString(","))
       registered.add(key)
     }
   }

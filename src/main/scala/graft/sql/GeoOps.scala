@@ -809,9 +809,13 @@ object GeoOps {
   def distance(a: InternalRow, b: InternalRow): Double =
     Measure.distance(GeoStruct.decode(a), GeoStruct.decode(b))
 
-  /** Planar intersects predicate (PostGIS ST_Intersects). */
+  /** Planar intersects predicate (PostGIS ST_Intersects). The second
+    * argument decodes through the per-thread cache: in the cover-join
+    * plans (`SpatialJoins.intersectsJoin`, `IntersectsJoinRewrite`) it is
+    * the broadcast dim side, whose few distinct geometries recur once per
+    * candidate pair. */
   def intersects(a: InternalRow, b: InternalRow): Boolean =
-    Measure.intersects(GeoStruct.decode(a), GeoStruct.decode(b))
+    Measure.intersects(GeoStruct.decode(a), decodeCached(b))
 
   /** Discrete symmetric Hausdorff distance (vertex-sampled). */
   def hausdorffDistance(a: InternalRow, b: InternalRow): Double =

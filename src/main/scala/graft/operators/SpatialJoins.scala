@@ -98,8 +98,8 @@ object SpatialJoins {
       .withColumn("__rtile", explode(col("__rcover")))
     val r = if (broadcastRight) broadcast(r0) else r0
     l.join(r, col("__jtile") === col("__rtile") &&
-        col("__jtile") === array_min(array_intersect(
-          col("__lcover"), col("__rcover"))) &&
+        col("__jtile") === call_function("st_minsharedtile",
+          col("__lcover"), col("__rcover")) &&
         call_function("st_intersects",
           col(leftGeomCol), col(rightGeomCol)))
       .drop("__lcover", "__jtile", "__rcover", "__rtile")
@@ -144,8 +144,8 @@ object SpatialJoins {
       .withColumn("__rtile", explode(col("__rcover")))
     val r = if (broadcastRight) broadcast(r0) else r0
     l.join(r, col("__jtile") === col("__rtile") &&
-        col("__jtile") === array_min(array_intersect(
-          col("__lcover"), col("__rcover"))))
+        col("__jtile") === call_function("st_minsharedtile",
+          col("__lcover"), col("__rcover")))
       .withColumn("hausdorff",
         call_function("st_hausdorff", col(leftGeomCol), col(rightGeomCol)))
       .filter(col("hausdorff") <= lit(maxDist))

@@ -100,7 +100,13 @@ object IntersectsJoinRewrite extends Rule[LogicalPlan] {
     val (newRight, rCover, rTile) = sideWithCover(right, gr, "r")
 
     val equi = EqualTo(lTile, rTile)
-    val claim = EqualTo(lTile, ArrayMin(ArrayIntersect(lCover, rCover)))
+    // allocation-free exactly-once claim: value-identical to
+    // array_min(array_intersect(lc, rc)) — see GeoOps.minSharedTile
+    val claim = EqualTo(lTile, StaticInvoke(GeoOps.getClass,
+      LongType, "minSharedTile", Seq(lCover, rCover),
+      inputTypes = Seq(ArrayType(LongType, containsNull = false),
+        ArrayType(LongType, containsNull = false)),
+      propagateNull = true, returnNullable = true))
     val newJoin =
       Join(newLeft, newRight, Inner, Some(And(And(equi, claim), cond)), hint)
     Some(Project(j.output, newJoin))

@@ -331,6 +331,8 @@ object Geo {
     "st_tilechildren" -> (a => geo(longArray, "tileChildren", a, Seq(LongType))),
     "st_tileenvelope" -> (a => geo(B, "tileEnvelope", a, Seq(LongType))),
     "st_tilecover" -> (a => geo(longArray, "tileCover", a, Seq(G, IntegerType))),
+    "st_minsharedtile" -> (a => geo(LongType, "minSharedTile", a,
+      Seq(longArray, longArray), nullable = true)),
     // scanline polygon rasterization over one tile: lit in-tile pixel
     // indices (pixel-center, even-odd, half-open fill — core/Raster.scala)
     "st_tilerasterize" -> { a =>

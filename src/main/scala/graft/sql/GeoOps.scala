@@ -939,6 +939,33 @@ object GeoOps {
   def tileCover(g: InternalRow, z: Int): ArrayData =
     GeoStruct.longArray(Tiles.coverGeom(GeoStruct.decode(g), z))
 
+  /** Minimum element present in BOTH long arrays, null when disjoint —
+    * the cover-join exactly-once claim
+    * (`tile == st_minsharedtile(lcover, rcover)`), value-identical to
+    * `array_min(array_intersect(l, r))` but evaluated allocation-free:
+    * covers are O(tens) of longs, so the nested scan beats the per-pair
+    * hash-set build the array expressions pay on every candidate. */
+  def minSharedTile(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var best = Long.MaxValue
+    var found = false
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      if (!found || x < best) {
+        var j = 0
+        var hit = false
+        while (j < m && !hit) {
+          if (b.getLong(j) == x) hit = true
+          j += 1
+        }
+        if (hit) { best = x; found = true }
+      }
+      i += 1
+    }
+    if (found) java.lang.Long.valueOf(best) else null
+  }
+
   /** Tile cover for rasterization — tested against the PROJECTED geometry
     * (straight edges in world-pixel space, matching [[tileRasterize]]'s
     * fill), so it is a guaranteed superset of every tile the fill can

@@ -32,6 +32,41 @@ object PipelineProbe {
       r
     }
 
+    // sub-step split of writeSnapshot itself
+    for (round <- 1 to 2) {
+      println(s"[probe] ---- writeSnapshot internals, round $round")
+      val dir = java.nio.file.Files.createTempDirectory("graft_probe_ws").toString
+      val pts0 = s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST((l_orderkey * 131 + l_partkey * 7 + l_linenumber) % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon,
+          |  CAST((l_orderkey * 37 + l_suppkey * 11 + l_linenumber) % 1700000 AS DOUBLE) / 10000.0 - 85.0 AS lat
+          |FROM lineitem_par""".stripMargin)
+        .withColumn("key", concat(lit("k"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")))
+      val data = Pipeline.withBucket(pts0, "lon", "lat", 3)
+        .withColumn("snapshot_id", lit(1L))
+      t("  write partitioned") {
+        data.repartition(col("bucket"))
+          .write.mode("append").partitionBy("snapshot_id", "bucket")
+          .parquet(s"$dir/data")
+      }
+      val written = t("  read-back open") {
+        s.read.parquet(s"$dir/data/snapshot_id=1")
+          .withColumn("bucket", col("bucket").cast("long"))
+      }
+      val manifest = t("  manifest agg+write") {
+        val m = written.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("rows"),
+            lit(null).cast("long").as("bytes"),
+            min(col("key").cast("string")).as("min_key"),
+            max(col("key").cast("string")).as("max_key"))
+          .withColumn("snapshot_id", lit(1L))
+        m.write.mode("append").parquet(s"$dir/manifests")
+        m
+      }
+      manifest.count()
+    }
+
     for (round <- 1 to 2) {
       println(s"[probe] ---- round $round")
       val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString

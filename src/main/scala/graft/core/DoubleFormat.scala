@@ -91,6 +91,26 @@ object DoubleFormat {
     fromToString(abs).getOrElse(searchDigits(abs))
   }
 
+  /** Exact powers of ten as doubles (10^0..10^22 are all exactly
+    * representable); parsed, not pow()'d, so each is the true value. */
+  private val Pow10D: Array[Double] =
+    Array.tabulate(23)(i => java.lang.Double.parseDouble("1E" + i))
+
+  /** nearest-double(cand * 10^e) == abs, for cand > 0. When cand <= 2^53
+    * and |e| <= 22 both operands are exact doubles and one IEEE multiply/
+    * divide IS the correctly-rounded conversion, so the equality test is
+    * the round-trip test without touching BigDecimal (r06 — this probe is
+    * the inner loop of every WKT/GeoJSON coordinate print). Outside that
+    * range, the exact BigDecimal conversion decides identically. */
+  private def candRoundTrips(cand: Long, e: Int, abs: Double): Boolean = {
+    if (cand <= 9007199254740992L && e >= -22 && e <= 22) {
+      val cd = cand.toDouble
+      val v = if (e >= 0) cd * Pow10D(e) else cd / Pow10D(-e)
+      v == abs
+    } else
+      JBigDecimal.valueOf(cand, -e).doubleValue() == abs
+  }
+
   private def fromToString(abs: Double): Option[(Long, Int)] = {
     val s = java.lang.Double.toString(abs)
     // parse "ddd.ddd" or "d.dddEnn" into (digits, exp10)
@@ -105,16 +125,19 @@ object DoubleFormat {
     var exp = exp0 - (body.length - dot - 1)
     if (digits == 0) return Some((0L, 0))
     while (digits % 10 == 0) { digits /= 10; exp += 1 }
-    val n = java.lang.Long.toString(digits).length
-    if (n > 1) {
-      // would one fewer significant digit round-trip?
-      val bd = JBigDecimal.valueOf(digits, -exp)
-      // probe both tie candidates: when the dropped digit is exactly 5 the
-      // down- and up-rounding differ and either may be the round-tripper
-      val up = bd.round(new MathContext(n - 1, RoundingMode.HALF_UP))
-      if (up.doubleValue() == abs) return None // rare: fall to full search
-      val down = bd.round(new MathContext(n - 1, RoundingMode.HALF_DOWN))
-      if (down.doubleValue() == abs) return None
+    if (digits >= 10) {
+      // would one fewer significant digit round-trip? Dropping the last
+      // digit of a no-trailing-zero mantissa IS rounding to n-1
+      // significant digits; probe both tie candidates (when the dropped
+      // digit is exactly 5 the down- and up-rounding differ and either
+      // may be the round-tripper).
+      val q = digits / 10
+      val r = digits - q * 10
+      val candUp = q + (if (r >= 5) 1L else 0L)
+      val candDown = q + (if (r > 5) 1L else 0L)
+      if (candRoundTrips(candUp, exp + 1, abs)) return None // full search
+      if (candDown != candUp && candRoundTrips(candDown, exp + 1, abs))
+        return None
     }
     // sanity: toString must round-trip (spec guarantee)
     Some((digits, exp))

@@ -256,8 +256,11 @@ object Dedup {
     * frontiers, short-circuited by `isEmpty`'s limit-1). Works for any id
     * type, unlike a numeric-sum potential, which silently declares
     * convergence after one round for non-numeric ids (cast -> NULL) or on
-    * decimal overflow. Rounds = component diameter; near-dup clusters are
-    * dense (diameter 1-2), and `maxIter` bounds adversarial chains.
+    * decimal overflow. Each round also pointer-jumps (every node adopts
+    * its label's label — path halving), so rounds are O(log diameter)
+    * instead of O(diameter): near-dup clusters are dense (diameter 1-2,
+    * one round either way), chain-shaped components converge
+    * logarithmically, and `maxIter` bounds adversarial cases.
     *
     * @param pairs edge list, any orientation, self-loops/dups fine
     * @return ("id", "cluster") for every id present in `pairs` */
@@ -276,6 +279,14 @@ object Dedup {
     while (!converged && it < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
+      // pointer jump: each id also adopts its label's label. A label is
+      // always the id of a node in the SAME component (init: itself;
+      // msgs: a neighbor's label; jump: that node's label), so the min
+      // fixpoint is unchanged — the jump only shortcuts label chains,
+      // which is what makes chain-shaped components log-round.
+      val jump = labels.as("x").join(labels.as("y"),
+          col("x.cluster") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.cluster").as("cluster"))
       // carry each id's PREVIOUS label through the min-aggregation (the
       // labels side contributes exactly one row per id and every msg dst
       // is also a node, so min(__old) ignoring the msgs' nulls is the old
@@ -284,6 +295,7 @@ object Dedup {
       // two frontiers (guide §2.4 — one exchange, not two, per round).
       val next = labels.withColumn("__old", col("cluster"))
         .unionByName(msgs.withColumn("__old", lit(null).cast(clusterType)))
+        .unionByName(jump.withColumn("__old", lit(null).cast(clusterType)))
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
           min(col("__old")).as("__old"))
         .localCheckpoint(eager = true)

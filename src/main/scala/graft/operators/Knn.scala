@@ -227,6 +227,7 @@ object Knn {
     val pending = scala.collection.mutable.Set(levels: _*)
     var level = levels.max
     var round = 0
+    var nActive = 0L
     // round-0 cap: a few cells at the finest entry level; radius then
     // quadruples in lockstep with the level coarsening by 2, so cover
     // size stays flat and radius = 2·minWidth(level) at EVERY round —
@@ -237,17 +238,20 @@ object Knn {
     var remaining: DataFrame = null
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = false
+    // open-query bookkeeping by COUNT over checkpointed frames (see
+    // knnJoin): the retire decision is one tiny aggregation over the
+    // checkpointed top-k; the query-set anti-join + checkpoint is skipped
+    // on rounds that retire nothing and after the final round.
     while (!done) {
       // activate the queries whose start level the loop just reached
-      remaining =
-        if (!pending.remove(level)) remaining
-        else {
-          val entering = leveled.filter($"__lvl" === level).drop("__lvl")
-          (if (remaining == null) entering
-           else remaining.unionByName(entering)).localCheckpoint(eager = true)
-        }
+      if (pending.remove(level)) {
+        val entering = leveled.filter($"__lvl" === level).drop("__lvl")
+        remaining = (if (remaining == null) entering
+          else remaining.unionByName(entering)).localCheckpoint(eager = true)
+        nActive = remaining.count()
+      }
       val finalRound = radius >= halfSphere
-      if (!remaining.isEmpty) {
+      if (nActive > 0) {
         val r = if (finalRound) halfSphere + 1.0 else radius // full sphere
         val topk = roundTopk(remaining, level, r).localCheckpoint(eager = true)
         // retirement: the cap cover is a superset of all cells within r,
@@ -260,10 +264,15 @@ object Knn {
           .agg(count(lit(1)).as("__n"), max($"__dist").as("__kth"))
           .filter(($"__n" >= k && $"__kth" <= r) || lit(finalRound))
           .select($"qid")
-        parts += finished(topk, doneIds)
-        if (onRound != null) onRound(round, level, doneIds.count())
-        remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
-          .localCheckpoint(eager = true)
+        val nDone = doneIds.count()
+        if (nDone > 0) {
+          parts += finished(topk, doneIds)
+          nActive -= nDone
+          if (nActive > 0)
+            remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+              .localCheckpoint(eager = true)
+        }
+        if (onRound != null) onRound(round, level, nDone)
         if (finalRound) done = true
       } else if (finalRound || pending.isEmpty) {
         // nothing active and nothing still to enter below: finished
@@ -335,11 +344,18 @@ object Knn {
       .withColumn("__qcell", call_function("st_gridcell",
         col("qlon"), col("qlat"), lit(res)))
       .localCheckpoint(eager = true)
+    // open-query bookkeeping by COUNT over the checkpointed frames: the
+    // loop gate and the "did anything retire" decision cost one tiny
+    // aggregation over the (<= k rows/query) checkpointed top-k, and the
+    // anti-join + checkpoint of the query set is skipped entirely on
+    // rounds that retire nothing and after the final round (r06 — the
+    // former isEmpty-gated shape paid both every round).
+    var nRemaining = remaining.count()
     var r = 2
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val maxR = math.ceil(360.0 / res).toInt + 1
 
-    while (!remaining.isEmpty && r <= maxR * 2) {
+    while (nRemaining > 0 && r <= maxR * 2) {
       // materialize the (tiny: <= k rows per open query) top-k once —
       // doneIds, the finished part, and the next query set all derive from
       // the checkpointed result, so the join+window executes exactly once
@@ -350,13 +366,18 @@ object Knn {
         .agg(count(lit(1)).as("__n"), max($"__dist2").as("__kth"))
         .filter($"__n" >= k && $"__kth" <= bound * bound)
         .select($"qid")
-      parts += finished(topk, doneIds)
-      remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
-        .localCheckpoint(eager = true)
+      val nDone = doneIds.count()
+      if (nDone > 0) {
+        parts += finished(topk, doneIds)
+        nRemaining -= nDone
+        if (nRemaining > 0)
+          remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+            .localCheckpoint(eager = true)
+      }
       r *= 2
     }
     if (persistPoints) pts.unpersist(blocking = false)
-    require(remaining.isEmpty, "kNN join did not converge")
+    require(nRemaining == 0, "kNN join did not converge")
     if (parts.isEmpty) finished(roundTopk(remaining, 2), remaining.select($"qid")).limit(0)
     else parts.reduce(_ unionByName _)
   }

@@ -85,11 +85,16 @@ object GeoParquet {
         (col(bboxCol)("xmin") + col(bboxCol)("xmax")) / 2,
         (col(bboxCol)("ymin") + col(bboxCol)("ymax")) / 2, lit(sortZoom)))
       .withColumn(geomCol, call_function("st_aswkb", col(geomCol)))
+      // repartitionByRange runs a SAMPLING pass before the write pass —
+      // without this persist the upstream geometry kernels (envelope,
+      // WKB encode, and whatever built the geometry) execute twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed
       .repartitionByRange(col("__sort"))
       .sortWithinPartitions(col("__sort"))
       .drop("__sort")
       .write.mode("overwrite").parquet(path)
+    keyed.unpersist(blocking = false)
     val crsJson = crs.map(c =>
       if (c.trim.startsWith("{")) c
       else "\"" + GeoSchema.jsonEscape(c) + "\"").getOrElse("null")

@@ -43,7 +43,10 @@ class DataSourceV2Spec extends AnyFunSuite {
     val pruned = v2.filter(col("id") > 500L).select("id", "score")
     val formatted = pruned.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(formatted.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)]"),
+    // r06: no IsNotNull(id) — it came from InferFiltersFromConstraints,
+    // excluded by Geo.register (its inferred filters duplicate kernel
+    // work in cover-join plans); the user predicate still pushes down.
+    assert(formatted.contains("PushedFilters: [GreaterThan(id,500)]"),
       formatted)
     assert(formatted.contains("ReadSchema: struct<id:bigint,score:double>"),
       formatted)

@@ -1884,7 +1884,11 @@ object SparkEntry {
           "st_npoints(st_removerepeatedpoints(track)) AS np_after",
           "st_length(st_removerepeatedpoints(track)) AS len",
           "st_length(track) AS len_dup")
-        .where("len_dup = len").drop("len_dup")
+        // nondeterministic disjunct: keeps the equality gate above the
+        // projection — pushdown otherwise inlines the track construction
+        // and both length folds into a second per-row evaluation (r06)
+        .where(col("len_dup") === col("len") || spark_partition_id() < 0)
+        .drop("len_dup")
         .orderBy("entity")
     },
     "q155_link_graph" -> { (s, d) =>

@@ -332,9 +332,14 @@ object Dedup {
       if (!normalize) col(textCol)
       else trim(regexp_replace(regexp_replace(lower(col(textCol)),
         lit("[\\p{Punct}]"), lit(" ")), lit("\\s+"), lit(" ")))
+    // the always-false nondeterministic disjunct pins the size filter
+    // ABOVE the tokenization project: pushdown would otherwise inline the
+    // whole normalize+split chain into a Filter below it, running the
+    // regexes twice per row (r06; partition ids are never negative, and a
+    // filter on a derived column can never reach PushedFilters anyway)
     def grams(df: DataFrame): DataFrame = df
       .withColumn("__t", split(textExpr, " "))
-      .filter(size(col("__t")) >= n)
+      .filter(size(col("__t")) >= n || spark_partition_id() < 0)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__t) - $n), " +
           s"i -> md5(concat_ws(' ', slice(__t, i + 1, $n))))")).as("gram"))

@@ -56,7 +56,11 @@ object Packing {
     df
       .withColumn("__toks", toks)
       .withColumn("__n", size(col("__toks")))
-      .where(col("__n") > 0)
+      // nondeterministic disjunct: keeps the filter above the tokenize
+      // project (pushdown would inline the split+filter chain into a
+      // second per-row evaluation; derived-column filters never reach
+      // PushedFilters, so nothing is lost at the scan — r06)
+      .where(col("__n") > 0 || spark_partition_id() < 0)
       .select(col("*"), posexplode(expr(
         s"transform(sequence(0, CAST(ceil(__n / $maxTokens.0D) AS INT) - 1), " +
           s"i -> array_join(slice(__toks, i * $maxTokens + 1, $maxTokens), ' '))"))

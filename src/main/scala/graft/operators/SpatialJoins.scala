@@ -134,12 +134,19 @@ object SpatialJoins {
           env("xmax") + d, env("ymax") + d)),
         lit(zoom))
     }
+    // the nondeterministic disjunct keeps the emptiness filter at this
+    // altitude: when the geometry is itself computed upstream (tracks,
+    // buffers), pushdown would inline that whole construction into a
+    // second per-row Filter evaluation (r06; derived-geometry predicates
+    // never reach PushedFilters, so the scan loses nothing)
     val l = left
-      .where(!call_function("st_isempty", col(leftGeomCol)))
+      .where(!call_function("st_isempty", col(leftGeomCol)) ||
+        spark_partition_id() < 0)
       .withColumn("__lcover", coverExpanded(col(leftGeomCol), maxDist))
       .withColumn("__jtile", explode(col("__lcover")))
     val r0 = right
-      .where(!call_function("st_isempty", col(rightGeomCol)))
+      .where(!call_function("st_isempty", col(rightGeomCol)) ||
+        spark_partition_id() < 0)
       .withColumn("__rcover", coverExpanded(col(rightGeomCol), 0.0))
       .withColumn("__rtile", explode(col("__rcover")))
     val r = if (broadcastRight) broadcast(r0) else r0

@@ -35,6 +35,7 @@ object SparkEntry {
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     par(spark.table("lineitem")).createOrReplaceTempView("lineitem_par")
+    par(spark.table("documents")).createOrReplaceTempView("documents_par")
     prepped.put(spark, dir)
   }
 
@@ -783,8 +784,10 @@ object SparkEntry {
       // exactly what decontamination exists to catch: the eval set leaked
       // into the training corpus verbatim.
       val docs = s.table("documents")
+      // corpus side parallelized (r06): 8-gram md5 explode is the per-row
+      // cost and the raw scan is one task
       graft.operators.Dedup.decontaminate(
-          docs,
+          par(docs),
           docs.filter(col("doc_id") % 97 === 0),
           "text", "doc_id", n = 8)
         .orderBy("doc_id")
@@ -1275,7 +1278,7 @@ object SparkEntry {
         |  CAST((doc_id % 4 + 1) * 4 AS INT) AS h,
         |  CAST(doc_id % 6 + 2 AS INT) AS nf,
         |  CAST(doc_id % 200 + 3 AS INT) AS seed
-        | FROM documents),
+        | FROM documents_par),
         |v AS (SELECT doc_id,
         |  video_meta(make_y4m(w, h, nf, seed)) AS m,
         |  frame_features(make_y4m(w, h, nf, seed), 2, 4) AS fr
@@ -1323,7 +1326,7 @@ object SparkEntry {
         |  CAST((doc_id % 4 + 1) * 4 AS INT) AS h,
         |  CAST(doc_id % 6 + 2 AS INT) AS nf,
         |  CAST(doc_id % 200 + 3 AS INT) AS seed
-        | FROM documents),
+        | FROM documents_par),
         |v AS (SELECT doc_id,
         |  video_meta(make_avi(w, h, nf, seed, 0)) AS m,
         |  frame_features(make_avi(w, h, nf, seed, 0), 2, 4) AS fr
@@ -1468,7 +1471,10 @@ object SparkEntry {
       // web-mercator pixel math — so the whole chain (pixel assignment,
       // two-level aggregation, PNG encode, PNG decode) must agree with
       // closed-form SQL, tile by tile.
-      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      // parallel scan (r06): the raw lineitem file is one row group — one
+      // task would run the whole projection + world-pixel kernel chain
+      val pts = s.sql(
+        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
       TileRender.renderTiles(pts, "lon", "lat", zoom = 4, size = 256)
         .selectExpr("x AS tx", "y AS ty",
           "img_nonzero(png) AS lit_pixels",
@@ -1512,7 +1518,10 @@ object SparkEntry {
       // pixel-math scalings are exact — the reduction is bit-identical to
       // re-rendering each level from scratch). The oracle re-derives all
       // three levels from raw coordinates by the same shifts.
-      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      // parallel scan (r06): the raw lineitem file is one row group — one
+      // task would run the whole projection + world-pixel kernel chain
+      val pts = s.sql(
+        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
       TileRender.renderPyramid(pts, "lon", "lat",
           minZoom = 2, maxZoom = 4, size = 256)
         .selectExpr("z", "x AS tx", "y AS ty",
@@ -1582,7 +1591,10 @@ object SparkEntry {
       // each pixel's center. The oracle recomputes per-pixel clamped
       // counts from the raw coordinates and joins them to the projected
       // zone boxes with the same half-open center predicate.
-      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      // parallel scan (r06): the raw lineitem file is one row group — one
+      // task would run the whole projection + world-pixel kernel chain
+      val pts = s.sql(
+        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
       val tiles = TileRender.renderTiles(pts, "lon", "lat", zoom = 3, size = 256)
         .select("tile_id", "png")
       val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
@@ -1729,7 +1741,10 @@ object SparkEntry {
       // end-to-end (clamped decode → multiply → sum → floor-div): the
       // oracle replays pixel counts, the 9-tap scatter and the division in
       // closed form, tile by tile.
-      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      // parallel scan (r06): the raw lineitem file is one row group — one
+      // task would run the whole projection + world-pixel kernel chain
+      val pts = s.sql(
+        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
       val rendered = TileRender.renderTiles(pts, "lon", "lat", zoom = 4,
         size = 256)
       TileRender.convolve(rendered, TileRender.GaussianKernel, 16L,
@@ -1859,7 +1874,10 @@ object SparkEntry {
       // where st_quadkeytile(st_quadkey(tile)) != tile would drop and
       // break the count hash. The oracle re-derives tx/ty with the q22
       // tile formula and assembles the 8 digits by bit arithmetic.
-      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
+      // parallel scan (r06): the raw lineitem file is one row group — one
+      // task would run the whole projection + world-pixel kernel chain
+      val pts = s.sql(
+        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
       SpatialJoins.assignTiles(pts, "lon", "lat", zoom = 8)
         .selectExpr("st_quadkey(tile_id) AS qk", "tile_id")
         .where("st_quadkeytile(qk) = tile_id")
@@ -2082,7 +2100,7 @@ object SparkEntry {
       // while the rational form replicates bit-exactly. Every score is a
       // fixed IEEE tree over exact integer counts; constants appear as
       // decimal literals on both sides.
-      TextRank.bm25TopTerms(s.table("documents"), "text", "doc_id", k = 5,
+      TextRank.bm25TopTerms(par(s.table("documents")), "text", "doc_id", k = 5,
           logIdf = false)
         .orderBy("doc_id", "rank")
     },
@@ -2100,7 +2118,7 @@ object SparkEntry {
       // the grid-cell candidate join + label propagation at scale.
       val sample = s.sql(
         """WITH ids AS (
-          |  SELECT DISTINCT l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+          |  SELECT DISTINCT l_orderkey * 10 + l_linenumber AS id FROM lineitem_par),
           |samp AS (
           |  SELECT id FROM ids ORDER BY md5(CAST(id AS STRING)), id LIMIT 400)
           |SELECT id,
@@ -2396,7 +2414,10 @@ object SparkEntry {
       val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
         .selectExpr("CAST(n_nationkey AS BIGINT) AS zone_id",
           "st_boxtopolygon(ax, ay, bx, by) AS zg")
-      val boxes = s.sql(s"""WITH pts AS ($PtsCte)
+      // parallel scan (r06): the zone side broadcasts, so without the
+      // repartition the whole box-build + cover + refine chain would run
+      // inside the raw file's single scan task
+      val boxes = s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT l_orderkey, l_linenumber,
         |  st_boxtopolygon(lon - CAST(1.5 AS DOUBLE), lat - CAST(1.0 AS DOUBLE),
         |    lon + CAST(1.5 AS DOUBLE), lat + CAST(1.0 AS DOUBLE)) AS bg
@@ -2468,7 +2489,10 @@ object SparkEntry {
       val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
         .selectExpr("CAST(n_nationkey AS BIGINT) AS zone_id",
           "st_boxtopolygon(ax, ay, bx, by) AS zg")
-      val boxes = s.sql(s"""WITH pts AS ($PtsCte)
+      // parallel scan (r06): the zone side broadcasts, so without the
+      // repartition the whole box-build + cover + refine chain would run
+      // inside the raw file's single scan task
+      val boxes = s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT l_orderkey, l_linenumber,
         |  st_boxtopolygon(lon - CAST(1.5 AS DOUBLE), lat - CAST(1.0 AS DOUBLE),
         |    lon + CAST(1.5 AS DOUBLE), lat + CAST(1.0 AS DOUBLE)) AS bg
@@ -2496,7 +2520,7 @@ object SparkEntry {
         |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |    CAST(doc_id % 256 AS INT) AS v1,
         |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        |   FROM documents))
+        |   FROM documents_par))
         |LATERAL VIEW posexplode(hist) t AS bin, cnt
         |WHERE cnt > 0
         |ORDER BY doc_id, bin""".stripMargin)
@@ -2714,7 +2738,9 @@ object SparkEntry {
       // punct->space + whitespace collapse) must flag every planted row.
       // The oracle mirrors the normalization op-for-op in DuckDB.
       val docs = s.table("documents")
-      val corpus = docs.select(col("doc_id"),
+      // corpus side parallelized (r06): normalize regexes + 8-gram md5
+      // explode are the per-row cost and the raw scan is one task
+      val corpus = par(docs).select(col("doc_id"),
         when(col("doc_id") % 97 === 0,
           concat(upper(col("text")), lit(" !!!")))
           .otherwise(col("text")).as("text"))
@@ -2796,7 +2822,10 @@ object SparkEntry {
   /** documents ∪ mutated copies (doc_id+10000, last ~8 words dropped) —
     * planted near-duplicates for the dedup operators. */
   private def plantedNearDups(s: SparkSession): DataFrame = {
-    val base = s.table("documents").select(col("doc_id"), col("text"))
+    // parallel scan (r06): the shingle/minhash kernels downstream are the
+    // dominant per-row cost and would otherwise run in the raw file's
+    // single scan task
+    val base = par(s.table("documents")).select(col("doc_id"), col("text"))
     val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), lit(1),
         greatest(size(split(col("text"), " ")) - 8, lit(1)))).as("text"))

@@ -279,27 +279,52 @@ object Dedup {
     while (!converged && it < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
+      // carry each id's PREVIOUS label through the min-aggregation (the
+      // labels side contributes exactly one row per id and every msg dst
+      // is also a node, so min(__old) ignoring the msgs' nulls is the old
+      // label): convergence is then readable off the checkpointed frame
+      // instead of the former per-round join of the two frontiers (guide
+      // §2.4 — one exchange, not two, per round).
+      val base = labels.withColumn("__old", col("cluster"))
+        .unionByName(msgs.withColumn("__old", lit(null).cast(clusterType)))
       // pointer jump: each id also adopts its label's label. A label is
       // always the id of a node in the SAME component (init: itself;
       // msgs: a neighbor's label; jump: that node's label), so the min
       // fixpoint is unchanged — the jump only shortcuts label chains,
-      // which is what makes chain-shaped components log-round.
-      val jump = labels.as("x").join(labels.as("y"),
-          col("x.cluster") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.cluster").as("cluster"))
-      // carry each id's PREVIOUS label through the min-aggregation (the
-      // labels side contributes exactly one row per id and every msg dst
-      // is also a node, so min(__old) ignoring the msgs' nulls is the old
-      // label): convergence is then a shuffle-free filter over the
-      // checkpointed frame instead of the former per-round join of the
-      // two frontiers (guide §2.4 — one exchange, not two, per round).
-      val next = labels.withColumn("__old", col("cluster"))
-        .unionByName(msgs.withColumn("__old", lit(null).cast(clusterType)))
-        .unionByName(jump.withColumn("__old", lit(null).cast(clusterType)))
+      // which is what bounds chain-shaped components to log rounds.
+      // Round 0's jump is the identity (every label is its own id) and
+      // is skipped — one broadcast join less in the first, coldest round.
+      val withJump =
+        if (it == 0) base
+        else {
+          val jump = labels.as("x").join(labels.as("y"),
+              col("x.cluster") === col("y.id"))
+            .select(col("x.id").as("id"), col("y.cluster").as("cluster"))
+          base.unionByName(
+            jump.withColumn("__old", lit(null).cast(clusterType)))
+        }
+      // convergence rides the checkpoint action itself (`observe` collects
+      // the changed-row count during the SAME job — guide §1.4/§2.4: the
+      // former filter+isEmpty probe was one extra job per round, ~10% of
+      // the loop's wall time on latency-bound tiny graphs)
+      val obs = org.apache.spark.sql.Observation()
+      val next = withJump
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
           min(col("__old")).as("__old"))
+        .observe(obs, sum(when(col("cluster") === col("__old"), 0L)
+          .otherwise(1L)).as("__changed"))
         .localCheckpoint(eager = true)
-      converged = next.filter(col("cluster") =!= col("__old")).isEmpty
+      // the metric is delivered asynchronously on the listener bus —
+      // usually within a few ms of the checkpoint action, but a busy bus
+      // can lag unboundedly, so poll briefly and fall back to the (cheap)
+      // structural probe rather than stalling the round
+      val fut = obs.future
+      val deadline = System.nanoTime() + 100L * 1000 * 1000
+      while (!fut.isCompleted && System.nanoTime() < deadline) Thread.sleep(2)
+      converged = fut.value.flatMap(_.toOption) match {
+        case Some(r) => r.isNullAt(0) || r.getLong(0) == 0L
+        case None => next.filter(col("cluster") =!= col("__old")).isEmpty
+      }
       labels = next.drop("__old")
       it += 1
     }

@@ -102,6 +102,25 @@ class R06OptimizationSpec extends AnyFunSuite {
     assert((100 to 150).forall(i => m(i.toLong) == 100L))
   }
 
+  // ---- observe-based convergence: edge cases of the in-action metric ----
+
+  test("dupClusters converges via the observed changed-count on edge cases") {
+    import spark.implicits._
+    // empty edge list: zero label rows -> null metric -> converged round 0
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(empty).count() == 0L)
+    // single edge: one propagation round + one no-change round
+    val one = Seq((7L, 3L)).toDF("id_a", "id_b")
+    val m1 = Dedup.dupClusters(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == Map(7L -> 3L, 3L -> 3L))
+    // self-loop only: labels stay themselves, converged after round 0
+    val self = Seq((5L, 5L)).toDF("id_a", "id_b")
+    val m2 = Dedup.dupClusters(self).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(5L -> 5L))
+  }
+
   // ---- pageRank single-plan composition: unchanged values ----
 
   test("pageRank single lazy plan reproduces the fixed-point values") {

@@ -121,9 +121,21 @@ object Knn {
       maxStartLevel <= 28)
     val lonD = col("lon").cast("double")
     val latD = col("lat").cast("double")
-    val sketch = points
-      .groupBy(call_function("st_cellid", lonD, latD, lit(sketchLevel))
-        .as("__scell"))
+    // cell the points FIRST and derive the sketch from the persisted
+    // projection (st_cellparent(__pcell, sketchLevel) ≡ st_cellid at
+    // sketchLevel — the same identity every round join relies on): the
+    // sketch aggregation materializes the persist as a side effect, so
+    // the source is scanned once, not once for the sketch and again for
+    // round 0 (r06; guide §1.2 — don't compute things twice).
+    val celled = points.withColumn("__pcell", call_function("st_cellid",
+      lonD, latD, lit(maxStartLevel)))
+    val pts =
+      if (persistPoints)
+        celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else celled
+    val sketch = pts
+      .groupBy(call_function("st_cellparent", col("__pcell"),
+        lit(sketchLevel)).as("__scell"))
       .agg(count(lit(1)).as("__scount"))
     // expected round-0 candidates ≈ rho·pi·r² = 4k  =>  r² = 4k·area/(pi·n)
     // radius(L) = 2·minWidth(L) = 2C/2^L  =>  L = floor(log2(2C / r))
@@ -150,12 +162,6 @@ object Knn {
       .localCheckpoint(eager = true)
     val levels = leveled.select(col("__lvl")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: ≤ maxStartLevel/2+1
-    val celled = points.withColumn("__pcell", call_function("st_cellid",
-      lonD, latD, lit(maxStartLevel)))
-    val pts =
-      if (persistPoints)
-        celled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else celled
     val out = metersLoop(pts, leveled, k, levels.toSeq, tieCols, onRound)
     if (persistPoints) pts.unpersist(blocking = false)
     out

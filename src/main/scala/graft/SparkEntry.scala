@@ -291,11 +291,17 @@ object SparkEntry {
       // compares text-to-text because precision-16 printing is lossy for
       // 17-significant-digit doubles (reference semantics — the reference's
       // writer drops the 17th digit too)
+      // the always-false nondeterministic disjunct pins the kernel filter
+      // ABOVE lineitem_par's repartition: pushdown would otherwise sink
+      // the whole cast/format chain into the raw file's single scan task
+      // (r06; partition ids are never negative, and a kernel predicate
+      // can never reach PushedFilters anyway)
       s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT count(*) AS n FROM pts
-        |WHERE st_aswkb(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
+        |WHERE (st_aswkb(st_casttype(st_casttype(st_point(lon, lat), 'multipoint'), 'point'))
         |      = st_aswkb(st_point(lon, lat))
-        |  AND st_aswkt(st_geomfromwkb(st_aswkb(st_point(lon, lat)))) = st_aswkt(st_point(lon, lat))
+        |  AND st_aswkt(st_geomfromwkb(st_aswkb(st_point(lon, lat)))) = st_aswkt(st_point(lon, lat)))
+        |  OR spark_partition_id() < 0
         |""".stripMargin)
     },
     "q17_snap_grid" -> { (s, d) =>
@@ -310,14 +316,16 @@ object SparkEntry {
       prep(s, d)
       // native GeoArrow layout casts (SEPARATE struct-of-arrays and
       // INTERLEAVED), verified bit-exact via the WKB leg on every row
+      // filter pinned above the repartition — same rationale as q16
       s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT count(*) AS n FROM pts
-        |WHERE st_aswkb(st_fromnative(st_tonative(st_point(lon, lat),
+        |WHERE (st_aswkb(st_fromnative(st_tonative(st_point(lon, lat),
         |        'point', 'xy', 'separate'), 'point', 'xy', 'separate'))
         |      = st_aswkb(st_point(lon, lat))
         |  AND st_aswkb(st_fromnative(st_tonative(st_point(lon, lat),
         |        'point', 'xy', 'interleaved'), 'point', 'xy', 'interleaved'))
-        |      = st_aswkb(st_point(lon, lat))
+        |      = st_aswkb(st_point(lon, lat)))
+        |  OR spark_partition_id() < 0
         |""".stripMargin)
     },
     "q19_measures" -> { (s, d) =>

@@ -618,7 +618,7 @@ object SparkEntry {
     // ---- training-data ops: dedup ----------------------------------
     "q30_dedup_exact" -> { (s, d) =>
       prep(s, d)
-      Dedup.exactGroups(s.table("documents"), "text", "doc_id")
+      Dedup.exactGroups(s.table("documents_par"), "text", "doc_id")
         .select(col("doc_id"), col("dup_rep"))
         .orderBy("doc_id")
     },
@@ -660,12 +660,12 @@ object SparkEntry {
       prep(s, d)
       s.sql("""SELECT doc_id, lang, lang_id(text) AS predicted,
         |  quality_score(text) AS score
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents_par ORDER BY doc_id""".stripMargin)
     },
     "q37_fingerprint" -> { (s, d) =>
       prep(s, d)
       s.sql("""SELECT doc_id, doc_fingerprint(text, 8, 16) AS fp,
-        |  simhash(text) AS sh FROM documents ORDER BY doc_id""".stripMargin)
+        |  simhash(text) AS sh FROM documents_par ORDER BY doc_id""".stripMargin)
     },
     "q38_boilerplate" -> { (s, d) =>
       prep(s, d)
@@ -694,7 +694,7 @@ object SparkEntry {
         |    img_meta(unhex(concat('FFD8FFC0000B08',
         |      lpad(hex(CAST(doc_id % 1024 + 3 AS INT)), 4, '0'),
         |      lpad(hex(CAST(doc_id % 512 + 5 AS INT)), 4, '0'), '01'))) AS m_jpg
-        |  FROM documents)
+        |  FROM documents_par)
         |ORDER BY doc_id""".stripMargin)
     },
     "q48_img_features" -> { (s, d) =>
@@ -711,7 +711,7 @@ object SparkEntry {
         |    CAST((doc_id * 13) % 256 AS INT), CAST((doc_id * 3) % 256 AS INT),
         |    CAST((doc_id * 11) % 256 AS INT), CAST((doc_id * 17) % 256 AS INT)),
         |    16)) AS (pos, feat)
-        |  FROM documents)
+        |  FROM documents_par)
         |ORDER BY doc_id, idx""".stripMargin)
     },
     "q49_audio" -> { (s, d) =>
@@ -726,7 +726,7 @@ object SparkEntry {
         |  CAST(doc_id % 3 + 1 AS INT) AS ch,
         |  CAST(doc_id % 1000 + 1 AS INT) AS a,
         |  CAST(doc_id % 7777 AS INT) AS b
-        | FROM documents),
+        | FROM documents_par),
         |w AS (SELECT doc_id,
         |  wav_meta(make_wav(n, rate, ch, a, b)) AS m,
         |  audio_features(make_wav(n, rate, ch, a, b), 8) AS f
@@ -740,7 +740,7 @@ object SparkEntry {
     "q46_det_sample" -> { (s, d) =>
       prep(s, d)
       val sampled = graft.operators.Sampling.deterministicSample(
-        s.table("documents"), "doc_id", numerator = 2, denominator = 5,
+        s.table("documents_par"), "doc_id", numerator = 2, denominator = 5,
         seed = 42L)
       graft.operators.Sampling.withSplit(sampled, "doc_id", seed = 7L,
           weights = Seq("train" -> 8, "val" -> 1, "test" -> 1))
@@ -949,7 +949,7 @@ object SparkEntry {
         |  CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |  CAST(doc_id % 256 AS INT) AS v1,
         |  CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        | FROM documents)
+        | FROM documents_par)
         |ORDER BY doc_id""".stripMargin)
     },
     "q83_phash_neardup" -> { (s, d) =>
@@ -1049,7 +1049,7 @@ object SparkEntry {
         |  scrub_emails(scrub_urls(concat(text, ' see http://ex.com/p',
         |    CAST(doc_id AS STRING), '?x=1 or mail u', CAST(doc_id AS STRING),
         |    '@ex.org today'))) AS cleaned
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents_par ORDER BY doc_id""".stripMargin)
     },
     "q39_pack_repetition" -> { (s, d) =>
       prep(s, d)
@@ -1466,7 +1466,7 @@ object SparkEntry {
         |      CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |      CAST(doc_id % 256 AS INT) AS v1,
         |      CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        |     FROM documents)))
+        |     FROM documents_par)))
         |ORDER BY doc_id""".stripMargin)
     },
     "q97_tile_render" -> { (s, d) =>
@@ -1515,7 +1515,7 @@ object SparkEntry {
         |    CAST((doc_id % 4 + 1) * 4 AS INT) AS hd,
         |    CAST(doc_id % 256 AS INT) AS v1,
         |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        |   FROM documents))
+        |   FROM documents_par))
         |ORDER BY doc_id""".stripMargin)
     },
     "q99_tile_pyramid" -> { (s, d) =>
@@ -1634,7 +1634,7 @@ object SparkEntry {
         |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |    CAST(doc_id % 256 AS INT) AS v1,
         |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        |   FROM documents))
+        |   FROM documents_par))
         |ORDER BY doc_id""".stripMargin)
     },
     "q106_line_render" -> { (s, d) =>
@@ -2008,7 +2008,7 @@ object SparkEntry {
       // re-derives every chunk string and token count with DuckDB list
       // slicing over the identical token array.
       graft.operators.Packing
-        .chunkText(s.table("documents").select("doc_id", "text"), "text",
+        .chunkText(s.table("documents_par").select("doc_id", "text"), "text",
           maxTokens = 16)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
           col("n_tokens"))
@@ -2252,7 +2252,7 @@ object SparkEntry {
       // (floor(r·2^n) >> k == floor(r·2^(n-k)) — exact because power-2
       // scaling of a double never rounds), which the ENGINE computes from
       // two independent encodes.
-      s.sql(s"""WITH pts AS ($PtsCte),
+      s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")}),
         |h AS (SELECT l_orderkey, l_linenumber, lon, lat,
         |    CAST(l_orderkey % 8 + 5 AS INT) AS p FROM pts),
         |e AS (SELECT l_orderkey, l_linenumber, p,
@@ -2554,7 +2554,7 @@ object SparkEntry {
       // affine transforms are fixed-order double arithmetic — every
       // output ordinate is one exact expression of the inputs, so the
       // oracle recomputes translate/scale/shear coordinates bit-for-bit.
-      s.sql(s"""WITH pts AS ($PtsCte)
+      s.sql(s"""WITH pts AS (${ptsCteOn("lineitem_par")})
         |SELECT l_orderkey, l_linenumber,
         |  st_x(st_translate(st_point(lon, lat),
         |    CAST(3.25 AS DOUBLE), CAST(-1.5 AS DOUBLE))) AS tx,
@@ -2716,7 +2716,7 @@ object SparkEntry {
         |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |    CAST(doc_id % 256 AS INT) AS v1,
         |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        |   FROM documents))""".stripMargin)
+        |   FROM documents_par))""".stripMargin)
     },
     "q105_jpeg_gate" -> { (s, d) =>
       prep(s, d)
@@ -2735,7 +2735,7 @@ object SparkEntry {
         |    CAST((doc_id % 4 + 1) * 8 AS INT) AS h,
         |    CAST(doc_id % 256 AS INT) AS v1,
         |    CAST((doc_id * 7 + 13) % 256 AS INT) AS v2
-        |   FROM documents))
+        |   FROM documents_par))
         |ORDER BY doc_id""".stripMargin)
     },
     "q92_decontam_norm" -> { (s, d) =>

@@ -1888,7 +1888,9 @@ object SparkEntry {
         s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
       SpatialJoins.assignTiles(pts, "lon", "lat", zoom = 8)
         .selectExpr("st_quadkey(tile_id) AS qk", "tile_id")
-        .where("st_quadkeytile(qk) = tile_id")
+        // pinned above the defining projection (r06): pushdown would
+        // inline qk and run the quadkey codec twice per row
+        .where("st_quadkeytile(qk) = tile_id OR spark_partition_id() < 0")
         .groupBy("qk").agg(count(lit(1)).as("n"))
         .orderBy("qk")
     },

@@ -187,7 +187,7 @@ object Knn {
     val halfSphere = math.Pi * graft.core.Measure.EarthRadiusMeters
 
     def roundTopk(remaining: DataFrame, level: Int,
-                  radius: Double): DataFrame = {
+                  radius: Double, finalRound: Boolean): DataFrame = {
       val cand = remaining.withColumn("__ccell",
         explode(call_function("st_cellcapcover",
           $"qlon", $"qlat", lit(radius), lit(level))))
@@ -211,18 +211,33 @@ object Knn {
         .filter($"__dist" <= radius)
       val w = Window.partitionBy($"qid")
         .orderBy($"__dist" +: tieCols.map(col): _*)
+      // retirement flag computed IN the round plan (r06): a second window
+      // over the SAME qid partitioning (no extra exchange — the ranked
+      // window already established it) marks every row of a retired
+      // query, so the loop derives the finished part, the retired-count
+      // and the next query set from the checkpointed flag instead of a
+      // separate groupBy job + broadcast semi-join per round. The cap
+      // cover is a superset of all cells within r, so a k-th distance
+      // <= r certifies the true top-k; the FINAL round's cap is the
+      // whole sphere, so whatever a query has then IS its global top-k —
+      // partial results retire too (standard kNN semantics for datasets
+      // with fewer than k points).
+      val wq = Window.partitionBy($"qid")
       joined
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= k)
+        .withColumn("__done",
+          (count(lit(1)).over(wq) >= k && max($"__dist").over(wq) <= radius)
+            || lit(finalRound))
     }
-    def finished(topk: DataFrame, doneIds: DataFrame): DataFrame =
-      topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
+    def finished(topk: DataFrame): DataFrame =
+      topk.filter($"__done")
         .withColumnRenamed("__dist", "dist_m")
-        .drop("__cell", "__ccell", "__pcell", "qlon", "qlat")
+        .drop("__cell", "__ccell", "__pcell", "qlon", "qlat", "__done")
 
     val bare = leveled.drop("__lvl")
     if (levels.isEmpty) // empty query set: typed empty result, no rounds
-      return finished(roundTopk(bare, 0, 1.0), bare.select($"qid")).limit(0)
+      return finished(roundTopk(bare, 0, 1.0, finalRound = false)).limit(0)
     // the loop visits levels.max, max-2, ..., then clamps at 0 — an entry
     // level off that lattice would never activate (silent query loss)
     require(levels.forall(l => l == 0 || (levels.max - l) % 2 == 0),
@@ -259,23 +274,25 @@ object Knn {
       val finalRound = radius >= halfSphere
       if (nActive > 0) {
         val r = if (finalRound) halfSphere + 1.0 else radius // full sphere
-        val topk = roundTopk(remaining, level, r).localCheckpoint(eager = true)
-        // retirement: the cap cover is a superset of all cells within r,
-        // so a k-th distance <= r certifies the true top-k. The FINAL
-        // round's cap is the whole sphere: whatever a query has then IS
-        // its global top-k — retire with a partial result when the
-        // dataset holds fewer than k points (standard kNN semantics),
-        // never a fake "did not converge" failure
-        val doneIds = topk.groupBy($"qid")
-          .agg(count(lit(1)).as("__n"), max($"__dist").as("__kth"))
-          .filter(($"__n" >= k && $"__kth" <= r) || lit(finalRound))
-          .select($"qid")
-        val nDone = doneIds.count()
+        // the retired-query count rides the checkpoint action itself
+        // (`observe` sums the rank-1 rows flagged __done during the same
+        // job — the former per-round groupBy+count was one extra
+        // scheduled job; see Dedup.dupClusters for the same idiom)
+        val obs = org.apache.spark.sql.Observation()
+        val topk = roundTopk(remaining, level, r, finalRound)
+          .observe(obs, sum(when($"__done" && $"rank" === 1, 1L)
+            .otherwise(0L)).as("__ndone"))
+          .localCheckpoint(eager = true)
+        val nDone = observedLong(obs,
+          topk.filter($"__done" && $"rank" === 1).count())
         if (nDone > 0) {
-          parts += finished(topk, doneIds)
+          parts += finished(topk)
           nActive -= nDone
           if (nActive > 0)
-            remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+            remaining = remaining.join(
+              broadcast(topk.filter($"__done" && $"rank" === 1)
+                .select($"qid")),
+              Seq("qid"), "left_anti")
               .localCheckpoint(eager = true)
         }
         if (onRound != null) onRound(round, level, nDone)
@@ -291,9 +308,23 @@ object Knn {
       round += 1
     }
     if (parts.isEmpty) // every round skipped (all-empty activation)
-      finished(roundTopk(bare, levels.max, radius),
-        bare.select($"qid")).limit(0)
+      finished(roundTopk(bare, levels.max, radius,
+        finalRound = false)).limit(0)
     else parts.reduce(_ unionByName _)
+  }
+
+  /** Read an observed long metric, polling briefly (the listener bus can
+    * lag under load) and falling back to the supplied probe — the same
+    * discipline as [[Dedup.dupClusters]]'s convergence metric. */
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+                           fallback: => Long): Long = {
+    val fut = obs.future
+    val deadline = System.nanoTime() + 100L * 1000 * 1000
+    while (!fut.isCompleted && System.nanoTime() < deadline) Thread.sleep(2)
+    fut.value.flatMap(_.toOption) match {
+      case Some(r) => if (r.isNullAt(0)) 0L else r.getLong(0)
+      case None => fallback
+    }
   }
 
   /** The distributed kNN join. @param queries df with qid, qlon, qlat.
@@ -335,14 +366,21 @@ object Knn {
         .filter($"__dist2" <= lit(bound * bound))
       val w = Window.partitionBy($"qid")
         .orderBy($"__dist2" +: tieCols.map(col): _*)
+      // retirement flag in the round plan (r06): second window over the
+      // same qid partitioning — no extra exchange, and the loop derives
+      // everything from the checkpointed flag (see metersLoop)
+      val wq = Window.partitionBy($"qid")
       joined
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= k)
+        .withColumn("__done",
+          count(lit(1)).over(wq) >= k &&
+            max($"__dist2").over(wq) <= lit(bound * bound))
     }
-    def finished(topk: DataFrame, doneIds: DataFrame): DataFrame =
-      topk.join(broadcast(doneIds), Seq("qid"), "left_semi")
+    def finished(topk: DataFrame): DataFrame =
+      topk.filter($"__done")
         .withColumnRenamed("__dist2", "dist2")
-        .drop("__cell", "__ccell", "__qcell", "qlon", "qlat")
+        .drop("__cell", "__ccell", "__qcell", "qlon", "qlat", "__done")
 
     var remaining = queries.select(col("qid"),
         col("qlon").cast("double").as("qlon"),
@@ -363,28 +401,31 @@ object Knn {
 
     while (nRemaining > 0 && r <= maxR * 2) {
       // materialize the (tiny: <= k rows per open query) top-k once —
-      // doneIds, the finished part, and the next query set all derive from
-      // the checkpointed result, so the join+window executes exactly once
-      // per round and nothing re-executes when the final union is consumed
-      val topk = roundTopk(remaining, r).localCheckpoint(eager = true)
-      val bound = (r - 1).toDouble * res
-      val doneIds = topk.groupBy($"qid")
-        .agg(count(lit(1)).as("__n"), max($"__dist2").as("__kth"))
-        .filter($"__n" >= k && $"__kth" <= bound * bound)
-        .select($"qid")
-      val nDone = doneIds.count()
+      // the finished part, the retired count (observed during the same
+      // job) and the next query set all derive from the checkpointed
+      // result, so the join+window executes exactly once per round and
+      // nothing re-executes when the final union is consumed
+      val obs = org.apache.spark.sql.Observation()
+      val topk = roundTopk(remaining, r)
+        .observe(obs, sum(when($"__done" && $"rank" === 1, 1L)
+          .otherwise(0L)).as("__ndone"))
+        .localCheckpoint(eager = true)
+      val nDone = observedLong(obs,
+        topk.filter($"__done" && $"rank" === 1).count())
       if (nDone > 0) {
-        parts += finished(topk, doneIds)
+        parts += finished(topk)
         nRemaining -= nDone
         if (nRemaining > 0)
-          remaining = remaining.join(broadcast(doneIds), Seq("qid"), "left_anti")
+          remaining = remaining.join(
+            broadcast(topk.filter($"__done" && $"rank" === 1).select($"qid")),
+            Seq("qid"), "left_anti")
             .localCheckpoint(eager = true)
       }
       r *= 2
     }
     if (persistPoints) pts.unpersist(blocking = false)
     require(nRemaining == 0, "kNN join did not converge")
-    if (parts.isEmpty) finished(roundTopk(remaining, 2), remaining.select($"qid")).limit(0)
+    if (parts.isEmpty) finished(roundTopk(remaining, 2)).limit(0)
     else parts.reduce(_ unionByName _)
   }
 }

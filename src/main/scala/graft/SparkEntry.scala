@@ -2832,10 +2832,12 @@ object SparkEntry {
   /** documents ∪ mutated copies (doc_id+10000, last ~8 words dropped) —
     * planted near-duplicates for the dedup operators. */
   private def plantedNearDups(s: SparkSession): DataFrame = {
-    // parallel scan (r06): the shingle/minhash kernels downstream are the
-    // dominant per-row cost and would otherwise run in the raw file's
-    // single scan task
-    val base = par(s.table("documents")).select(col("doc_id"), col("text"))
+    // deliberately NOT routed through documents_par (r06): the minhash
+    // pipeline's own first exchange moves only (id, band) pairs — the
+    // round-robin spread would shuffle the full TEXT column instead, and
+    // measured 2.2x SLOWER (q31 1.2s -> 2.7s warm) than letting the
+    // banded self-join parallelize after its ids-only exchange
+    val base = s.table("documents").select(col("doc_id"), col("text"))
     val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), lit(1),
         greatest(size(split(col("text"), " ")) - 8, lit(1)))).as("text"))

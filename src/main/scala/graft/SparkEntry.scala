@@ -1479,10 +1479,12 @@ object SparkEntry {
       // web-mercator pixel math — so the whole chain (pixel assignment,
       // two-level aggregation, PNG encode, PNG decode) must agree with
       // closed-form SQL, tile by tile.
-      // parallel scan (r06): the raw lineitem file is one row group — one
-      // task would run the whole projection + world-pixel kernel chain
-      val pts = s.sql(
-        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
+      // deliberately raw scan (r06): the world-pixel partial agg collapses
+      // the scan output before the only exchange, so a round-robin spread
+      // of the input costs more than it saves on a single-shot run
+      // (driver-measured +0.25-0.5s with the repartition; same finding as
+      // q22)
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
       TileRender.renderTiles(pts, "lon", "lat", zoom = 4, size = 256)
         .selectExpr("x AS tx", "y AS ty",
           "img_nonzero(png) AS lit_pixels",
@@ -1599,10 +1601,12 @@ object SparkEntry {
       // each pixel's center. The oracle recomputes per-pixel clamped
       // counts from the raw coordinates and joins them to the projected
       // zone boxes with the same half-open center predicate.
-      // parallel scan (r06): the raw lineitem file is one row group — one
-      // task would run the whole projection + world-pixel kernel chain
-      val pts = s.sql(
-        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
+      // deliberately raw scan (r06): the world-pixel partial agg collapses
+      // the scan output before the only exchange, so a round-robin spread
+      // of the input costs more than it saves on a single-shot run
+      // (driver-measured +0.25-0.5s with the repartition; same finding as
+      // q22)
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
       val tiles = TileRender.renderTiles(pts, "lon", "lat", zoom = 3, size = 256)
         .select("tile_id", "png")
       val zones = s.sql(s"SELECT n_nationkey, $ZoneBoxColsSW FROM nation")
@@ -1749,10 +1753,12 @@ object SparkEntry {
       // end-to-end (clamped decode → multiply → sum → floor-div): the
       // oracle replays pixel counts, the 9-tap scatter and the division in
       // closed form, tile by tile.
-      // parallel scan (r06): the raw lineitem file is one row group — one
-      // task would run the whole projection + world-pixel kernel chain
-      val pts = s.sql(
-        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
+      // deliberately raw scan (r06): the world-pixel partial agg collapses
+      // the scan output before the only exchange, so a round-robin spread
+      // of the input costs more than it saves on a single-shot run
+      // (driver-measured +0.25-0.5s with the repartition; same finding as
+      // q22)
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
       val rendered = TileRender.renderTiles(pts, "lon", "lat", zoom = 4,
         size = 256)
       TileRender.convolve(rendered, TileRender.GaussianKernel, 16L,
@@ -2110,7 +2116,10 @@ object SparkEntry {
       // while the rational form replicates bit-exactly. Every score is a
       // fixed IEEE tree over exact integer counts; constants appear as
       // decimal literals on both sides.
-      TextRank.bm25TopTerms(par(s.table("documents")), "text", "doc_id", k = 5,
+      // raw scan (r06): bm25's own first exchange moves (id, term) pairs;
+      // a round-robin spread would shuffle the text column instead
+      // (driver-measured +0.2s) — same finding as the minhash family
+      TextRank.bm25TopTerms(s.table("documents"), "text", "doc_id", k = 5,
           logIdf = false)
         .orderBy("doc_id", "rank")
     },

@@ -1888,10 +1888,11 @@ object SparkEntry {
       // where st_quadkeytile(st_quadkey(tile)) != tile would drop and
       // break the count hash. The oracle re-derives tx/ty with the q22
       // tile formula and assembles the 8 digits by bit arithmetic.
-      // parallel scan (r06): the raw lineitem file is one row group — one
-      // task would run the whole projection + world-pixel kernel chain
-      val pts = s.sql(
-        s"WITH pts AS (${ptsCteOn("lineitem_par")}) SELECT lon, lat FROM pts")
+      // deliberately raw scan (r06): the groupBy collapses to ~354 quadkey
+      // groups before the only exchange, so the round-robin spread costs
+      // more than it saves on a single-shot run (driver-measured; same
+      // finding as q22/q97/q103)
+      val pts = s.sql(s"WITH pts AS ($PtsCte) SELECT lon, lat FROM pts")
       SpatialJoins.assignTiles(pts, "lon", "lat", zoom = 8)
         .selectExpr("st_quadkey(tile_id) AS qk", "tile_id")
         // pinned above the defining projection (r06): pushdown would

@@ -38,7 +38,18 @@ object Pipeline {
   def writeSnapshot(df: DataFrame, tableDir: String, snapshotId: Long,
                     keyCol: String = "image_id",
                     bytesCol: String = "bytes",
-                    filesPerBucket: Int = 1): DataFrame = {
+                    filesPerBucket: Int = 1): DataFrame =
+    writeSnapshotReturningWritten(df, tableDir, snapshotId, keyCol,
+      bytesCol, filesPerBucket)._1
+
+  /** [[writeSnapshot]] plus the read-back frame over the snapshot's own
+    * committed subtree — so callers that need a second derivation from
+    * the files actually written (mergeSnapshot's tombstone keys) reuse
+    * the one directory open instead of re-listing it (r06). */
+  private def writeSnapshotReturningWritten(
+      df: DataFrame, tableDir: String, snapshotId: Long,
+      keyCol: String, bytesCol: String,
+      filesPerBucket: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val data = df.withColumn("snapshot_id", lit(snapshotId))
     // co-locate each bucket before the dynamic-partition write: without
@@ -74,7 +85,7 @@ object Pipeline {
     // snapshot log (Iceberg-style metadata trail)
     appendLogLine(tableDir,
       s"""{"snapshot_id":$snapshotId,"ts":${System.currentTimeMillis()}}""")
-    manifest
+    (manifest, written)
   }
 
   /** Per-bucket lineage row (rows, bytes, key range) over already-written
@@ -181,16 +192,17 @@ object Pipeline {
                     mergeKeyCol: String,
                     bytesCol: String = "bytes",
                     filesPerBucket: Int = 1): DataFrame = {
-    val manifest = writeSnapshot(updates, tableDir, snapshotId,
-      keyCol = mergeKeyCol, bytesCol = bytesCol,
+    val (manifest, written) = writeSnapshotReturningWritten(updates,
+      tableDir, snapshotId, keyCol = mergeKeyCol, bytesCol = bytesCol,
       filesPerBucket = filesPerBucket)
     // tombstone the keys of the rows ACTUALLY WRITTEN (pure IO over the
-    // committed snapshot), never a re-evaluation of `updates` — a
-    // nondeterministic input plan (sampled/recomputed-after-retry) could
-    // otherwise tombstone a different key set than it appended, leaving
-    // duplicate versions or silently deleting un-replaced rows
-    val dels = updates.sparkSession.read
-      .parquet(s"$tableDir/data/snapshot_id=$snapshotId") // O(snapshot) listing
+    // committed snapshot — `written` is writeSnapshot's read-back of the
+    // snapshot's own subtree, shared so the directory is opened once),
+    // never a re-evaluation of `updates` — a nondeterministic input plan
+    // (sampled/recomputed-after-retry) could otherwise tombstone a
+    // different key set than it appended, leaving duplicate versions or
+    // silently deleting un-replaced rows
+    val dels = written
       .select(col(mergeKeyCol).cast("string").as("del_key")).distinct()
       .withColumn("delete_snapshot", lit(snapshotId))
     dels.write.mode(SaveMode.Append).parquet(s"$tableDir/deletes")
